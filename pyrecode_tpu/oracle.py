@@ -182,6 +182,40 @@ def l4_centroids(labels: np.ndarray, frame: np.ndarray, num_features: int,
     return np.stack([r, c], axis=1)
 
 
+def l4_centroid_pixels(labels: np.ndarray, frame: np.ndarray, num_features: int,
+                       scheme: str = "weighted_average") -> np.ndarray:
+    """Rounded centroid pixel (row, col) per puddle via exact integer math.
+
+    Mirrors ops.segment.l4_centroid_pixels: integer sums + round-half-even
+    division, so the encoded L4 bitmap is identical across CPU oracle and TPU
+    kernels (float division would differ in the last ulp near .5).
+    """
+    if num_features == 0:
+        return np.zeros((0, 2), dtype=np.int64)
+    ny, nx = frame.shape
+    index = np.arange(1, num_features + 1)
+    rows, cols = np.mgrid[0:ny, 0:nx]
+    if scheme in ("weighted_average", "unweighted"):
+        w = frame.astype(np.uint64) if scheme == "weighted_average" else np.ones_like(frame, dtype=np.uint64)
+        wsum = np.asarray(nd.sum_labels(w, labels=labels, index=index)).astype(np.uint64)
+        rsum = np.asarray(nd.sum_labels(w * rows, labels=labels, index=index)).astype(np.uint64)
+        csum = np.asarray(nd.sum_labels(w * cols, labels=labels, index=index)).astype(np.uint64)
+
+        def round_div(num, den):
+            den = np.maximum(den, 1)
+            q = num // den
+            rem = num - q * den
+            down = den - rem
+            up = (rem > down) | ((rem == down) & (q % 2 == 1))
+            return (q + up).astype(np.int64)
+
+        return np.stack([round_div(rsum, wsum), round_div(csum, wsum)], axis=1)
+    if scheme == "max":
+        c = l4_centroids(labels, frame, num_features, "max")
+        return c.astype(np.int64)
+    raise ValueError(f"Unknown centroiding scheme: {scheme}")
+
+
 def centroids_to_binary_map(centroids: np.ndarray, ny: int, nx: int) -> np.ndarray:
     """Rasterize rounded centroids into a boolean (ny, nx) map.
 
@@ -228,8 +262,12 @@ def reduce_frame(frame: np.ndarray, threshold: np.ndarray, reduction_level: int,
         bitmap_mask = mask
     elif reduction_level == 4:
         labels, num = label_components(mask)
-        cents = l4_centroids(labels, frame, num, l4_scheme)
-        bitmap_mask = centroids_to_binary_map(cents, frame.shape[0], frame.shape[1])
+        pixels = l4_centroid_pixels(labels, frame, num, l4_scheme)
+        bitmap_mask = np.zeros(frame.shape, dtype=bool)
+        if pixels.size:
+            r = np.clip(pixels[:, 0], 0, frame.shape[0] - 1)
+            c = np.clip(pixels[:, 1], 0, frame.shape[1] - 1)
+            bitmap_mask[r, c] = True
     else:
         raise ValueError(f"Unknown reduction level: {reduction_level}")
 
