@@ -28,7 +28,7 @@ from .bitpack import (
 from .compact import stream_compact
 from .cc_label import label_components
 from .segment import l2_summary_stats, l4_centroids, centroids_to_mask
-from .encode import encode_frames, count_foreground, EncodeResult
+from .encode import encode_frames, encode_frames_auto, count_foreground, EncodeResult
 from .decode import decode_l1_frames, decode_bitmap_frames
 
 __all__ = [
@@ -43,6 +43,7 @@ __all__ = [
     "l4_centroids",
     "centroids_to_mask",
     "encode_frames",
+    "encode_frames_auto",
     "count_foreground",
     "EncodeResult",
     "decode_l1_frames",

@@ -148,6 +148,46 @@ def encode_frames(frames: jax.Array, threshold: jax.Array, reduction_level: int,
     raise ValueError(f"Unknown reduction level: {reduction_level}")
 
 
+def encode_frames_auto(frames, threshold, reduction_level: int, bit_depth: int,
+                       max_values: int, l2_statistic: str = "max",
+                       l4_scheme: str = "weighted_average") -> EncodeResult:
+    """Encode with the fastest available backend.
+
+    L1/L3 on supported geometries use the fused Pallas kernel
+    (ops/pallas_encode.py), escalating through capacity buckets when a frame
+    overflows; everything else (L2/L4, exotic shapes, very dense data) uses
+    the XLA path.  Output is identical either way (both tested against the
+    oracle byte-for-byte).
+    """
+    from . import pallas_encode
+
+    B, H, W = frames.shape
+    use_pallas = (
+        reduction_level in (1, 3)
+        and pallas_encode.supports(H, W, bit_depth)
+        and max_values <= (4 << 20)  # VMEM-resident output bound
+    )
+    if use_pallas:
+        with_values = reduction_level == 1
+        out_size = max_values if with_values else 128
+        for bucket in range(pallas_encode.num_buckets()):
+            bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
+                frames, threshold, out_size, bucket=bucket, with_values=with_values)
+            if not bool(jnp.any(ovf)):
+                if with_values:
+                    packed = bitpack_values(comp.astype(jnp.uint32), bit_depth)
+                    packed_len = (counts * bit_depth + 7) // 8
+                else:
+                    packed = packed_len = None
+                return EncodeResult(bitmap=bitmap, packed=packed, counts=counts,
+                                    packed_len=packed_len, overflow=ovf)
+        # all buckets overflowed (extremely dense data): fall through to XLA
+
+    return encode_frames(frames, threshold, reduction_level=reduction_level,
+                         bit_depth=bit_depth, max_values=max_values,
+                         l2_statistic=l2_statistic, l4_scheme=l4_scheme)
+
+
 @partial(jax.jit, static_argnames=())
 def count_foreground(frames: jax.Array, threshold: jax.Array) -> jax.Array:
     """Cheap first pass: per-frame foreground pixel counts.

@@ -352,17 +352,10 @@ class ReCoDeWriter:
         counts = np.asarray(ops.count_foreground(batch, self._threshold))
         max_count = int(counts.max()) if counts.size else 0
         bucket = _bucket_for(max_count, n_pixels)
-        res = ops.encode_frames(
+        res = ops.encode_frames_auto(
             batch, self._threshold, reduction_level=self._reduction_level,
             bit_depth=self._bit_depth, max_values=bucket,
             l2_statistic=self._l2_statistic, l4_scheme=self._l4_scheme)
-        if bool(np.asarray(res.overflow).any()):
-            # bucket was large enough for fg pixels but (L2/L4) puddle count
-            # cannot exceed it either; retry with the full bound
-            res = ops.encode_frames(
-                batch, self._threshold, reduction_level=self._reduction_level,
-                bit_depth=self._bit_depth, max_values=n_pixels,
-                l2_statistic=self._l2_statistic, l4_scheme=self._l4_scheme)
 
         bitmaps = np.asarray(res.bitmap)
         out = []

@@ -1,0 +1,108 @@
+"""Fused Pallas L1/L3 encode kernel vs oracle (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from pyrecode_tpu import oracle
+from pyrecode_tpu.ops import bitpack_values, encode_frames_auto
+from pyrecode_tpu.ops import pallas_encode
+
+
+def _frames(batch=2, shape=(64, 128), density=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.where(rng.random((batch, *shape)) < density,
+                    rng.integers(1, 4096, (batch, *shape)), 0).astype(np.uint16)
+
+
+class TestPallasKernel:
+    @pytest.mark.parametrize("density", [0.0, 0.01, 0.05])
+    def test_l1_matches_oracle(self, density):
+        frames = _frames(density=density)
+        thr = np.zeros(frames.shape[1:], np.uint16)
+        bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
+            frames, thr, out_size=1024, interpret=True)
+        assert not np.asarray(ovf).any()
+        bitmap, comp, counts = map(np.asarray, (bitmap, comp, counts))
+        for i in range(frames.shape[0]):
+            enc = oracle.reduce_frame(frames[i], thr, 1, 12)
+            assert bitmap[i].tobytes() == enc["packed_binary_map"]
+            mask = frames[i] > thr
+            expected = (frames[i].astype(np.int32) - thr)[mask]
+            n = int(counts[i])
+            assert n == expected.size
+            assert np.array_equal(comp[i][:n], expected)
+            assert not comp[i][n:].any()
+
+    def test_nonzero_threshold(self):
+        frames = _frames(density=0.1, seed=3)
+        rng = np.random.default_rng(4)
+        thr = rng.integers(0, 64, size=frames.shape[1:]).astype(np.uint16)
+        bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
+            frames, thr, out_size=2048, interpret=True)
+        for i in range(frames.shape[0]):
+            enc = oracle.reduce_frame(frames[i], thr, 1, 12)
+            assert np.asarray(bitmap)[i].tobytes() == enc["packed_binary_map"]
+            mask = frames[i] > thr
+            expected = (frames[i].astype(np.int32) - thr.astype(np.int32))[mask]
+            n = int(np.asarray(counts)[i])
+            assert np.array_equal(np.asarray(comp)[i][:n], expected)
+
+    def test_l3_bitmap_only(self):
+        frames = _frames(seed=5)
+        thr = np.zeros(frames.shape[1:], np.uint16)
+        bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
+            frames, thr, out_size=128, with_values=False, interpret=True)
+        assert comp is None
+        for i in range(frames.shape[0]):
+            enc = oracle.reduce_frame(frames[i], thr, 3, 12)
+            assert np.asarray(bitmap)[i].tobytes() == enc["packed_binary_map"]
+            assert int(np.asarray(counts)[i]) == int((frames[i] > 0).sum())
+
+    def test_overflow_flag_fires(self):
+        frames = np.full((1, 16, 128), 100, dtype=np.uint16)  # fully dense
+        thr = np.zeros((16, 128), np.uint16)
+        _, _, counts, ovf = pallas_encode.encode_l1_pallas(
+            frames, thr, out_size=4096, bucket=0, interpret=True)
+        # sub-row count 128 > C1=32 -> overflow
+        assert bool(np.asarray(ovf)[0])
+        # escalation bucket with C1=128 handles it... capacity 128 == count
+        _, comp, counts, ovf = pallas_encode.encode_l1_pallas(
+            frames, thr, out_size=4096, bucket=2, interpret=True)
+        assert not bool(np.asarray(ovf)[0])
+        assert int(np.asarray(counts)[0]) == 16 * 128
+
+    def test_auto_escalates_and_matches(self):
+        frames = _frames(density=0.5, seed=6)  # dense: bucket 0 overflows
+        thr = np.zeros(frames.shape[1:], np.uint16)
+        res = encode_frames_auto(frames, thr, reduction_level=1, bit_depth=12,
+                                 max_values=8192)
+        for i in range(frames.shape[0]):
+            enc = oracle.reduce_frame(frames[i], thr, 1, 12)
+            assert np.asarray(res.bitmap)[i].tobytes() == enc["packed_binary_map"]
+            plen = int(np.asarray(res.packed_len)[i])
+            assert np.asarray(res.packed)[i][:plen].tobytes() == enc["packed_pixvals"]
+
+    def test_auto_falls_back_for_unsupported_width(self):
+        frames = _frames(shape=(64, 96), seed=7)  # 96 % 128 != 0
+        thr = np.zeros(frames.shape[1:], np.uint16)
+        res = encode_frames_auto(frames, thr, reduction_level=1, bit_depth=12,
+                                 max_values=2048)
+        enc = oracle.reduce_frame(frames[0], thr, 1, 12)
+        assert np.asarray(res.bitmap)[0].tobytes() == enc["packed_binary_map"]
+
+    def test_multi_chunk_offsets(self):
+        """Counts crossing many 128-alignment boundaries stay consistent."""
+        frames = _frames(batch=1, shape=(128, 128), density=0.3, seed=8)
+        thr = np.zeros((128, 128), np.uint16)
+        bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
+            frames, thr, out_size=8192, bucket=1, interpret=True)
+        assert not np.asarray(ovf).any()
+        mask = frames[0] > thr
+        expected = (frames[0].astype(np.int32))[mask]
+        n = int(np.asarray(counts)[0])
+        assert n == expected.size
+        assert np.array_equal(np.asarray(comp)[0][:n], expected)
+        # bit-packing the compacted stream reproduces the oracle bytes
+        packed = np.asarray(bitpack_values(np.asarray(comp).astype(np.uint32), 12))
+        enc = oracle.reduce_frame(frames[0], thr, 1, 12)
+        assert packed[0][: len(enc["packed_pixvals"])].tobytes() == enc["packed_pixvals"]
