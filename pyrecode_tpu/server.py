@@ -1,0 +1,412 @@
+"""ReCoDeServer: multi-node orchestration for batch and stream acquisition.
+
+Capability parity with the reference server stack (recode_server.py:54-773):
+``ReCoDeServer.run`` drives N ``ReCoDeNode`` workers plus a ``Logger``
+through the ack-verified command sequence start -> process_file* -> close,
+with the node status lifecycle NOT_READY -> AVAILABLE -> BUSY -> ... ->
+IS_CLOSED (misc.py:14-21), reliable broadcast with retries
+(recode_server.py:408-455), a stream mode that watches a directory for chunk
+files and renames the oldest to ``Next_Stream.seq`` for the nodes
+(recode_server.py:463-564), and a logger that formats records live and
+flushes them to a file on close (recode_server.py:203-293).
+
+TPU-first re-architecture (SURVEY.md §2.3): the reference forks N OS
+processes that each encode on CPU and talk over ZMQ TCP loopback.  A TPU
+chip is owned by one process, so here the nodes are *threads* sharing the
+one JAX runtime — the real data parallelism happens on the device mesh
+inside the batched encode, while threads overlap host-side entropy coding
+and file IO (all release the GIL).  The ZMQ sockets become in-process
+queues carrying the same ``MessageData`` envelopes with the same
+session/request-id/ack validation, so the observable protocol, statuses,
+log records and on-disk outputs match the reference; ``merge_parts`` and the
+live viewer consume the part files identically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import time
+import traceback
+from datetime import datetime
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .constants import rc_cfg as rc
+from .params import InitParams, InputParams
+from .writer import ReCoDeWriter
+
+
+class MessageData:
+    """JSON message envelope (reference recode_server.py:54-115)."""
+
+    def __init__(self, session_id, message_type, message, mapped_data=None):
+        self._payload = {
+            "session_id": session_id,
+            "type": message_type,
+            "message": message,
+            "mapped_data": dict(mapped_data or {}),
+        }
+        self._payload["mapped_data"].setdefault("timestamp", datetime.now().isoformat())
+
+    @property
+    def session_id(self):
+        return self._payload["session_id"]
+
+    @property
+    def type(self):
+        return self._payload["type"]
+
+    @property
+    def message(self):
+        return self._payload["message"]
+
+    @property
+    def mapped_data(self):
+        return self._payload["mapped_data"]
+
+    def get(self, key, default=None):
+        return self._payload["mapped_data"].get(key, default)
+
+    def set(self, key, value):
+        self._payload["mapped_data"][key] = value
+
+    def serialize(self) -> str:
+        return json.dumps(self._payload)
+
+    @classmethod
+    def parse(cls, raw: str) -> "MessageData":
+        d = json.loads(raw)
+        msg = cls(d["session_id"], d["type"], d["message"], d.get("mapped_data"))
+        return msg
+
+    def __repr__(self):
+        return f"MessageData({self._payload})"
+
+
+class NodeToken:
+    """Addressing record for one node (reference recode_server.py:118-145).
+
+    The reference stores host/port of the node's ZMQ REP socket; here the
+    address is the node's command queue.
+    """
+
+    def __init__(self, node_id: int, command_queue: "queue.Queue",
+                 reply_queue: "queue.Queue"):
+        self.node_id = node_id
+        self.command_queue = command_queue
+        self.reply_queue = reply_queue
+
+
+class NodeClient:
+    """Head-side client for one node: sends a request, validates the ack
+    (session id + request id + ack type), reference recode_server.py:148-200."""
+
+    def __init__(self, token: NodeToken, session_id: str, timeout: float = 15.0):
+        self._token = token
+        self._session_id = session_id
+        self._timeout = timeout
+
+    def send_request(self, message: str, mapped_data=None) -> bool:
+        request_id = f"{self._token.node_id}-{time.monotonic_ns()}"
+        md = MessageData(self._session_id, rc.MESSAGE_TYPE_INFO, message, mapped_data)
+        md.set("request_id", request_id)
+        self._token.command_queue.put(md.serialize())
+        try:
+            raw = self._token.reply_queue.get(timeout=self._timeout)
+        except queue.Empty:
+            return False
+        ack = MessageData.parse(raw)
+        return (
+            ack.session_id == self._session_id
+            and ack.get("request_id") == request_id
+            and ack.type == rc.MESSAGE_TYPE_ACK
+        )
+
+
+class Logger:
+    """Log sink: all nodes push records to one queue; a dedicated thread
+    prints them live and flushes to the log file on close
+    (reference recode_server.py:203-293)."""
+
+    def __init__(self, session_id: str, log_filename: str = "recode.log"):
+        self._session_id = session_id
+        self._log_filename = log_filename
+        self.queue: "queue.Queue[Optional[str]]" = queue.Queue()
+        self._records: List[str] = []
+        self._thread: Optional[threading.Thread] = None
+        self._echo = True
+
+    def start(self, echo: bool = True) -> None:
+        self._echo = echo
+        self._thread = threading.Thread(target=self._run, name="recode-logger", daemon=True)
+        self._thread.start()
+
+    def push(self, source: str, message: str, message_type=rc.MESSAGE_TYPE_INFO) -> None:
+        md = MessageData(self._session_id, message_type, message, {"source": source})
+        self.queue.put(md.serialize())
+
+    def _run(self) -> None:
+        while True:
+            raw = self.queue.get()
+            if raw is None:
+                break
+            md = MessageData.parse(raw)
+            line = f"[{md.get('timestamp')}] [{md.get('source', '?')}] {md.message}"
+            self._records.append(line)
+            if self._echo:
+                print(line)
+
+    def close(self) -> None:
+        self.queue.put(None)
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        if self._log_filename:
+            with open(self._log_filename, "a") as fp:
+                for line in self._records:
+                    fp.write(line + "\n")
+
+
+class ReCoDeNode:
+    """Worker: owns one ReCoDeWriter/part file; executes the command state
+    machine start / process_file / close (reference recode_server.py:567-736)."""
+
+    def __init__(self, node_id: int, init_params: InitParams, input_params: InputParams,
+                 logger: Logger, session_id: str):
+        self.node_id = node_id
+        self._init_params = init_params
+        self._input_params = input_params
+        self._logger = logger
+        self._session_id = session_id
+        self._writer: Optional[ReCoDeWriter] = None
+        self._dark_data = None
+        self._data = None
+        self.status = rc.STATUS_CODE_NOT_READY
+        self.run_metrics: dict = {}
+        self.token = NodeToken(node_id, queue.Queue(), queue.Queue())
+        self._thread: Optional[threading.Thread] = None
+
+    def start_thread(self, dark_data=None, data=None) -> None:
+        self._dark_data = dark_data
+        self._data = data
+        self._thread = threading.Thread(target=self.run, name=f"recode-node-{self.node_id}",
+                                        daemon=True)
+        self._thread.start()
+
+    def join(self, timeout=None) -> None:
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    def _log(self, message, message_type=rc.MESSAGE_TYPE_INFO):
+        self._logger.push(f"node-{self.node_id}", message, message_type)
+
+    def _send_ack(self, request: MessageData) -> None:
+        ack = MessageData(self._session_id, rc.MESSAGE_TYPE_ACK, "ack",
+                          {"request_id": request.get("request_id")})
+        self.token.reply_queue.put(ack.serialize())
+
+    def run(self) -> None:
+        """Command loop; mirrors recode_server.py:630-679."""
+        self.status = rc.STATUS_CODE_AVAILABLE
+        while True:
+            raw = self.token.command_queue.get()
+            request = MessageData.parse(raw)
+            if request.session_id != self._session_id:
+                self._log(f"rejected message from session {request.session_id}",
+                          rc.MESSAGE_TYPE_ERROR)
+                continue
+            command = request.message
+            self.status = rc.STATUS_CODE_BUSY
+            try:
+                if command == "start":
+                    self._open()
+                    self._start()
+                    self._send_ack(request)
+                    self.status = rc.STATUS_CODE_AVAILABLE
+                elif command == "process_file":
+                    self._send_ack(request)
+                    self._process_file(request)
+                    self.status = rc.STATUS_CODE_AVAILABLE
+                elif command == "close":
+                    self._close()
+                    self._send_ack(request)
+                    self.status = rc.STATUS_CODE_IS_CLOSED
+                    return
+                else:
+                    self._log(f"unknown command: {command}", rc.MESSAGE_TYPE_ERROR)
+                    self._send_ack(request)
+                    self.status = rc.STATUS_CODE_AVAILABLE
+            except Exception:
+                self._log(traceback.format_exc(), rc.MESSAGE_TYPE_ERROR)
+                self.status = rc.STATUS_CODE_ERROR
+                return
+
+    def _open(self) -> None:
+        image_filename = self._init_params.image_filename
+        if self._init_params.mode == "stream":
+            image_filename = os.path.join(self._init_params.directory_path, "Next_Stream.seq")
+        self._writer = ReCoDeWriter(
+            image_filename,
+            dark_data=self._dark_data,
+            dark_filename=self._init_params.calibration_filename,
+            output_directory=self._init_params.output_directory,
+            input_params=self._input_params,
+            mode=self._init_params.mode,
+            validation_frame_gap=self._init_params.validation_frame_gap,
+            log_filename=self._init_params.log_filename,
+            run_name=self._init_params.run_name,
+            verbosity=self._init_params.verbosity,
+            use_tpu=self._init_params.use_tpu,
+            node_id=self.node_id)
+        self._log("writer created")
+
+    def _start(self) -> None:
+        self._writer.start()
+        self._log("writer started")
+
+    def _process_file(self, request: MessageData) -> None:
+        metrics = self._writer.run(self._data)
+        for key, value in metrics.items():
+            if key in self.run_metrics and not key.startswith("run_frames"):
+                try:
+                    self.run_metrics[key] += value
+                except TypeError:
+                    self.run_metrics[key] = value
+            else:
+                self.run_metrics[key] = value
+        self._log(f"processed chunk ({metrics.get('run_frames', 0)} frames)")
+
+    def _close(self) -> None:
+        self._writer.close()
+        self._log("writer closed")
+
+
+class ReCoDeServer:
+    """Head node: orchestrates N nodes + logger for batch or stream runs."""
+
+    def __init__(self, mode: str = "batch"):
+        self._mode = str(mode).strip().lower()
+        self._max_attempts = 10
+        self._session_id = f"rc-{os.getpid()}-{int(time.time())}"
+
+    # ------------------------------------------------------------------- run
+
+    def run(self, init_params: InitParams, input_params: Optional[InputParams] = None,
+            dark_data=None, data=None) -> Dict[int, dict]:
+        """Run a full acquisition; returns per-node run metrics.
+
+        Mirrors reference recode_server.py:297-403: load/validate params,
+        spawn nodes + logger, broadcast start / process_file / close with
+        ack validation, join, return metrics.
+        """
+        if input_params is None:
+            input_params = InputParams()
+            input_params.load(Path(init_params.params_filename))
+        if not input_params.validate():
+            raise ValueError("Invalid input params")
+
+        logger = Logger(self._session_id, init_params.log_filename)
+        logger.start(echo=init_params.verbosity > 0)
+        logger.push("head", f"session {self._session_id} starting "
+                            f"({input_params.num_threads} nodes, mode={self._mode})")
+
+        nodes = [
+            ReCoDeNode(i, init_params, input_params, logger, self._session_id)
+            for i in range(int(input_params.num_threads))
+        ]
+        for node in nodes:
+            node.start_thread(dark_data=dark_data, data=data)
+        clients = [NodeClient(node.token, self._session_id) for node in nodes]
+
+        try:
+            self._broadcast(clients, nodes, "start", logger)
+            if self._mode == "batch":
+                self._broadcast(clients, nodes, "process_file", logger)
+                self._wait_until_available(nodes)
+            else:
+                self._recode_queue_manager(clients, nodes, init_params, logger)
+            self._broadcast(clients, nodes, "close", logger)
+        finally:
+            for node in nodes:
+                node.join(timeout=30)
+            logger.push("head", "session closed")
+            logger.close()
+
+        return {node.node_id: node.run_metrics for node in nodes}
+
+    # -------------------------------------------------------------- broadcast
+
+    def _broadcast(self, clients: List[NodeClient], nodes: List[ReCoDeNode],
+                   message: str, logger: Logger) -> None:
+        """Reliable broadcast: retry un-acked sends, mark dead nodes ERROR
+        (reference recode_server.py:408-455)."""
+        pending = list(range(len(clients)))
+        for _ in range(self._max_attempts):
+            failed = []
+            for index in pending:
+                if nodes[index].status == rc.STATUS_CODE_ERROR:
+                    continue
+                if not clients[index].send_request(message):
+                    failed.append(index)
+            if not failed:
+                return
+            pending = failed
+            time.sleep(1.0)
+        for index in pending:
+            nodes[index].status = rc.STATUS_CODE_ERROR
+            logger.push("head", f"node-{index} unresponsive after "
+                                f"{self._max_attempts} attempts", rc.MESSAGE_TYPE_ERROR)
+
+    @staticmethod
+    def _wait_until_available(nodes: List[ReCoDeNode], timeout: float = 3600.0) -> bool:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            states = {node.status for node in nodes}
+            if states <= {rc.STATUS_CODE_AVAILABLE, rc.STATUS_CODE_IS_CLOSED,
+                          rc.STATUS_CODE_ERROR}:
+                return True
+            time.sleep(0.01)
+        return False
+
+    # ----------------------------------------------------------- stream mode
+
+    def _recode_queue_manager(self, clients, nodes, init_params: InitParams,
+                              logger: Logger) -> None:
+        """Directory-watch queue manager (reference recode_server.py:463-564).
+
+        Chunk files appearing in ``directory_path`` are renamed (oldest
+        first) to ``Next_Stream.seq``, the nodes are told to process it, and
+        the consumed chunk is deleted — so a crash loses at most one chunk.
+        """
+        watch_dir = Path(init_params.directory_path)
+        next_name = watch_dir / "Next_Stream.seq"
+        max_count = init_params.max_count if init_params.max_count > 0 else float("inf")
+        idle_timeout = max(15.0, float(init_params.chunk_time_in_sec) + 1.0)
+
+        processed = 0
+        idle_since = time.monotonic()
+        while processed < max_count:
+            chunks = sorted(
+                (p for p in watch_dir.glob("*.seq") if p.name != "Next_Stream.seq"),
+                key=lambda p: p.stat().st_mtime)
+            if not chunks:
+                if time.monotonic() - idle_since > idle_timeout:
+                    logger.push("head", "stream idle timeout; stopping")
+                    break
+                time.sleep(0.05)
+                continue
+            idle_since = time.monotonic()
+            chunk = chunks[0]
+            os.replace(chunk, next_name)
+            self._broadcast(clients, nodes, "process_file", logger)
+            if not self._wait_until_available(nodes, timeout=idle_timeout):
+                logger.push("head", "nodes unresponsive during stream",
+                            rc.MESSAGE_TYPE_ERROR)
+                break
+            next_name.unlink(missing_ok=True)
+            processed += 1
+            logger.push("head", f"processed stream chunk {processed} ({chunk.name})")

@@ -1,0 +1,91 @@
+"""Live viewer: sum sparse frames from part files during acquisition.
+
+Capability parity with the reference ``utils/viewer.py`` and the richer
+notebook variants (examples/ReCoDe_Live_View*.ipynb): poll N intermediate
+part files while a run is in progress, k-way merge the next frames in
+acquisition order, and accumulate ``fractionation`` frames into a 2-D view.
+EOF-safe: a partially-written frame leaves the reader position untouched so
+the next poll retries (the notebooks' ``_save_seek_position`` pattern).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..reader import ReCoDeReader
+
+
+class ReCoDeViewer:
+    """Polling viewer over intermediate part files."""
+
+    def __init__(self, folder_path: str, base_filename: str, num_parts: int,
+                 fractionation: int):
+        self._num_parts = num_parts
+        self._fractionation = fractionation
+        self._readers: Dict[int, ReCoDeReader] = {}
+        for index in range(num_parts):
+            name = os.path.join(folder_path, f"{base_filename}_part{index:03d}")
+            reader = ReCoDeReader(name, is_intermediate=True)
+            reader.open()
+            self._readers[index] = reader
+        shape = self._readers[0].get_shape()
+        self._ny, self._nx = shape[1], shape[2]
+        self._view: Optional[np.ndarray] = None
+        self._frame_start = 0
+        self._buffers: Dict[int, List[dict]] = {i: [] for i in range(num_parts)}
+
+    def _get_next_frame_safely(self, reader_index: int):
+        """Read the next frame only if fully present; on a short read restore
+        the file position so the next poll can retry."""
+        reader = self._readers[reader_index]
+        position = reader.get_file_position()
+        try:
+            frame = reader.get_next_frame()
+        except Exception:
+            frame = None
+        if frame is None:
+            reader._fp.seek(position)
+            # keep the sequential index consistent with the restored position
+            return None
+        return frame
+
+    def get_next_view(self) -> dict:
+        """Accumulate the next ``fractionation`` frames into a view."""
+        # top up per-part buffers
+        for index in range(self._num_parts):
+            while len(self._buffers[index]) < self._fractionation:
+                frame = self._get_next_frame_safely(index)
+                if frame is None:
+                    break
+                self._buffers[index].append(frame)
+
+        # collect frames for [frame_start, frame_start + fractionation)
+        window = {}
+        for fid in range(self._frame_start, self._frame_start + self._fractionation):
+            for index in range(self._num_parts):
+                buf = self._buffers[index]
+                if buf and fid in buf[0]:
+                    window.update(buf.pop(0))
+
+        if len(window) < self._fractionation:
+            print(f"Warning: read fewer frames ({len(window)}) than requested "
+                  f"({self._fractionation}).")
+
+        self._view = np.zeros((self._ny, self._nx))
+        for frame_id, frame in window.items():
+            if frame is not None:
+                self._view += np.asarray(frame["data"].todense())
+
+        ret = {"start": self._frame_start, "n_frames": len(window), "view": self._view}
+        if window:
+            self._frame_start = int(max(window.keys())) + 1
+        else:
+            self._frame_start += self._fractionation
+        return ret
+
+    def close(self) -> None:
+        for reader in self._readers.values():
+            reader.close()
