@@ -1,0 +1,194 @@
+"""ctypes bindings for the native host kernels (native/recode_host.cpp).
+
+The TPU does the reduction/packing; these C++ loops serve the *host* side:
+random-access decode in the reader, oracle-path packing, and merge tooling —
+the role the reference fills with its ``c_recode`` CPython extension
+(pyrecode.cpp, c_extensions/reader.h).  A ``Reader`` shim mirrors the
+reference extension's API (``create_buffers``, ``get_frame_sparse``,
+``bit_pack_pixel_intensities``, ``bit_unpack_pixel_intensities``,
+pyrecode.cpp:57-149).
+
+The shared library is built on demand with g++ (no pybind11 dependency) and
+cached next to the source; everything degrades to the vectorized-numpy oracle
+when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+_SRC = _REPO_ROOT / "native" / "recode_host.cpp"
+_LIB = _REPO_ROOT / "native" / "librecode_host.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           str(_SRC), "-o", str(_LIB)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not _LIB.exists() or (_SRC.exists() and
+                                 _SRC.stat().st_mtime > _LIB.stat().st_mtime):
+            if not _SRC.exists() or not _build():
+                _build_failed = True
+                return None
+        lib = ctypes.CDLL(str(_LIB))
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.unpack_frame_sparse.restype = ctypes.c_int64
+        lib.unpack_frame_sparse.argtypes = [
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint8, u8p, u8p, u64p,
+            ctypes.c_int32]
+        lib.bit_pack_u16.restype = None
+        lib.bit_pack_u16.argtypes = [u16p, ctypes.c_uint64, ctypes.c_uint8, u8p]
+        lib.bit_unpack_u64.restype = None
+        lib.bit_unpack_u64.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint8, u8p]
+        lib.pack_mask.restype = None
+        lib.pack_mask.argtypes = [u8p, ctypes.c_uint64, u8p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _u8ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _padded_u8(buf: bytes, pad: int = 8) -> np.ndarray:
+    """Copy into a uint8 array with `pad` guard bytes (the C kernels use
+    unaligned 64-bit window reads that may touch up to 7 bytes past the
+    data)."""
+    arr = np.zeros(len(buf) + pad, dtype=np.uint8)
+    arr[: len(buf)] = np.frombuffer(buf, dtype=np.uint8)
+    return arr
+
+
+def unpack_frame_sparse(bitmap: bytes, pixvals: Optional[bytes], ny: int, nx: int,
+                        bit_depth: int, reduction_level: int
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Native decode to (rows, cols, values); falls back to the oracle."""
+    lib = get_lib()
+    if lib is None:
+        from . import oracle
+
+        return oracle.decode_frame_sparse(bitmap, pixvals, ny, nx, bit_depth,
+                                          reduction_level, dtype=np.uint64)
+    bm = _padded_u8(bitmap)
+    pv = _padded_u8(pixvals) if pixvals is not None else None
+    # worst case: every pixel foreground
+    out = np.empty((ny * nx, 3), dtype=np.uint64)
+    n = lib.unpack_frame_sparse(
+        ctypes.c_uint32(ny), ctypes.c_uint32(nx), ctypes.c_uint8(bit_depth),
+        _u8ptr(bm), _u8ptr(pv) if pv is not None else None,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int32(reduction_level))
+    trip = out[:n]
+    return trip[:, 0].copy(), trip[:, 1].copy(), trip[:, 2].copy()
+
+
+def bit_pack(values: np.ndarray, bit_depth: int) -> np.ndarray:
+    """Native b-bit LSB-first packing; falls back to the oracle."""
+    lib = get_lib()
+    if lib is None:
+        from . import oracle
+
+        return oracle.bit_pack(values, bit_depth)
+    vals = np.ascontiguousarray(values, dtype=np.uint16)
+    n_out = -(-vals.size * bit_depth // 8)
+    out = np.zeros(n_out + 8, dtype=np.uint8)
+    lib.bit_pack_u16(vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                     ctypes.c_uint64(vals.size), ctypes.c_uint8(bit_depth),
+                     _u8ptr(out))
+    return out[:n_out]
+
+
+def bit_unpack(packed: bytes, bit_depth: int, n_values: int, dtype=np.uint64) -> np.ndarray:
+    """Native b-bit unpack; falls back to the oracle."""
+    lib = get_lib()
+    if lib is None:
+        from . import oracle
+
+        return oracle.bit_unpack(packed, bit_depth, n_values, dtype=dtype)
+    src = _padded_u8(bytes(packed))
+    out = np.empty(n_values, dtype=np.uint64)
+    lib.bit_unpack_u64(_u8ptr(src), ctypes.c_uint64(n_values),
+                       ctypes.c_uint8(bit_depth), _u8ptr(out.view(np.uint8)))
+    return out.astype(dtype)
+
+
+def pack_mask(mask: np.ndarray) -> np.ndarray:
+    """Native binary-map packing; falls back to the oracle."""
+    lib = get_lib()
+    if lib is None:
+        from . import oracle
+
+        return oracle.pack_binary_frame(mask)
+    flat = np.ascontiguousarray(mask, dtype=np.uint8).reshape(-1)
+    out = np.zeros((flat.size + 7) // 8, dtype=np.uint8)
+    lib.pack_mask(_u8ptr(flat), ctypes.c_uint64(flat.size), _u8ptr(out))
+    return out
+
+
+class Reader:
+    """API shim mirroring the reference ``c_recode.Reader``
+    (pyrecode.cpp:57-149)."""
+
+    def __init__(self):
+        self._ny = self._nx = self._bit_depth = 0
+
+    def create_buffers(self, ny: int, nx: int, bit_depth: int) -> None:
+        self._ny, self._nx, self._bit_depth = int(ny), int(nx), int(bit_depth)
+
+    def get_frame_sparse(self, reduction_level, binary_map, pixvals, frame_buffer) -> int:
+        rows, cols, vals = unpack_frame_sparse(
+            bytes(binary_map), bytes(pixvals) if pixvals is not None else None,
+            self._ny, self._nx, self._bit_depth, int(reduction_level))
+        n = rows.size
+        triplets = np.empty((n, 3), dtype=np.uint64)
+        triplets[:, 0] = rows
+        triplets[:, 1] = cols
+        triplets[:, 2] = vals
+        view = np.frombuffer(frame_buffer, dtype=np.uint64)
+        view[: n * 3] = triplets.reshape(-1)
+        return n
+
+    def bit_pack_pixel_intensities(self, sz_packed, n_fg, bit_depth, pixvals, packed) -> float:
+        vals = np.frombuffer(pixvals, dtype=np.uint16, count=int(n_fg))
+        out = bit_pack(vals, int(bit_depth))
+        view = np.frombuffer(packed, dtype=np.uint8)
+        view[: out.size] = out
+        return 0.0
+
+    def bit_unpack_pixel_intensities(self, n_values, packed, buffer) -> float:
+        out = bit_unpack(bytes(packed), self._bit_depth, int(n_values))
+        view = np.frombuffer(buffer, dtype=np.uint64)
+        view[: out.size] = out
+        return 0.0

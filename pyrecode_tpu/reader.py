@@ -282,10 +282,13 @@ class ReCoDeReader:
             if pixvals is not None:
                 pixvals = self._codec.decompress(pixvals)
 
+        from . import native
+
         if level == 1:
-            rows, cols, vals = oracle.decode_frame_sparse(
-                binary_map, pixvals, ny, nx, bit_depth, 1, dtype=self._numpy_dtype)
-            data = coo_matrix((vals, (rows, cols)), shape=(ny, nx), dtype=self._numpy_dtype)
+            rows, cols, vals = native.unpack_frame_sparse(
+                binary_map, pixvals, ny, nx, bit_depth, 1)
+            data = coo_matrix((vals.astype(self._numpy_dtype), (rows, cols)),
+                              shape=(ny, nx), dtype=self._numpy_dtype)
             return {"metadata": metadata, "data": data}
         if level == 2:
             rows, cols, vals = oracle.decode_frame_sparse(binary_map, None, ny, nx, bit_depth, 2,

@@ -1,0 +1,88 @@
+"""Native C++ host kernels vs oracle."""
+
+import numpy as np
+import pytest
+
+from pyrecode_tpu import native, oracle
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable (no g++)")
+
+
+def test_bit_pack_matches_oracle():
+    rng = np.random.default_rng(0)
+    for bit_depth in (4, 8, 11, 12, 16):
+        vals = rng.integers(0, 1 << bit_depth, size=313, dtype=np.uint16)
+        assert np.array_equal(native.bit_pack(vals, bit_depth),
+                              oracle.bit_pack(vals, bit_depth)), bit_depth
+
+
+def test_bit_unpack_matches_oracle():
+    rng = np.random.default_rng(1)
+    for bit_depth in (4, 11, 12, 16):
+        vals = rng.integers(0, 1 << bit_depth, size=257, dtype=np.uint16)
+        packed = oracle.bit_pack(vals, bit_depth).tobytes()
+        out = native.bit_unpack(packed, bit_depth, vals.size)
+        assert np.array_equal(out, vals.astype(np.uint64)), bit_depth
+
+
+def test_pack_mask_matches_oracle():
+    rng = np.random.default_rng(2)
+    mask = (rng.random(1037) > 0.8)
+    assert np.array_equal(native.pack_mask(mask), oracle.pack_binary_frame(mask))
+
+
+@pytest.mark.parametrize("level", [1, 3])
+def test_unpack_frame_sparse(level):
+    rng = np.random.default_rng(3)
+    frame = np.where(rng.random((96, 96)) < 0.05,
+                     rng.integers(1, 4096, (96, 96)), 0).astype(np.uint16)
+    thr = np.zeros_like(frame)
+    enc = oracle.reduce_frame(frame, thr, level, 12)
+    rows, cols, vals = native.unpack_frame_sparse(
+        enc["packed_binary_map"], enc["packed_pixvals"], 96, 96, 12, level)
+    e_rows, e_cols, e_vals = oracle.decode_frame_sparse(
+        enc["packed_binary_map"], enc["packed_pixvals"], 96, 96, 12, level,
+        dtype=np.uint64)
+    assert np.array_equal(rows, e_rows)
+    assert np.array_equal(cols, e_cols)
+    assert np.array_equal(vals, e_vals)
+
+
+def test_reader_shim_api():
+    frame = np.zeros((32, 32), dtype=np.uint16)
+    frame[3, 5] = 100
+    frame[30, 31] = 4095
+    enc = oracle.reduce_frame(frame, np.zeros_like(frame), 1, 12)
+    reader = native.Reader()
+    reader.create_buffers(32, 32, 12)
+    buf = bytearray(32 * 32 * 3 * 8)
+    n = reader.get_frame_sparse(1, enc["packed_binary_map"], enc["packed_pixvals"], buf)
+    assert n == 2
+    trip = np.frombuffer(buf, dtype=np.uint64, count=6).reshape(2, 3)
+    assert trip[0].tolist() == [3, 5, 100]
+    assert trip[1].tolist() == [30, 31, 4095]
+
+
+def test_native_decode_speed_sanity():
+    """Native decode should beat the numpy oracle on a large frame."""
+    import time
+
+    rng = np.random.default_rng(4)
+    frame = np.where(rng.random((2048, 2048)) < 0.01,
+                     rng.integers(1, 4096, (2048, 2048)), 0).astype(np.uint16)
+    enc = oracle.reduce_frame(frame, np.zeros_like(frame), 1, 12)
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        native.unpack_frame_sparse(enc["packed_binary_map"], enc["packed_pixvals"],
+                                   2048, 2048, 12, 1)
+    t_native = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        oracle.decode_frame_sparse(enc["packed_binary_map"], enc["packed_pixvals"],
+                                   2048, 2048, 12, 1)
+    t_oracle = time.perf_counter() - t0
+    # don't assert a hard ratio (CI noise); just sanity that it's not slower x5
+    assert t_native < t_oracle * 5
