@@ -1,0 +1,169 @@
+"""Fused Pallas TPU kernel for L1/L3 decode (the encode kernel's mirror).
+
+Replaces the XLA gather formulation of ops/decode.py on TPU — a 16.7M-element
+``take_along_axis`` lowers to a serial gather (measured 856 ms per 4x4096^2
+batch; this kernel mirrors the ~10 ms encode).  Per chunk of RPC rows:
+
+* bitmap -> mask: bytes are lane-spread with an MXU matmul against a
+  constant expansion matrix, then shifted by ``lane % 8`` — no strided
+  writes or hostile reshapes;
+* within-chunk ranks via the same log-shift cumsum as the encode;
+* the chunk's slice of the (bit-unpacked) value stream is fetched with one
+  128-aligned dynamic-offset window read and de-rotated in registers;
+* level-2 inverse: per-sub-row runs extracted with S dynamic lane-rotates;
+* level-1 inverse: values placed at foreground positions by rank-match
+  selection (C1 vectorized passes).
+
+Input values arrive already bit-unpacked ((B, OUT) int32, via
+ops.bitpack.bitunpack_values — cheap at stream size); output is the dense
+(B, H, W) residual image.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_encode import CAPACITY_BUCKETS, _choose_rpc, _choose_sub, _cumsum_lanes
+
+
+@functools.lru_cache(maxsize=64)
+def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
+    S = RPC * W // SUB
+    n_chunks = H // RPC
+    C2 = S * C1
+    WIN = C2 + 128
+
+    def kernel(bitmap_ref, vals_ref, expand_ref, dense_ref, ovf_ref, off_sref):
+        h = pl.program_id(1)
+
+        @pl.when(h == 0)
+        def _():
+            off_sref[0] = 0
+            ovf_ref[0, 0, 0] = 0
+
+        # ---- bitmap -> mask ----
+        # spread[:, i] = bytes[:, i // 8] via an MXU matmul against the
+        # constant expansion matrix E[j, i] = (i//8 == j); bytes <= 255 so
+        # f32 is exact.  (pltpu.repeat tiles rather than element-repeats.)
+        # (u8 -> i32 -> f32: Mosaic has no direct u8 -> f32 cast)
+        bytes_ = bitmap_ref[0].astype(jnp.int32).astype(jnp.float32)  # (RPC, W//8)
+        spread = jnp.dot(bytes_, expand_ref[...],
+                         preferred_element_type=jnp.float32).astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RPC, W), 1)
+        mask = ((spread >> (lane % 8)) & 1) > 0
+
+        m32 = mask.astype(jnp.int32)
+        if S == RPC:
+            m2 = m32
+        else:
+            m2 = m32.reshape(S, SUB)
+        csum = _cumsum_lanes(m2, SUB)
+        rank1 = csum - 1
+        cnt1 = csum[:, SUB - 1:SUB]                           # (S, 1)
+        ovf1 = jnp.max(cnt1) > C1
+
+        r_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        c_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        ltri = (r_io > c_io).astype(jnp.float32)
+        off1 = jnp.dot(ltri, cnt1.astype(jnp.float32),
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        chunk_cnt = jnp.sum(cnt1)
+
+        # ---- fetch this chunk's slice of the value stream ----
+        off = jnp.minimum(off_sref[0], OUT)
+        pend = jax.lax.rem(off, 128)
+        aligned = off - pend
+        window = vals_ref[0, :, pl.ds(pl.multiple_of(aligned, 128), WIN)]  # (1, WIN)
+        # de-rotate so lane k holds stream value off + k
+        window = pltpu.roll(window, WIN - pend, axis=1)
+
+        # ---- level-2 inverse: per-sub-row runs via dynamic rotates ----
+        rows = []
+        for s in range(S):
+            # lane k of the rotated window holds value off1[s] + k
+            rot = pltpu.roll(window, WIN - off1[s, 0], axis=1)
+            rows.append(rot[:, :C1])                           # (1, C1)
+        c1 = jnp.concatenate(rows, axis=0)                     # (S, C1)
+
+        # ---- level-1 inverse: place values at foreground positions ----
+        dense2 = jnp.zeros((S, SUB), jnp.int32)
+        for j in range(C1):
+            dense2 = dense2 + jnp.where((rank1 == j) & (m2 > 0), c1[:, j:j + 1], 0)
+
+        if S == RPC:
+            dense = dense2
+        else:
+            dense = dense2.reshape(RPC, W)
+        dense_ref[0] = dense.astype(jnp.uint16)
+
+        off_sref[0] = off + chunk_cnt
+        ovf_ref[0, 0, 0] |= jnp.int32(ovf1 | (off + chunk_cnt > OUT))
+
+    i = np.arange(W // 8)[:, None]
+    j = np.arange(W)[None, :]
+    expand_mat = jnp.asarray((j // 8 == i).astype(np.float32))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, RPC, W // 8), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, OUT + WIN), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W // 8, W), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RPC, W), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W), jnp.uint16),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=bool(interpret),
+    )
+    return lambda bitmap, vals: call(bitmap, vals, expand_mat)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "bit_depth", "bucket", "interpret"))
+def _decode_call(bitmap, values, height, width, bit_depth, bucket, interpret):
+    B = bitmap.shape[0]
+    OUT = values.shape[-1]
+    c1 = CAPACITY_BUCKETS[bucket]
+    call = _build_decode_kernel(
+        B, height, width, OUT, _choose_rpc(height, width), _choose_sub(width),
+        c1, interpret)
+    WIN = (_choose_rpc(height, width) * width // _choose_sub(width)) * c1 + 128
+    vals_padded = jnp.pad(values, ((0, 0), (0, WIN)))
+    dense, ovf = call(bitmap.reshape(B, height, width // 8),
+                      vals_padded.reshape(B, 1, OUT + WIN))
+    del bit_depth
+    return dense, ovf[:, 0, 0] != 0
+
+
+def decode_l1_pallas(bitmap, packed, height: int, width: int, bit_depth: int,
+                     bucket: int = 0, interpret=None):
+    """Decode L1 frames to dense (B, H, W) uint16 with the fused kernel.
+
+    bitmap: (B, H*W/8) uint8; packed: (B, m) uint8 bit-packed stream with m a
+    multiple of the byte group size.  Returns (dense, overflow) — on overflow
+    retry with a bigger bucket (the caller mirrors the encode ladder).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    from .bitpack import bitunpack_values
+
+    values = bitunpack_values(packed, bit_depth, out_dtype=jnp.int32)
+    # round the stream up to a 128-multiple for aligned window reads
+    out = values.shape[-1]
+    out_aligned = max(128, -(-out // 128) * 128)
+    if out_aligned != out:
+        values = jnp.pad(values, ((0, 0), (0, out_aligned - out)))
+    return _decode_call(bitmap, values, height, width, bit_depth, bucket,
+                        bool(interpret))

@@ -346,6 +346,7 @@ class ReCoDeReader:
             return out
 
         from . import ops
+        from .ops import pallas_decode, pallas_encode
 
         g_vals, g_bytes = ops.packed_group_shape(bit_depth)
         max_bytes = max((len(b) for b in pixval_blobs), default=g_bytes)
@@ -353,6 +354,13 @@ class ReCoDeReader:
         packed = np.zeros((count, max_bytes), dtype=np.uint8)
         for i, blob in enumerate(pixval_blobs):
             packed[i, : len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+
+        if pallas_encode.supports(ny, nx, bit_depth):
+            for bucket in range(pallas_encode.num_buckets()):
+                dense, overflow = pallas_decode.decode_l1_pallas(
+                    bitmaps, packed, ny, nx, bit_depth, bucket=bucket)
+                if not bool(np.asarray(overflow).any()):
+                    return np.asarray(dense).astype(self._numpy_dtype, copy=False)
         dense = ops.decode_l1_frames(bitmaps, packed, ny, nx, bit_depth,
                                      out_dtype=self._numpy_dtype)
         return np.asarray(dense)

@@ -106,3 +106,40 @@ class TestPallasKernel:
         packed = np.asarray(bitpack_values(np.asarray(comp).astype(np.uint32), 12))
         enc = oracle.reduce_frame(frames[0], thr, 1, 12)
         assert packed[0][: len(enc["packed_pixvals"])].tobytes() == enc["packed_pixvals"]
+
+
+class TestPallasDecode:
+    @pytest.mark.parametrize("density", [0.0, 0.02, 0.1])
+    def test_roundtrip(self, density):
+        from pyrecode_tpu.ops import pallas_decode
+
+        frames = _frames(batch=2, shape=(64, 128), density=density, seed=11)
+        rng = np.random.default_rng(12)
+        thr = rng.integers(0, 32, size=frames.shape[1:]).astype(np.uint16)
+        bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
+            frames, thr, out_size=2048, interpret=True)
+        packed = np.asarray(bitpack_values(np.asarray(comp).astype(np.uint32), 12))
+        dense, dovf = pallas_decode.decode_l1_pallas(
+            np.asarray(bitmap), packed, 64, 128, 12, interpret=True)
+        assert not np.asarray(dovf).any()
+        expected = np.where(frames > thr,
+                            frames.astype(np.int32) - thr, 0).astype(np.uint16)
+        assert np.array_equal(np.asarray(dense), expected)
+
+    def test_dense_bucket_escalation(self):
+        from pyrecode_tpu.ops import pallas_decode
+
+        frames = _frames(batch=1, shape=(16, 128), density=0.6, seed=13)
+        thr = np.zeros(frames.shape[1:], np.uint16)
+        bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
+            frames, thr, out_size=4096, bucket=2, interpret=True)
+        assert not np.asarray(ovf).any()
+        packed = np.asarray(bitpack_values(np.asarray(comp).astype(np.uint32), 12))
+        # bucket 0 overflows; bucket 2 decodes
+        _, dovf0 = pallas_decode.decode_l1_pallas(
+            np.asarray(bitmap), packed, 16, 128, 12, bucket=0, interpret=True)
+        assert np.asarray(dovf0).any()
+        dense, dovf2 = pallas_decode.decode_l1_pallas(
+            np.asarray(bitmap), packed, 16, 128, 12, bucket=2, interpret=True)
+        assert not np.asarray(dovf2).any()
+        assert np.array_equal(np.asarray(dense), frames)
