@@ -106,7 +106,7 @@ class NodeClient:
     """Head-side client for one node: sends a request, validates the ack
     (session id + request id + ack type), reference recode_server.py:148-200."""
 
-    def __init__(self, token: NodeToken, session_id: str, timeout: float = 15.0):
+    def __init__(self, token: NodeToken, session_id: str, timeout: float = 5.0):
         self._token = token
         self._session_id = session_id
         self._timeout = timeout
@@ -176,12 +176,14 @@ class ReCoDeNode:
     machine start / process_file / close (reference recode_server.py:567-736)."""
 
     def __init__(self, node_id: int, init_params: InitParams, input_params: InputParams,
-                 logger: Logger, session_id: str):
+                 logger: Logger, session_id: str, fail_on_command: Optional[str] = None):
         self.node_id = node_id
         self._init_params = init_params
         self._input_params = input_params
         self._logger = logger
         self._session_id = session_id
+        # fault injection for recovery tests: raise once on this command
+        self._fail_on_command = fail_on_command
         self._writer: Optional[ReCoDeWriter] = None
         self._dark_data = None
         self._data = None
@@ -221,6 +223,11 @@ class ReCoDeNode:
                 continue
             command = request.message
             self.status = rc.STATUS_CODE_BUSY
+            if command == self._fail_on_command:
+                self._fail_on_command = None
+                self._log(f"injected fault on '{command}'", rc.MESSAGE_TYPE_ERROR)
+                self.status = rc.STATUS_CODE_ERROR
+                return
             try:
                 if command == "start":
                     self._open()
@@ -296,12 +303,15 @@ class ReCoDeServer:
     # ------------------------------------------------------------------- run
 
     def run(self, init_params: InitParams, input_params: Optional[InputParams] = None,
-            dark_data=None, data=None) -> Dict[int, dict]:
+            dark_data=None, data=None, fail_node_ids=(), fail_node_on_command=None
+            ) -> Dict[int, dict]:
         """Run a full acquisition; returns per-node run metrics.
 
         Mirrors reference recode_server.py:297-403: load/validate params,
         spawn nodes + logger, broadcast start / process_file / close with
-        ack validation, join, return metrics.
+        ack validation, join, return metrics.  ``fail_node_ids`` /
+        ``fail_node_on_command`` inject one fault per listed node for
+        recovery testing.
         """
         if input_params is None:
             input_params = InputParams()
@@ -315,17 +325,27 @@ class ReCoDeServer:
                             f"({input_params.num_threads} nodes, mode={self._mode})")
 
         nodes = [
-            ReCoDeNode(i, init_params, input_params, logger, self._session_id)
+            ReCoDeNode(i, init_params, input_params, logger, self._session_id,
+                       fail_on_command=fail_node_on_command if i in fail_node_ids else None)
             for i in range(int(input_params.num_threads))
         ]
         for node in nodes:
             node.start_thread(dark_data=dark_data, data=data)
         clients = [NodeClient(node.token, self._session_id) for node in nodes]
+        self._dark_data, self._data = dark_data, data
+        self._init_params_live, self._input_params_live = init_params, input_params
 
         try:
             self._broadcast(clients, nodes, "start", logger)
             if self._mode == "batch":
                 self._broadcast(clients, nodes, "process_file", logger)
+                self._wait_until_available(nodes)
+                # recover nodes that died mid-processing (one retry round):
+                # replace, restart, and re-encode their whole slice
+                for index, node in enumerate(nodes):
+                    if node.status == rc.STATUS_CODE_ERROR:
+                        self._spawn_replacement_node(index, clients, nodes, logger)
+                        clients[index].send_request("process_file")
                 self._wait_until_available(nodes)
             else:
                 self._recode_queue_manager(clients, nodes, init_params, logger)
@@ -341,25 +361,47 @@ class ReCoDeServer:
     # -------------------------------------------------------------- broadcast
 
     def _broadcast(self, clients: List[NodeClient], nodes: List[ReCoDeNode],
-                   message: str, logger: Logger) -> None:
-        """Reliable broadcast: retry un-acked sends, mark dead nodes ERROR
-        (reference recode_server.py:408-455)."""
+                   message: str, logger: Logger, retry_delay: float = 0.2) -> None:
+        """Reliable broadcast: retry un-acked sends, replace dead nodes.
+
+        The reference marks unresponsive nodes ERROR and leaves
+        ``_spawn_replacement_node`` as an empty stub (recode_server.py:405,
+        418-440); here the replacement is implemented: a dead node's worker
+        is rebuilt with the same node id, restarted, and the failed command
+        replayed (for ``process_file`` the replacement re-encodes the node's
+        whole slice — its part file is recreated from the header on, so no
+        partial output survives)."""
         pending = list(range(len(clients)))
+        replaced = set()
         for _ in range(self._max_attempts):
             failed = []
             for index in pending:
-                if nodes[index].status == rc.STATUS_CODE_ERROR:
-                    continue
+                if nodes[index].status == rc.STATUS_CODE_ERROR and index not in replaced:
+                    self._spawn_replacement_node(index, clients, nodes, logger)
+                    replaced.add(index)
                 if not clients[index].send_request(message):
                     failed.append(index)
             if not failed:
                 return
             pending = failed
-            time.sleep(1.0)
+            time.sleep(retry_delay)
         for index in pending:
             nodes[index].status = rc.STATUS_CODE_ERROR
             logger.push("head", f"node-{index} unresponsive after "
                                 f"{self._max_attempts} attempts", rc.MESSAGE_TYPE_ERROR)
+
+    def _spawn_replacement_node(self, index: int, clients: List[NodeClient],
+                                nodes: List[ReCoDeNode], logger: Logger) -> None:
+        """Rebuild a failed node in place and bring it back to AVAILABLE."""
+        logger.push("head", f"spawning replacement for node-{index}",
+                    rc.MESSAGE_TYPE_ERROR)
+        replacement = ReCoDeNode(index, self._init_params_live, self._input_params_live,
+                                 logger, self._session_id)
+        replacement.start_thread(dark_data=self._dark_data, data=self._data)
+        nodes[index] = replacement
+        clients[index] = NodeClient(replacement.token, self._session_id)
+        # bring the writer back up; its part file restarts from the header
+        clients[index].send_request("start")
 
     @staticmethod
     def _wait_until_available(nodes: List[ReCoDeNode], timeout: float = 3600.0) -> bool:

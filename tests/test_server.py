@@ -130,3 +130,29 @@ def test_logger_flushes_file(tmp_path):
     logger.close()
     text = log_file.read_text()
     assert "first record" in text and "second record" in text
+
+
+def test_replacement_node_recovers_failed_slice(tmp_path):
+    """A node that dies mid-run is replaced and its slice re-encoded
+    (the reference leaves _spawn_replacement_node as an empty stub)."""
+    data = _fixture(shape=(6, 64, 64), seed=3)
+    dark = np.zeros(data.shape[1:], dtype=np.uint16)
+    init_params = InitParams(
+        "batch", str(tmp_path), image_filename="test_data",
+        log_filename=str(tmp_path / "recode.log"), run_name="recovery", verbosity=0)
+    params = _input_params(data.shape, num_threads=2)
+
+    server = ReCoDeServer("batch")
+    server.run(init_params, input_params=params, dark_data=dark, data=data,
+               fail_node_ids={1}, fail_node_on_command="process_file")
+
+    merged = merge_parts(str(tmp_path), "test_data.rc1", 2)
+    reader = ReCoDeReader(merged)
+    reader.open()
+    assert reader.get_shape()[0] == 6  # nothing lost
+    for i in range(6):
+        fd = reader.get_next_frame()
+        assert np.array_equal(fd[i]["data"].todense(), data[i]), i
+    reader.close()
+    log = (tmp_path / "recode.log").read_text()
+    assert "replacement" in log
