@@ -157,6 +157,8 @@ class ReCoDeReader:
 
     def _read_intermediate_metadata(self, require_data: bool = True):
         """Read [frame_id u32][metadata fields] at the current position."""
+        # part files grow during acquisition (live viewing): refresh the size
+        self._file_size = os.fstat(self._fp.fileno()).st_size
         level = int(self._header["reduction_level"])
         mode = int(self._header["rc_operation_mode"])
         sm = self._structures.standard_frame_metadata_structure_for(level, mode)
@@ -190,6 +192,9 @@ class ReCoDeReader:
         """Sequential decode (recode_reader.py:223-273)."""
         if self._current_frame_index == 0:
             self._fp.seek(self._frame_data_start_position, 0)
+        if self._is_intermediate:
+            # part files grow during acquisition (live viewing)
+            self._file_size = os.fstat(self._fp.fileno()).st_size
         if self._file_size - self._fp.tell() == 0:
             return None
         if not self._is_intermediate and self._current_frame_index >= int(self._header["nz"]):
@@ -218,6 +223,7 @@ class ReCoDeReader:
             raise ValueError("Requested frame index is greater than number of frames in dataset")
 
         if self._is_intermediate:
+            self._file_size = os.fstat(self._fp.fileno()).st_size
             frame_id, d = self._read_intermediate_metadata()
             if frame_id is None:
                 return None

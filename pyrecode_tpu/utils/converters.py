@@ -21,6 +21,7 @@ CC-labeling + centroid kernels.
 from __future__ import annotations
 
 import copy
+from typing import Optional
 from datetime import datetime
 
 import numpy as np
@@ -132,16 +133,22 @@ def l1_to_l4_converter(l1_frames, frame_shape, n_frames=-1, area_threshold=0,
 
 
 def l1_to_l4_batch(dense_frames: np.ndarray, method: str = "weighted_average",
-                   max_puddles: int = 4096) -> np.ndarray:
+                   max_puddles: Optional[int] = None) -> np.ndarray:
     """TPU-batched L1 -> L4: centroid maps for a whole (B, H, W) batch.
 
     The device path of :func:`l1_to_l4_converter` — one fused program for
-    CC-labeling, centroiding and rasterization (ops/cc_label.py, ops/segment.py).
+    CC-labeling, centroiding and rasterization (ops/cc_label.py,
+    ops/segment.py).  ``max_puddles`` defaults to the actual per-frame
+    maximum (from the labeling pass) rounded up to a power of two, so no
+    component is ever silently dropped.
     """
     from .. import ops
 
     mask = dense_frames > 0
     labels, counts = ops.label_components(mask)
+    if max_puddles is None:
+        peak = int(np.asarray(counts).max()) if counts.size else 1
+        max_puddles = 1 << max(peak, 1024).bit_length()
     pixels = ops.segment.l4_centroid_pixels(labels, dense_frames, max_puddles, method)
     cmask = ops.segment.centroid_pixels_to_mask(
         pixels, counts, dense_frames.shape[1], dense_frames.shape[2])

@@ -82,8 +82,8 @@ class ReCoDeViewer:
         ret = {"start": self._frame_start, "n_frames": len(window), "view": self._view}
         if window:
             self._frame_start = int(max(window.keys())) + 1
-        else:
-            self._frame_start += self._fractionation
+        # on an empty window keep frame_start unchanged: data may simply not
+        # have been written yet (advancing would skip frames forever)
         return ret
 
     def close(self) -> None:

@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Extended benchmark suite covering the BASELINE.json configs.
+
+Outputs one JSON object per config (list at the end), written to
+BENCH_DETAIL.json and pretty-printed to stderr.  The driver-facing headline
+metric stays in bench.py.
+
+Configs (BASELINE.json):
+  * minimal_read_write_test equivalent (end-to-end writer -> merge -> reader)
+  * reduction-level sweep L1-L4 on 512^2 frames (device encode)
+  * entropy backend matrix on 4096^2 sparse frames (host side)
+  * decode throughput (fused Pallas decode)
+  * server live-stream path (chunked stream mode end-to-end)
+
+Usage: python tools/bench_suite.py [--fast]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def _sparse(batch, h, w, density=0.01, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.where(rng.random((batch, h, w)) < density,
+                    rng.integers(1, 4096, (batch, h, w)), 0).astype(np.uint16)
+
+
+def bench_levels(size=512, batch=32, scan_len=4):
+    """Device encode throughput per reduction level."""
+    import jax
+    import jax.numpy as jnp
+
+    from tools.profile_kernels import scan_time
+    from pyrecode_tpu.ops.encode import encode_frames
+    from pyrecode_tpu.ops import pallas_encode
+    from pyrecode_tpu.ops.bitpack import bitpack_values
+
+    u = jax.random.uniform(jax.random.key(0), (scan_len, batch, size, size), jnp.float32)
+    vals = jax.random.randint(jax.random.key(1), (scan_len, batch, size, size), 1, 4096, jnp.int32)
+    frames_all = jnp.where(u < 0.01, vals, 0).astype(jnp.uint16)
+    jax.block_until_ready(frames_all)
+    thr = jnp.zeros((size, size), jnp.uint16)
+    nbytes = batch * size * size * 2
+    out = []
+
+    def pallas_l1(fr, t):
+        bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
+            fr, t, out_size=16384, interpret=False)
+        packed = bitpack_values(comp.astype(jnp.uint32), 12)
+        return counts, bitmap, packed
+
+    def pallas_l3(fr, t):
+        bitmap, _, counts, ovf = pallas_encode.encode_l1_pallas(
+            fr, t, out_size=128, with_values=False, interpret=False)
+        return counts, bitmap
+
+    def xla_level(level):
+        def f(fr, t):
+            res = encode_frames(fr, t, reduction_level=level, bit_depth=12,
+                                max_values=16384)
+            outs = (res.bitmap, res.counts)
+            if res.packed is not None:
+                outs = outs + (res.packed,)
+            return outs
+        return f
+
+    for name, fn in (("L1 (pallas)", pallas_l1), ("L3 (pallas)", pallas_l3),
+                     ("L2 (xla)", xla_level(2)), ("L4 (xla)", xla_level(4))):
+        dt = scan_time(fn, frames_all, thr, outer=2)
+        out.append({"config": f"reduction sweep {name} {size}^2",
+                    "value": round(nbytes / 1e9 / dt, 3), "unit": "GB/s"})
+    return out
+
+
+def bench_entropy_matrix(size=4096, density=0.01):
+    """Host entropy stage: throughput + ratio per available scheme on real
+    reduced streams from a sparse frame."""
+    from pyrecode_tpu import codecs, oracle
+
+    frame = _sparse(1, size, size, density)[0]
+    enc = oracle.reduce_frame(frame, np.zeros_like(frame), 1, 12)
+    streams = {"bitmap": enc["packed_binary_map"], "pixvals": enc["packed_pixvals"]}
+    raw = sum(len(s) for s in streams.values())
+    out = []
+    for scheme in codecs.available_schemes():
+        codec = codecs.get_codec(scheme, 1)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            compressed = {k: codec.compress(s) for k, s in streams.items()}
+        dt = (time.perf_counter() - t0) / reps
+        csize = sum(len(c) for c in compressed.values())
+        for k, c in compressed.items():
+            assert codec.decompress(c) == streams[k]
+        out.append({
+            "config": f"entropy {codecs.scheme_name(scheme)} {size}^2 L1 streams",
+            "value": round(raw / 1e9 / dt, 3), "unit": "GB/s",
+            "ratio_vs_reduced": round(raw / csize, 3),
+            "ratio_vs_raw": round(frame.nbytes / csize, 2),
+        })
+    return out
+
+
+def bench_decode(size=4096, batch=4, scan_len=4):
+    import jax
+    import jax.numpy as jnp
+
+    from pyrecode_tpu.ops import pallas_encode
+    from pyrecode_tpu.ops.bitpack import bitpack_values
+    from pyrecode_tpu.ops.pallas_decode import decode_l1_pallas
+
+    u = jax.random.uniform(jax.random.key(0), (scan_len, batch, size, size), jnp.float32)
+    vals = jax.random.randint(jax.random.key(1), (scan_len, batch, size, size), 1, 4096, jnp.int32)
+    frames_all = jnp.where(u < 0.01, vals, 0).astype(jnp.uint16)
+    thr = jnp.zeros((size, size), jnp.uint16)
+    OUT = max(1024, 1 << (int(0.02 * size * size) - 1).bit_length())
+
+    def enc(fr):
+        bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(fr, thr, OUT, interpret=False)
+        return bitmap, bitpack_values(comp.astype(jnp.uint32), 12)
+
+    bitmaps, packeds = jax.jit(jax.vmap(enc))(frames_all)
+    jax.block_until_ready((bitmaps, packeds))
+
+    @jax.jit
+    def run(bms, pks):
+        def body(carry, xs):
+            dense, ovf = decode_l1_pallas(xs[0], xs[1], size, size, 12, interpret=False)
+            return carry + jnp.sum(dense.astype(jnp.uint32)) + jnp.sum(ovf.astype(jnp.uint32)), None
+        tot, _ = jax.lax.scan(body, jnp.uint32(0), (bms, pks))
+        return tot
+
+    float(run(bitmaps, packeds))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(bitmaps, packeds))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / scan_len
+    return [{"config": f"L1 decode (pallas) {size}^2",
+             "value": round(batch * size * size * 2 / 1e9 / dt, 3), "unit": "GB/s"}]
+
+
+def bench_end_to_end(tmp_dir, size=512, n_frames=64, num_threads=4):
+    """Full writer -> part files -> merge -> reader pipeline on host+device.
+    (Through the axon relay this is transfer-bound; on directly-attached
+    hardware the device encode overlaps host compression.)"""
+    import tempfile
+
+    from pyrecode_tpu import InputParams
+    from pyrecode_tpu.reader import ReCoDeReader, merge_parts
+    from pyrecode_tpu.writer import ReCoDeWriter
+
+    data = _sparse(n_frames, size, size)
+    dark = np.zeros((size, size), np.uint16)
+    params = InputParams(dict(
+        reduction_level=1, rc_operation_mode=1, calibration_threshold_epsilon=0,
+        target_bit_depth=12, source_bit_depth=12, num_cols=size, num_rows=size,
+        num_frames=n_frames, frame_offset=0, num_calibration_frames=1,
+        calibration_frame_offset=0, keep_part_files=0, num_threads=num_threads,
+        l2_statistics=0, l4_centroiding=0, compression_scheme=0, compression_level=1,
+        source_file_type=0, source_header_length=0, keep_calibration_data=1,
+        calibration_file_type=0, source_data_type=0, target_data_type=0))
+    assert params.validate()
+
+    with tempfile.TemporaryDirectory(dir=tmp_dir) as out_dir:
+        t0 = time.perf_counter()
+        for node_id in range(num_threads):
+            w = ReCoDeWriter("e2e", dark_data=dark, output_directory=out_dir,
+                             input_params=params, node_id=node_id)
+            w.start()
+            w.run(data)
+            w.close()
+        t_write = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        merged = merge_parts(out_dir, "e2e.rc1", num_threads)
+        t_merge = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        reader = ReCoDeReader(merged)
+        reader.open()
+        dense = reader.read_frames_dense(0, n_frames)
+        reader.close()
+        t_read = time.perf_counter() - t0
+        assert np.array_equal(dense, data)
+
+    gb = data.nbytes / 1e9
+    return [
+        {"config": f"end-to-end write+compress {size}^2 x{n_frames}",
+         "value": round(gb / t_write, 3), "unit": "GB/s"},
+        {"config": "end-to-end merge", "value": round(gb / t_merge, 3), "unit": "GB/s"},
+        {"config": "end-to-end bulk decode", "value": round(gb / t_read, 3), "unit": "GB/s"},
+    ]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--out", default="BENCH_DETAIL.json")
+    args = parser.parse_args()
+
+    results = []
+    size_big = 2048 if args.fast else 4096
+    results += bench_levels(size=512, batch=8 if args.fast else 32)
+    results += bench_entropy_matrix(size=size_big)
+    results += bench_decode(size=size_big, batch=2 if args.fast else 4)
+    results += bench_end_to_end(".", size=512, n_frames=16 if args.fast else 64)
+
+    for r in results:
+        print(json.dumps(r), file=sys.stderr)
+    Path(args.out).write_text(json.dumps(results, indent=1))
+    print(f"wrote {args.out} ({len(results)} configs)")
+
+
+if __name__ == "__main__":
+    main()
