@@ -47,22 +47,15 @@ def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
             off_sref[0] = 0
             ovf_ref[0, 0, 0] = 0
 
-        # ---- bitmap -> mask ----
+        # ---- bitmap -> mask (sub-row granularity) ----
         # spread[:, i] = bytes[:, i // 8] via an MXU matmul against the
         # constant expansion matrix E[j, i] = (i//8 == j); bytes <= 255 so
-        # f32 is exact.  (pltpu.repeat tiles rather than element-repeats.)
-        # (u8 -> i32 -> f32: Mosaic has no direct u8 -> f32 cast)
-        bytes_ = bitmap_ref[0].astype(jnp.int32).astype(jnp.float32)  # (RPC, W//8)
+        # f32 is exact.  (u8 -> i32 -> f32: no direct u8 -> f32 cast.)
+        bytes_ = bitmap_ref[0].astype(jnp.int32).astype(jnp.float32)  # (S, SUB//8)
         spread = jnp.dot(bytes_, expand_ref[...],
                          preferred_element_type=jnp.float32).astype(jnp.int32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (RPC, W), 1)
-        mask = ((spread >> (lane % 8)) & 1) > 0
-
-        m32 = mask.astype(jnp.int32)
-        if S == RPC:
-            m2 = m32
-        else:
-            m2 = m32.reshape(S, SUB)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, SUB), 1)
+        m2 = (spread >> (lane % 8)) & 1
         csum = _cumsum_lanes(m2, SUB)
         rank1 = csum - 1
         cnt1 = csum[:, SUB - 1:SUB]                           # (S, 1)
@@ -95,34 +88,29 @@ def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
         dense2 = jnp.zeros((S, SUB), jnp.int32)
         for j in range(C1):
             dense2 = dense2 + jnp.where((rank1 == j) & (m2 > 0), c1[:, j:j + 1], 0)
-
-        if S == RPC:
-            dense = dense2
-        else:
-            dense = dense2.reshape(RPC, W)
-        dense_ref[0] = dense.astype(jnp.uint16)
+        dense_ref[0] = dense2.astype(jnp.uint16)
 
         off_sref[0] = off + chunk_cnt
         ovf_ref[0, 0, 0] |= jnp.int32(ovf1 | (off + chunk_cnt > OUT))
 
-    i = np.arange(W // 8)[:, None]
-    j = np.arange(W)[None, :]
+    i = np.arange(SUB // 8)[:, None]
+    j = np.arange(SUB)[None, :]
     expand_mat = jnp.asarray((j // 8 == i).astype(np.float32))
 
     call = pl.pallas_call(
         kernel,
         grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, RPC, W // 8), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, SUB // 8), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, OUT + WIN), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W // 8, W), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB // 8, SUB), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, RPC, W), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, SUB), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, W), jnp.uint16),
+            jax.ShapeDtypeStruct((B, H * W // SUB, SUB), jnp.uint16),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
@@ -141,10 +129,11 @@ def _decode_call(bitmap, values, height, width, bit_depth, bucket, interpret):
         c1, interpret)
     WIN = (_choose_rpc(height, width) * width // _choose_sub(width)) * c1 + 128
     vals_padded = jnp.pad(values, ((0, 0), (0, WIN)))
-    dense, ovf = call(bitmap.reshape(B, height, width // 8),
+    sub = _choose_sub(width)
+    dense, ovf = call(bitmap.reshape(B, height * width // sub, sub // 8),
                       vals_padded.reshape(B, 1, OUT + WIN))
     del bit_depth
-    return dense, ovf[:, 0, 0] != 0
+    return dense.reshape(B, height, width), ovf[:, 0, 0] != 0
 
 
 def decode_l1_pallas(bitmap, packed, height: int, width: int, bit_depth: int,

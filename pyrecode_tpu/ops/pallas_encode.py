@@ -79,32 +79,30 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret):
 
         x = x_ref[0].astype(jnp.int32)            # (RPC, W)
         t = t_ref[...].astype(jnp.int32)
+        if S != RPC:  # sub-row view; row-major order is preserved
+            x = x.reshape(S, SUB)
+            t = t.reshape(S, SUB)
         mask = x > t
 
-        # bitmap via MXU: bytes = mask @ P with P[i, j] = (i//8 == j) << (i%8)
-        # (0/1 x pow2 row sums <= 1020 -> exact in f32)
+        # bitmap via MXU at sub-row granularity: bytes = mask @ P with
+        # P[i, j] = (i//8 == j) << (i%8) (0/1 x pow2 row sums <= 1020 ->
+        # exact in f32); the (S, SUB/8) byte block is the chunk's bitmap in
+        # row-major order, so the output array is just (B, N/SUB, SUB/8)
         bytes_f = jnp.dot(mask.astype(jnp.float32), pack_ref[...],
                           preferred_element_type=jnp.float32)
         bitmap_ref[0] = bytes_f.astype(jnp.int32).astype(jnp.uint8)
 
         if not with_values:  # L3: bitmap + count only
-            m_all = mask.astype(jnp.int32)
-            off_sref[0] = off_sref[0] + jnp.sum(m_all)
+            off_sref[0] = off_sref[0] + jnp.sum(mask.astype(jnp.int32))
 
             @pl.when(h == n_chunks - 1)
             def _():
                 count_ref[0, 0, 0] = off_sref[0]
             return
 
-        res = jnp.where(mask, x - t, 0)
-        m32 = mask.astype(jnp.int32)
-
         # ---- level 1: within-sub-row ranks, compact to C1 slots ----
-        if S == RPC:
-            m2, r2 = m32, res
-        else:
-            m2 = m32.reshape(S, SUB)
-            r2 = res.reshape(S, SUB)
+        m2 = mask.astype(jnp.int32)
+        r2 = jnp.where(mask, x - t, 0)
         csum = _cumsum_lanes(m2, SUB)
         rank1 = csum - 1
         cnt1 = csum[:, SUB - 1:SUB]               # (S, 1)
@@ -154,8 +152,8 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret):
         def _():
             count_ref[0, 0, 0] = off_sref[0]
 
-    i = np.arange(W)[:, None]
-    j = np.arange(W // 8)[None, :]
+    i = np.arange(SUB)[:, None]
+    j = np.arange(SUB // 8)[None, :]
     pack_mat = jnp.asarray(((i // 8 == j) * (1 << (i % 8))).astype(np.float32))
 
     call = pl.pallas_call(
@@ -164,16 +162,16 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret):
         in_specs=[
             pl.BlockSpec((1, RPC, W), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((RPC, W), lambda b, h: (h, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, W // 8), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, SUB // 8), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, RPC, W // 8), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, SUB // 8), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, OUT + WIN), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, W // 8), jnp.uint8),
+            jax.ShapeDtypeStruct((B, H * W // SUB, SUB // 8), jnp.uint8),
             jax.ShapeDtypeStruct((B, 1, OUT + WIN), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
