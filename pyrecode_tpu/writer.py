@@ -118,6 +118,7 @@ class ReCoDeWriter:
         self._l2_statistic = _L2_STATISTIC_NAMES[int(self._header["L2_statistics"])]
         self._l4_scheme = _L4_SCHEME_NAMES[int(self._header["L4_centroiding"])]
         self._batch_size = max(1, int(buffer_size_in_frames))
+        self._cap_bucket = 0  # pallas capacity bucket, escalated on overflow
 
         scheme = int(self._header["compression_scheme"])
         level = int(self._header["compression_level"])
@@ -269,10 +270,21 @@ class ReCoDeWriter:
                     "frame_pixel_intensity_compression_time", "frame_time"):
             run_metrics[key] = zero
 
+        # 1-batch lookahead pipeline: dispatch the (async) device encode for
+        # batch k+1, then do batch k's host-side entropy coding and container
+        # assembly while the device works
+        pending = None
         for batch_start in range(0, available_frames, self._batch_size):
             batch = data[batch_start: batch_start + self._batch_size]
             first_abs_index = self._chunk_offset + frame_offset + batch_start
-            self._encode_batch(batch, first_abs_index, run_metrics)
+            stt = datetime.now()
+            dispatched = self._dispatch_encode(batch)
+            run_metrics["frame_thresholding_and_counting_time"] += datetime.now() - stt
+            if pending is not None:
+                self._finish_batch(*pending, run_metrics)
+            pending = (batch, first_abs_index, dispatched)
+        if pending is not None:
+            self._finish_batch(*pending, run_metrics)
 
         self._flush_out_buffer()
 
@@ -326,37 +338,78 @@ class ReCoDeWriter:
 
     # ------------------------------------------------------------ batch encode
 
-    def _encode_batch(self, batch: np.ndarray, first_abs_index: int, run_metrics: dict) -> None:
-        stt = datetime.now()
-        if self._init_params.use_tpu:
-            streams = self._encode_batch_tpu(batch)
-        else:
-            streams = self._encode_batch_oracle(batch)
-        run_metrics["frame_thresholding_and_counting_time"] += datetime.now() - stt
-        # device packing is fused into the same kernel; the split timers exist
-        # for reference metric-key parity (recode_writer.py:432-555)
+    def _dispatch_encode(self, batch: np.ndarray):
+        """Launch the device encode without waiting for it (JAX dispatch is
+        async); returns whatever _materialize_streams understands.
 
-        for i, (bitmap, pixvals) in enumerate(streams):
-            abs_index = first_abs_index + i
-            record = self._assemble_record(abs_index, bitmap, pixvals, run_metrics)
-            self._out_buffer.append(record)
-            self._out_buffer_bytes += len(record)
-            if self._out_buffer_bytes >= self._out_buffer_limit:
-                self._flush_out_buffer()
-        run_metrics["frame_time"] += datetime.now() - stt
-
-    def _encode_batch_tpu(self, batch: np.ndarray):
+        For L1/L3 on supported geometries the fused Pallas kernel is
+        dispatched directly at the writer's current capacity bucket with NO
+        host sync — the overflow flag is only inspected at materialize time
+        (the rare overflow re-encodes that batch synchronously and raises the
+        persistent bucket).  This is what lets the device encode batch k+1
+        overlap batch k's host compression."""
+        if not self._init_params.use_tpu:
+            return ("host", self._encode_batch_oracle(batch))
         from . import ops
+        from .ops import pallas_encode
 
-        n_pixels = int(self._header["ny"]) * int(self._header["nx"])
+        ny, nx = int(self._header["ny"]), int(self._header["nx"])
+        n_pixels = ny * nx
         counts = np.asarray(ops.count_foreground(batch, self._threshold))
         max_count = int(counts.max()) if counts.size else 0
         bucket = _bucket_for(max_count, n_pixels)
-        res = ops.encode_frames_auto(
+
+        if (self._reduction_level in (1, 3)
+                and pallas_encode.supports(ny, nx, self._bit_depth)
+                and bucket <= (4 << 20)):
+            with_values = self._reduction_level == 1
+            out = pallas_encode.encode_l1_pallas(
+                batch, self._threshold, out_size=bucket if with_values else 128,
+                bucket=self._cap_bucket, with_values=with_values)
+            bitmap, comp, counts_dev, ovf = out
+            packed = None
+            if with_values:
+                import jax.numpy as jnp
+
+                packed = ops.bitpack_values(comp.astype(jnp.uint32), self._bit_depth)
+            return ("pallas", (bitmap, packed, counts_dev, ovf, bucket))
+
+        res = ops.encode_frames(
             batch, self._threshold, reduction_level=self._reduction_level,
             bit_depth=self._bit_depth, max_values=bucket,
             l2_statistic=self._l2_statistic, l4_scheme=self._l4_scheme)
+        return ("device", res)
 
+    def _materialize_streams(self, batch: np.ndarray, dispatched):
+        kind, res = dispatched
+        if kind == "host":
+            return res
+        if kind == "pallas":
+            from .ops import pallas_encode
+
+            bitmap, packed, counts_dev, ovf, out_size = res
+            while bool(np.asarray(ovf).any()):
+                # rare: clustered data exceeded this bucket; escalate
+                # persistently and redo the batch synchronously
+                if self._cap_bucket + 1 >= pallas_encode.num_buckets():
+                    return self._encode_batch_oracle(batch)
+                self._cap_bucket += 1
+                kind, res = self._dispatch_encode(batch)
+                if kind != "pallas":
+                    return self._materialize_streams(batch, (kind, res))
+                bitmap, packed, counts_dev, ovf, out_size = res
+            bitmaps = np.asarray(bitmap).reshape(batch.shape[0], -1)
+            out = []
+            if packed is not None:
+                packed_np = np.asarray(packed)
+                counts_np = np.asarray(counts_dev)
+                for i in range(batch.shape[0]):
+                    plen = (int(counts_np[i]) * self._bit_depth + 7) // 8
+                    out.append((bitmaps[i].tobytes(), packed_np[i][:plen].tobytes()))
+            else:
+                for i in range(batch.shape[0]):
+                    out.append((bitmaps[i].tobytes(), None))
+            return out
         bitmaps = np.asarray(res.bitmap)
         out = []
         if res.packed is not None:
@@ -368,6 +421,18 @@ class ReCoDeWriter:
             for i in range(batch.shape[0]):
                 out.append((bitmaps[i].tobytes(), None))
         return out
+
+    def _finish_batch(self, batch: np.ndarray, first_abs_index: int, dispatched,
+                      run_metrics: dict) -> None:
+        stt = datetime.now()
+        streams = self._materialize_streams(batch, dispatched)
+        for i, (bitmap, pixvals) in enumerate(streams):
+            record = self._assemble_record(first_abs_index + i, bitmap, pixvals, run_metrics)
+            self._out_buffer.append(record)
+            self._out_buffer_bytes += len(record)
+            if self._out_buffer_bytes >= self._out_buffer_limit:
+                self._flush_out_buffer()
+        run_metrics["frame_time"] += datetime.now() - stt
 
     def _encode_batch_oracle(self, batch: np.ndarray):
         from . import oracle
