@@ -150,3 +150,47 @@ class TestViewer:
         v2 = viewer.get_next_view()
         assert np.array_equal(v2["view"], data[3:6].sum(axis=0).astype(np.float64))
         viewer.close()
+
+
+class TestValidationFrames:
+    def test_verify_against_validation_frames(self, tmp_path):
+        from pyrecode_tpu.reader import merge_parts
+        from pyrecode_tpu.utils.validate import verify_against_validation_frames
+
+        rng = np.random.default_rng(20)
+        data = np.where(rng.random((6, 64, 64)) < 0.05,
+                        rng.integers(1, 4096, (6, 64, 64)), 0).astype(np.uint16)
+        dark = np.zeros((64, 64), np.uint16)
+        params = InputParams(dict(
+            reduction_level=1, rc_operation_mode=1, calibration_threshold_epsilon=0,
+            target_bit_depth=12, source_bit_depth=12, num_cols=64, num_rows=64,
+            num_frames=6, frame_offset=0, num_calibration_frames=1,
+            calibration_frame_offset=0, keep_part_files=0, num_threads=1,
+            l2_statistics=0, l4_centroiding=0, compression_scheme=0,
+            compression_level=1, source_file_type=0, source_header_length=0,
+            keep_calibration_data=1, calibration_file_type=0, source_data_type=0,
+            target_data_type=0))
+        assert params.validate()
+        w = ReCoDeWriter("val_data", dark_data=dark, output_directory=str(tmp_path),
+                         input_params=params, validation_frame_gap=2)
+        w.start()
+        w.run(data)
+        w.close()
+        merge_parts(str(tmp_path), "val_data.rc1", 1)
+
+        report = verify_against_validation_frames(
+            str(tmp_path / "val_data.rc1"),
+            str(tmp_path / "val_data_part000_validation_frames.bin"),
+            validation_frame_gap=2, dark=dark)
+        assert report["all_match"]
+        assert set(report["frames"].keys()) == {0, 2, 4}
+
+        # corrupt one validation frame -> mismatch detected
+        vf = tmp_path / "val_data_part000_validation_frames.bin"
+        raw = bytearray(vf.read_bytes())
+        raw[100] ^= 0xFF
+        vf.write_bytes(bytes(raw))
+        report2 = verify_against_validation_frames(
+            str(tmp_path / "val_data.rc1"), str(vf),
+            validation_frame_gap=2, dark=dark)
+        assert not report2["all_match"]
