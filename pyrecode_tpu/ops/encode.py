@@ -159,7 +159,7 @@ def encode_frames_auto(frames, threshold, reduction_level: int, bit_depth: int,
     the XLA path.  Output is identical either way (both tested against the
     oracle byte-for-byte).
     """
-    from . import pallas_encode
+    from . import pallas_encode, pallas_label
 
     B, H, W = frames.shape
     use_pallas = (
@@ -182,6 +182,27 @@ def encode_frames_auto(frames, threshold, reduction_level: int, bit_depth: int,
                 return EncodeResult(bitmap=bitmap, packed=packed, counts=counts,
                                     packed_len=packed_len, overflow=ovf)
         # all buckets overflowed (extremely dense data): fall through to XLA
+
+    if (reduction_level in (2, 4)
+            and pallas_label.supports(H, W, bit_depth)
+            and max_values <= (4 << 20)):
+        for halo_bucket in range(len(pallas_label.HALO_BUCKETS)):
+            for cap_bucket in range(pallas_encode.num_buckets()):
+                bitmap, stats, counts, ovf = pallas_label.encode_l2l4_pallas(
+                    frames, threshold, reduction_level, out_size=max_values,
+                    bit_depth=bit_depth, statistic=l2_statistic,
+                    scheme=l4_scheme, halo_bucket=halo_bucket,
+                    cap_bucket=cap_bucket)
+                if not bool(jnp.any(ovf)):
+                    if reduction_level == 2:
+                        packed = bitpack_values(stats.astype(jnp.uint32), bit_depth)
+                        packed_len = (counts * bit_depth + 7) // 8
+                    else:
+                        packed = packed_len = None
+                    return EncodeResult(bitmap=bitmap, packed=packed,
+                                        counts=counts, packed_len=packed_len,
+                                        overflow=ovf)
+        # puddles too large/dense for the chunk-local kernel: XLA fallback
 
     return encode_frames(frames, threshold, reduction_level=reduction_level,
                          bit_depth=bit_depth, max_values=max_values,

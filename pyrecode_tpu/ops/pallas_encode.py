@@ -58,6 +58,73 @@ def _cumsum_lanes(x, n):
     return acc
 
 
+def _compact_chunk(m2, r2, S, SUB, C1, C2):
+    """Compact foreground values of an (S, SUB) chunk into (1, C2).
+
+    Shared by the L1 encode kernel and the L2/L4 labeling kernel
+    (pallas_label.py).  Returns (acc (1, C2), chunk_cnt, overflow_bool):
+    level 1 = within-sub-row rank-match selection to C1 slots; level 2 =
+    ragged concat of the S runs via dynamic lane-rotates with the run
+    offsets from a lower-triangular matmul.
+    """
+    csum = _cumsum_lanes(m2, SUB)
+    rank1 = csum - 1
+    cnt1 = csum[:, SUB - 1:SUB]               # (S, 1)
+    ovf1 = jnp.max(cnt1) > C1
+
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (1, C1), 1)
+    c1 = jnp.zeros((S, C1), jnp.int32)
+    for j in range(C1):
+        colsum = jnp.sum(jnp.where((rank1 == j) & (m2 > 0), r2, 0),
+                         axis=1, keepdims=True)
+        c1 = c1 + colsum * (jrow == j)
+
+    r_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    c_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    ltri = (r_io > c_io).astype(jnp.float32)
+    off1 = jnp.dot(ltri, cnt1.astype(jnp.float32),
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    chunk_cnt = jnp.sum(cnt1)
+
+    acc = jnp.zeros((1, C2), jnp.int32)
+    c1_pad = jnp.pad(c1, ((0, 0), (0, C2 - C1)))
+    for s in range(S):
+        acc = acc + pltpu.roll(c1_pad[s:s + 1, :], off1[s, 0], axis=1)
+    return acc, chunk_cnt, ovf1
+
+
+def _store_window(comp_ref, tail_ref, off_sref, acc, chunk_cnt, OUT, WIN, C2):
+    """Append ``chunk_cnt`` values from acc (1, C2) at the running offset.
+
+    128-aligned full-window store with a VMEM tail carry (see module
+    docstring); shared by the L1 and L2 kernels.  Returns the overflow bool.
+    """
+    off = jnp.minimum(off_sref[0], OUT)
+    pend = jax.lax.rem(off, 128)
+    aligned = off - pend
+    acc_pad = jnp.concatenate([acc, jnp.zeros((1, WIN - C2), jnp.int32)], axis=1)
+    rolled = pltpu.roll(acc_pad, pend, axis=1)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+    combined = jnp.where(w_iota < pend, tail_ref[...], rolled)
+    combined = jnp.where(w_iota < pend + chunk_cnt, combined, 0)
+    comp_ref[0, :, pl.ds(pl.multiple_of(aligned, 128), WIN)] = combined
+
+    new_off = off + chunk_cnt
+    new_pend = jax.lax.rem(new_off, 128)
+    shift_back = pend + chunk_cnt - new_pend   # multiple of 128
+    leftover = pltpu.roll(combined, WIN - shift_back, axis=1)
+    tail_ref[...] = jnp.where(w_iota < new_pend, leftover, 0)
+    off_sref[0] = new_off
+    return new_off > OUT
+
+
+def make_pack_matrix(sub: int):
+    """Constant bitmap packing matrix P[i, j] = (i//8 == j) << (i%8)."""
+    i = np.arange(sub)[:, None]
+    j = np.arange(sub // 8)[None, :]
+    return jnp.asarray(((i // 8 == j) * (1 << (i % 8))).astype(np.float32))
+
+
 @functools.lru_cache(maxsize=64)
 def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret):
     """Build (and cache) the pallas_call for one static configuration."""
@@ -100,61 +167,19 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret):
                 count_ref[0, 0, 0] = off_sref[0]
             return
 
-        # ---- level 1: within-sub-row ranks, compact to C1 slots ----
+        # ---- compact foreground residuals + append at the running offset ----
         m2 = mask.astype(jnp.int32)
         r2 = jnp.where(mask, x - t, 0)
-        csum = _cumsum_lanes(m2, SUB)
-        rank1 = csum - 1
-        cnt1 = csum[:, SUB - 1:SUB]               # (S, 1)
-        ovf1 = jnp.max(cnt1) > C1
-
-        jrow = jax.lax.broadcasted_iota(jnp.int32, (1, C1), 1)
-        c1 = jnp.zeros((S, C1), jnp.int32)
-        for j in range(C1):
-            colsum = jnp.sum(jnp.where((rank1 == j) & (m2 > 0), r2, 0),
-                             axis=1, keepdims=True)
-            c1 = c1 + colsum * (jrow == j)
-
-        # ---- level 2: ragged concat of S runs via dynamic lane-rotates ----
-        r_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-        c_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-        ltri = (r_io > c_io).astype(jnp.float32)
-        off1 = jnp.dot(ltri, cnt1.astype(jnp.float32),
-                       preferred_element_type=jnp.float32).astype(jnp.int32)
-        chunk_cnt = jnp.sum(cnt1)
-
-        acc = jnp.zeros((1, C2), jnp.int32)
-        c1_pad = jnp.pad(c1, ((0, 0), (0, C2 - C1)))
-        for s in range(S):
-            acc = acc + pltpu.roll(c1_pad[s:s + 1, :], off1[s, 0], axis=1)
-
-        # ---- aligned-window store at the running offset ----
-        off = jnp.minimum(off_sref[0], OUT)
-        pend = jax.lax.rem(off, 128)
-        aligned = off - pend
-        acc_pad = jnp.concatenate([acc, jnp.zeros((1, 128), jnp.int32)], axis=1)
-        rolled = pltpu.roll(acc_pad, pend, axis=1)
-        w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
-        combined = jnp.where(w_iota < pend, tail_ref[...], rolled)
-        combined = jnp.where(w_iota < pend + chunk_cnt, combined, 0)
-        comp_ref[0, :, pl.ds(pl.multiple_of(aligned, 128), WIN)] = combined
-
-        new_off = off + chunk_cnt
-        new_pend = jax.lax.rem(new_off, 128)
-        shift_back = pend + chunk_cnt - new_pend   # multiple of 128
-        leftover = pltpu.roll(combined, WIN - shift_back, axis=1)
-        tail_ref[...] = jnp.where(w_iota < new_pend, leftover, 0)
-
-        off_sref[0] = new_off
-        ovf_ref[0, 0, 0] |= jnp.int32(ovf1 | (new_off > OUT))
+        acc, chunk_cnt, ovf1 = _compact_chunk(m2, r2, S, SUB, C1, C2)
+        ovf_store = _store_window(comp_ref, tail_ref, off_sref, acc, chunk_cnt,
+                                  OUT, WIN, C2)
+        ovf_ref[0, 0, 0] |= jnp.int32(ovf1 | ovf_store)
 
         @pl.when(h == n_chunks - 1)
         def _():
             count_ref[0, 0, 0] = off_sref[0]
 
-    i = np.arange(SUB)[:, None]
-    j = np.arange(SUB // 8)[None, :]
-    pack_mat = jnp.asarray(((i // 8 == j) * (1 << (i % 8))).astype(np.float32))
+    pack_mat = make_pack_matrix(SUB)
 
     call = pl.pallas_call(
         kernel,

@@ -255,7 +255,13 @@ def reduce_frame(frame: np.ndarray, threshold: np.ndarray, reduction_level: int,
         bitmap_mask = mask
     elif reduction_level == 2:
         labels, num = label_components(mask)
+        # per reference semantics stats are over raw frame values
+        # (recode_writer.py:446 passes `frame`, not the residual)
         stats = l2_summary_stats(labels, frame, num, l2_statistic)
+        # saturate at the declared bit depth: bit-packing would otherwise
+        # silently truncate high bits of large puddle sums
+        if np.issubdtype(stats.dtype, np.integer) and bit_depth < 64:
+            stats = np.minimum(stats, (1 << bit_depth) - 1).astype(stats.dtype)
         packed_pixvals = bit_pack(stats, bit_depth) if bit_depth % 8 else stats.tobytes()
         bitmap_mask = mask
     elif reduction_level == 3:
