@@ -132,3 +132,173 @@ void pack_mask(const uint8_t *mask, uint64_t n_pixels, uint8_t *out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sparse deflate: a zlib-compatible encoder specialized for the codec's
+// reduced streams (mostly-zero bitmaps, high-entropy packed residuals).
+//
+// Emits one fixed-Huffman deflate block (RFC 1951) wrapped in a zlib header
+// + adler32 (RFC 1950): zero runs >= 4 become a literal '0' plus
+// distance-1 matches (classic RLE-via-LZ77), everything else literals.
+// Any inflate implementation decodes it; the reference reads these files
+// unmodified.  Throughput is set by the nonzero-byte count, not the stream
+// size, so sparse bitmaps encode at memory speed.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// pre-reversed fixed-Huffman literal codes (code, nbits) for bytes 0..255
+struct LitCode { uint16_t bits; uint8_t n; };
+struct LitTable {
+    LitCode t[256];
+    LitTable() {
+        for (int v = 0; v < 256; ++v) {
+            uint32_t code, n;
+            if (v < 144) { code = 0x30 + v; n = 8; }
+            else { code = 0x190 + (v - 144); n = 9; }
+            uint32_t rev = 0;
+            for (uint32_t i = 0; i < n; ++i) rev |= ((code >> i) & 1u) << (n - 1 - i);
+            t[v] = {(uint16_t)rev, (uint8_t)n};
+        }
+    }
+};
+static const LitTable kLit;
+
+struct BitWriter {
+    uint8_t *out;
+    uint64_t acc = 0;
+    uint32_t fill = 0;
+    uint64_t pos = 0;
+
+    explicit BitWriter(uint8_t *o) : out(o) {}
+
+    inline void put_lsb(uint32_t bits, uint32_t n) {  // extra bits: LSB-first
+        acc |= (uint64_t)bits << fill;
+        fill += n;
+        while (fill >= 8) {
+            out[pos++] = (uint8_t)acc;
+            acc >>= 8;
+            fill -= 8;
+        }
+    }
+
+    inline void put_huff(uint32_t code, uint32_t n) {  // Huffman: MSB-first
+        uint32_t rev = 0;
+        for (uint32_t i = 0; i < n; ++i) rev |= ((code >> i) & 1u) << (n - 1 - i);
+        put_lsb(rev, n);
+    }
+
+    inline void byte_align() {
+        if (fill) {
+            out[pos++] = (uint8_t)acc;
+            acc = 0;
+            fill = 0;
+        }
+    }
+};
+
+inline void put_literal(BitWriter &bw, uint32_t v) {
+    bw.put_lsb(kLit.t[v].bits, kLit.t[v].n);
+}
+
+// fixed-Huffman length code for match length 3..258: code 257..285
+inline void put_length(BitWriter &bw, uint32_t len) {
+    static const uint16_t base[] = {3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19,
+                                    23, 27, 31, 35, 43, 51, 59, 67, 83, 99, 115,
+                                    131, 163, 195, 227, 258};
+    static const uint8_t extra[] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+                                    2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+    int c = 28;
+    while (len < base[c]) --c;
+    const uint32_t sym = 257 + c;
+    if (sym < 280) bw.put_huff(sym - 256, 7);
+    else bw.put_huff(0xC0 + (sym - 280), 8);
+    if (extra[c]) bw.put_lsb(len - base[c], extra[c]);
+}
+
+inline void put_run(BitWriter &bw, uint32_t v, uint64_t run) {
+    // literal v then distance-1 matches covering the remaining run-1 bytes
+    put_literal(bw, v);
+    uint64_t left = run - 1;
+    while (left >= 3) {
+        uint32_t take = left > 258 ? 258 : (uint32_t)left;
+        if (left - take == 1 || left - take == 2) take -= 3;  // keep tail >= 3
+        put_length(bw, take);
+        bw.put_huff(0, 5);  // distance code 0 = 1, no extra bits
+        left -= take;
+    }
+    while (left--) put_literal(bw, 0);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode src[0..n) as a zlib stream into out (capacity must be
+// >= n * 9 / 8 + 64 for the incompressible worst case).
+// Returns the number of bytes written.
+int64_t deflate_sparse(const uint8_t *src, uint64_t n, uint8_t *out) {
+    BitWriter bw(out);
+    out[bw.pos++] = 0x78;  // zlib: deflate, 32K window
+    out[bw.pos++] = 0x01;  // fastest, no dict (FCHECK makes 0x7801 % 31 == 0)
+
+    // estimate: ~8.1 bits/literal outside runs, ~21 bits per run; fall back
+    // to stored blocks (raw copy) when RLE would exceed the input size
+    uint64_t run_covered = 0, runs = 0;
+    for (uint64_t i = 0; i < n;) {
+        uint64_t j = i + 1;
+        while (j < n && src[j] == src[i]) ++j;
+        if (j - i >= 4) { run_covered += j - i; ++runs; }
+        i = j;
+    }
+    const uint64_t est_bits = (n - run_covered) * 9 + runs * 30 + 64;
+
+    if (est_bits / 8 >= n) {
+        // stored blocks: 5-byte header per <=65535-byte chunk, raw payload
+        uint64_t i = 0;
+        do {
+            const uint32_t take = (n - i) > 65535 ? 65535 : (uint32_t)(n - i);
+            out[bw.pos++] = (i + take >= n) ? 1 : 0;  // BFINAL | BTYPE=00
+            out[bw.pos++] = (uint8_t)take;
+            out[bw.pos++] = (uint8_t)(take >> 8);
+            out[bw.pos++] = (uint8_t)~take;
+            out[bw.pos++] = (uint8_t)(~take >> 8);
+            std::memcpy(out + bw.pos, src + i, take);
+            bw.pos += take;
+            i += take;
+        } while (i < n);
+    } else {
+        bw.put_lsb(1, 1);      // BFINAL
+        bw.put_lsb(1, 2);      // BTYPE = 01 (fixed Huffman), LSB-first
+        uint64_t i = 0;
+        while (i < n) {
+            const uint8_t v = src[i];
+            uint64_t j = i + 1;
+            while (j < n && src[j] == v) ++j;
+            const uint64_t run = j - i;
+            if (run >= 4) put_run(bw, v, run);
+            else for (uint64_t k = 0; k < run; ++k) put_literal(bw, v);
+            i = j;
+        }
+        bw.put_huff(0, 7);  // end of block (symbol 256)
+        bw.byte_align();
+    }
+
+    // adler32 of the uncompressed data, big-endian (RFC 1950)
+    const uint32_t MOD = 65521;
+    uint32_t a = 1, b = 0;
+    for (uint64_t k = 0; k < n; ++k) {
+        a += src[k];
+        if (a >= MOD) a -= MOD;
+        b += a;
+        if (b >= MOD) b -= MOD;
+    }
+    const uint32_t adler = (b << 16) | a;
+    out[bw.pos++] = (uint8_t)(adler >> 24);
+    out[bw.pos++] = (uint8_t)(adler >> 16);
+    out[bw.pos++] = (uint8_t)(adler >> 8);
+    out[bw.pos++] = (uint8_t)adler;
+    return (int64_t)bw.pos;
+}
+
+}  // extern "C"

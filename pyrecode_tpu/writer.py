@@ -61,13 +61,17 @@ class ReCoDeWriter:
                  input_params=None, params_filename="", mode="batch", validation_frame_gap=-1,
                  log_filename="recode.log", run_name="run", verbosity=0, use_tpu=True,
                  max_count=-1, chunk_time_in_sec=0, node_id=0, buffer_size_in_frames=32,
-                 use_c=None):
+                 use_c=None, fast_deflate=False):
         """Parameters mirror the reference writer (recode_writer.py:26-66).
 
         ``node_id`` selects this writer's contiguous frame slice
         (``[node_id * ceil(nz / num_threads), ...)``, recode_writer.py:320-322)
         and names its part file.  ``buffer_size_in_frames`` is the encode batch
         size (frames per fused device call) and the output buffering unit.
+        ``fast_deflate=True`` (scheme 0 only) swaps zlib for the native
+        sparse-deflate encoder: output is still a valid zlib stream every
+        inflate (incl. the reference) decodes, ~2x the encode speed at a
+        somewhat lower compression ratio on the bitmap stream.
         """
         self._init_params = InitParams(
             mode, output_directory, image_filename=image_filename,
@@ -123,6 +127,13 @@ class ReCoDeWriter:
         scheme = int(self._header["compression_scheme"])
         level = int(self._header["compression_level"])
         self._codec = codecs.get_codec(scheme, level) if self._rc_operation_mode == 1 else None
+        if fast_deflate and scheme == 0 and self._codec is not None:
+            from . import native
+
+            if native.available():
+                self._codec = codecs.Codec(0, "zlib-sparse-native",
+                                           native.deflate_sparse,
+                                           self._codec.decompress)
         import threading
         from concurrent.futures import ThreadPoolExecutor
 
@@ -486,6 +497,8 @@ class ReCoDeWriter:
 
     def _codec_for_thread(self):
         """Per-thread codec (zstd compressor contexts are not shareable)."""
+        if self._codec is not None and self._codec.name == "zlib-sparse-native":
+            return self._codec  # stateless, thread-safe
         cache = getattr(self._codec_local, "codec", None)
         if cache is None:
             cache = codecs.get_codec(int(self._header["compression_scheme"]),

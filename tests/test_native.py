@@ -86,3 +86,51 @@ def test_native_decode_speed_sanity():
     t_oracle = time.perf_counter() - t0
     # don't assert a hard ratio (CI noise); just sanity that it's not slower x5
     assert t_native < t_oracle * 5
+
+
+class TestSparseDeflate:
+    def test_roundtrip_via_zlib(self):
+        import zlib
+
+        rng = np.random.default_rng(0)
+        streams = [
+            b"",
+            b"\x00" * 100,
+            bytes(rng.integers(0, 256, 70000).astype(np.uint8)),
+            (rng.integers(0, 256, 50000) * (rng.random(50000) < 0.04)).astype(np.uint8).tobytes(),
+        ]
+        for data in streams:
+            assert zlib.decompress(native.deflate_sparse(data)) == data
+
+    def test_writer_fast_deflate_reference_compatible(self, tmp_path):
+        """Files written with fast_deflate decode through the standard path."""
+        from pyrecode_tpu import InputParams
+        from pyrecode_tpu.reader import ReCoDeReader, merge_parts
+        from pyrecode_tpu.writer import ReCoDeWriter
+
+        rng = np.random.default_rng(1)
+        data = np.where(rng.random((4, 64, 64)) < 0.05,
+                        rng.integers(1, 4096, (4, 64, 64)), 0).astype(np.uint16)
+        dark = np.zeros((64, 64), np.uint16)
+        params = InputParams(dict(
+            reduction_level=1, rc_operation_mode=1, calibration_threshold_epsilon=0,
+            target_bit_depth=12, source_bit_depth=12, num_cols=64, num_rows=64,
+            num_frames=4, frame_offset=0, num_calibration_frames=1,
+            calibration_frame_offset=0, keep_part_files=0, num_threads=1,
+            l2_statistics=0, l4_centroiding=0, compression_scheme=0,
+            compression_level=1, source_file_type=0, source_header_length=0,
+            keep_calibration_data=1, calibration_file_type=0, source_data_type=0,
+            target_data_type=0))
+        assert params.validate()
+        w = ReCoDeWriter("fast_data", dark_data=dark, output_directory=str(tmp_path),
+                         input_params=params, fast_deflate=True)
+        w.start()
+        w.run(data)
+        w.close()
+        merge_parts(str(tmp_path), "fast_data.rc1", 1)
+        reader = ReCoDeReader(str(tmp_path / "fast_data.rc1"))
+        reader.open()  # plain zlib decode path
+        for i in range(4):
+            fd = reader.get_next_frame()
+            assert np.array_equal(fd[i]["data"].todense(), data[i]), i
+        reader.close()

@@ -63,18 +63,22 @@ def bench_levels(size=512, batch=32, scan_len=4):
             fr, t, out_size=128, with_values=False, interpret=False)
         return counts, bitmap
 
-    def xla_level(level):
-        def f(fr, t):
-            res = encode_frames(fr, t, reduction_level=level, bit_depth=12,
-                                max_values=16384)
-            outs = (res.bitmap, res.counts)
-            if res.packed is not None:
-                outs = outs + (res.packed,)
-            return outs
-        return f
+    from pyrecode_tpu.ops.pallas_label import encode_l2l4_pallas
+
+    def pallas_l2(fr, t):
+        bitmap, stats, counts, ovf = encode_l2l4_pallas(
+            fr, t, 2, out_size=16384, bit_depth=12, statistic="sum", interpret=False)
+        packed = bitpack_values(stats.astype(jnp.uint32), 12)
+        return counts, bitmap, packed, ovf
+
+    def pallas_l4(fr, t):
+        bitmap, _, counts, ovf = encode_l2l4_pallas(
+            fr, t, 4, out_size=16384, bit_depth=12, scheme="weighted_average",
+            interpret=False)
+        return counts, bitmap, ovf
 
     for name, fn in (("L1 (pallas)", pallas_l1), ("L3 (pallas)", pallas_l3),
-                     ("L2 (xla)", xla_level(2)), ("L4 (xla)", xla_level(4))):
+                     ("L2 (pallas)", pallas_l2), ("L4 (pallas)", pallas_l4)):
         dt = scan_time(fn, frames_all, thr, outer=2)
         out.append({"config": f"reduction sweep {name} {size}^2",
                     "value": round(nbytes / 1e9 / dt, 3), "unit": "GB/s"})
