@@ -285,6 +285,315 @@ int64_t deflate_sparse(const uint8_t *src, uint64_t n, uint8_t *out) {
     }
 
     // adler32 of the uncompressed data, big-endian (RFC 1950)
+    // incompressible data: redo as stored blocks (raw copy), strictly
+    // bounded at n + 5 per 64K chunk + 6
+    const uint64_t stored_size = 2 + n + 5 * (n / 65535 + 1);
+    if (bw.pos > stored_size) {
+        bw.pos = 2;
+        bw.acc = 0;
+        bw.fill = 0;
+        uint64_t k = 0;
+        do {
+            const uint32_t take = (n - k) > 65535 ? 65535 : (uint32_t)(n - k);
+            out[bw.pos++] = (k + take >= n) ? 1 : 0;
+            out[bw.pos++] = (uint8_t)take;
+            out[bw.pos++] = (uint8_t)(take >> 8);
+            out[bw.pos++] = (uint8_t)~take;
+            out[bw.pos++] = (uint8_t)(~take >> 8);
+            std::memcpy(out + bw.pos, src + k, take);
+            bw.pos += take;
+            k += take;
+        } while (k < n);
+    }
+
+    const uint32_t MOD = 65521;
+    uint32_t a = 1, b = 0;
+    for (uint64_t k = 0; k < n; ++k) {
+        a += src[k];
+        if (a >= MOD) a -= MOD;
+        b += a;
+        if (b >= MOD) b -= MOD;
+    }
+    const uint32_t adler = (b << 16) | a;
+    out[bw.pos++] = (uint8_t)(adler >> 24);
+    out[bw.pos++] = (uint8_t)(adler >> 16);
+    out[bw.pos++] = (uint8_t)(adler >> 8);
+    out[bw.pos++] = (uint8_t)adler;
+    return (int64_t)bw.pos;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Dynamic-Huffman variant: same zero/repeat-run tokenization, but with
+// per-stream canonical Huffman codes and an RFC 1951 dynamic block header.
+// Closes most of the ratio gap to zlib while keeping the single-pass-over-
+// nonzeros speed profile.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// canonical Huffman code lengths (<= limit) from symbol frequencies.
+// Heap merge; if the tree exceeds the depth limit, rebuild with
+// progressively flattened frequencies (freq >> shift, min 1) until it fits —
+// the tree construction itself then guarantees exact Kraft equality.
+void huff_lengths(const uint32_t *freq, int n, int limit, uint8_t *len) {
+    const int MAXN = 2 * 320;
+    uint32_t wt[MAXN];
+    int left[MAXN], right[MAXN], heap[MAXN];
+
+    int live = 0;
+    for (int i = 0; i < n; ++i) { len[i] = 0; if (freq[i]) ++live; }
+    if (live == 0) return;
+    if (live == 1) {
+        for (int i = 0; i < n; ++i) if (freq[i]) len[i] = 1;
+        return;
+    }
+
+    for (int shift = 0;; ++shift) {
+        int hn = 0, nodes = 0;
+        auto heap_push = [&](int idx) {
+            heap[hn++] = idx;
+            for (int i2 = hn - 1; i2 > 0;) {
+                int p = (i2 - 1) / 2;
+                if (wt[heap[p]] <= wt[heap[i2]]) break;
+                int t = heap[p]; heap[p] = heap[i2]; heap[i2] = t;
+                i2 = p;
+            }
+        };
+        auto heap_pop = [&]() {
+            int top = heap[0];
+            heap[0] = heap[--hn];
+            for (int i2 = 0;;) {
+                int l = 2 * i2 + 1, r = 2 * i2 + 2, sm = i2;
+                if (l < hn && wt[heap[l]] < wt[heap[sm]]) sm = l;
+                if (r < hn && wt[heap[r]] < wt[heap[sm]]) sm = r;
+                if (sm == i2) break;
+                int t = heap[sm]; heap[sm] = heap[i2]; heap[i2] = t;
+                i2 = sm;
+            }
+            return top;
+        };
+
+        for (int i = 0; i < n; ++i) {
+            if (!freq[i]) continue;
+            uint32_t f = freq[i] >> shift;
+            wt[nodes] = f ? f : 1;
+            left[nodes] = -1 - i;
+            heap_push(nodes);
+            ++nodes;
+        }
+        while (hn > 1) {
+            int a = heap_pop(), b = heap_pop();
+            wt[nodes] = wt[a] + wt[b];
+            left[nodes] = a;
+            right[nodes] = b;
+            heap_push(nodes);
+            ++nodes;
+        }
+        int stack[MAXN], depth[MAXN], sp = 0, maxd = 0;
+        stack[sp] = heap[0]; depth[heap[0]] = 0; ++sp;
+        while (sp) {
+            int v = stack[--sp];
+            if (left[v] < 0) {
+                int d = depth[v] ? depth[v] : 1;
+                if (d > maxd) maxd = d;
+                len[-1 - left[v]] = (uint8_t)d;
+            } else {
+                depth[left[v]] = depth[v] + 1;
+                depth[right[v]] = depth[v] + 1;
+                stack[sp++] = left[v];
+                stack[sp++] = right[v];
+            }
+        }
+        if (maxd <= limit) return;
+    }
+}
+
+// canonical codes from lengths (RFC 1951 3.2.2)
+void huff_codes(const uint8_t *len, int n, uint16_t *code) {
+    uint32_t bl_count[16] = {0};
+    for (int i = 0; i < n; ++i) ++bl_count[len[i]];
+    bl_count[0] = 0;
+    uint32_t next[16], c = 0;
+    for (int bits = 1; bits <= 15; ++bits) {
+        c = (c + bl_count[bits - 1]) << 1;
+        next[bits] = c;
+    }
+    for (int i = 0; i < n; ++i)
+        code[i] = len[i] ? (uint16_t)next[len[i]]++ : 0;
+}
+
+// length symbol + extra bits for match length 3..258
+inline void length_symbol(uint32_t len, uint32_t &sym, uint32_t &extra_bits,
+                          uint32_t &extra_val) {
+    static const uint16_t base[] = {3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19,
+                                    23, 27, 31, 35, 43, 51, 59, 67, 83, 99, 115,
+                                    131, 163, 195, 227, 258};
+    static const uint8_t extra[] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+                                    2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+    int c = 28;
+    while (len < base[c]) --c;
+    sym = 257 + c;
+    extra_bits = extra[c];
+    extra_val = len - base[c];
+}
+
+}  // namespace
+
+extern "C" {
+
+// Dynamic-Huffman sparse deflate (zlib stream).  out capacity as for
+// deflate_sparse.  Scratch token buffer must hold n+16 uint32.
+int64_t deflate_sparse_dyn(const uint8_t *src, uint64_t n, uint8_t *out,
+                           uint32_t *tokens) {
+    // ---- tokenize: literal v, or run -> literal v + matches (dist 1) ----
+    uint64_t ntok = 0;
+    uint32_t lfreq[286] = {0};
+    uint64_t i = 0;
+    while (i < n) {
+        const uint8_t v = src[i];
+        uint64_t j = i + 1;
+        while (j < n && src[j] == v) ++j;
+        uint64_t run = j - i;
+        if (run >= 4) {
+            tokens[ntok++] = v;  // literal
+            ++lfreq[v];
+            uint64_t left = run - 1;
+            while (left >= 3) {
+                uint32_t take = left > 258 ? 258 : (uint32_t)left;
+                if (left - take == 1 || left - take == 2) take -= 3;
+                tokens[ntok++] = 0x80000000u | take;
+                uint32_t sym, eb, ev;
+                length_symbol(take, sym, eb, ev);
+                ++lfreq[sym];
+                left -= take;
+            }
+            while (left--) { tokens[ntok++] = v; ++lfreq[v]; }
+        } else {
+            while (run--) { tokens[ntok++] = v; ++lfreq[v]; }
+        }
+        i = j;
+    }
+    ++lfreq[256];  // end of block
+
+    // ---- literal/length + distance code construction ----
+    uint8_t llen[286];
+    uint16_t lcode[286];
+    huff_lengths(lfreq, 286, 15, llen);
+    huff_codes(llen, 286, lcode);
+    // single distance symbol (0 = distance 1); RFC requires >= 1 dist code
+    uint8_t dlen[30] = {0};
+    uint16_t dcode[30] = {0};
+    dlen[0] = 1;
+
+    BitWriter bw(out);
+    out[bw.pos++] = 0x78;
+    out[bw.pos++] = 0x01;
+    bw.put_lsb(1, 1);  // BFINAL
+    bw.put_lsb(2, 2);  // BTYPE = 10 (dynamic)
+
+    // ---- code-length alphabet for the header ----
+    int hlit = 286;
+    while (hlit > 257 && llen[hlit - 1] == 0) --hlit;
+    int hdist = 1;  // just distance code 0
+    uint8_t all_len[286 + 30];
+    for (int k = 0; k < hlit; ++k) all_len[k] = llen[k];
+    for (int k = 0; k < hdist; ++k) all_len[hlit + k] = dlen[k];
+    const int all_n = hlit + hdist;
+
+    // encode the length sequence with symbols 0-18 (16=repeat prev,
+    // 17/18 = zero runs)
+    uint32_t clfreq[19] = {0};
+    uint32_t clsyms[286 + 30 + 8];
+    uint32_t clextra[286 + 30 + 8];
+    uint32_t clebits[286 + 30 + 8];
+    int ncl = 0;
+    for (int k = 0; k < all_n;) {
+        const uint8_t v = all_len[k];
+        int j2 = k + 1;
+        while (j2 < all_n && all_len[j2] == v) ++j2;
+        int run = j2 - k;
+        if (v == 0) {
+            while (run >= 11) {
+                int take = run > 138 ? 138 : run;
+                clsyms[ncl] = 18; clextra[ncl] = take - 11; clebits[ncl] = 7; ++ncl; ++clfreq[18];
+                run -= take;
+            }
+            while (run >= 3) {
+                int take = run > 10 ? 10 : run;
+                clsyms[ncl] = 17; clextra[ncl] = take - 3; clebits[ncl] = 3; ++ncl; ++clfreq[17];
+                run -= take;
+            }
+            while (run--) { clsyms[ncl] = 0; clebits[ncl] = 0; ++ncl; ++clfreq[0]; }
+        } else {
+            clsyms[ncl] = v; clebits[ncl] = 0; ++ncl; ++clfreq[v];
+            --run;
+            while (run >= 3) {
+                int take = run > 6 ? 6 : run;
+                clsyms[ncl] = 16; clextra[ncl] = take - 3; clebits[ncl] = 2; ++ncl; ++clfreq[16];
+                run -= take;
+            }
+            while (run--) { clsyms[ncl] = v; clebits[ncl] = 0; ++ncl; ++clfreq[v]; }
+        }
+        k = j2;
+    }
+    uint8_t cllen[19];
+    uint16_t clcode[19];
+    huff_lengths(clfreq, 19, 7, cllen);
+    huff_codes(cllen, 19, clcode);
+
+    static const uint8_t clorder[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4,
+                                        12, 3, 13, 2, 14, 1, 15};
+    int hclen = 19;
+    while (hclen > 4 && cllen[clorder[hclen - 1]] == 0) --hclen;
+
+    bw.put_lsb(hlit - 257, 5);
+    bw.put_lsb(hdist - 1, 5);
+    bw.put_lsb(hclen - 4, 4);
+    for (int k = 0; k < hclen; ++k) bw.put_lsb(cllen[clorder[k]], 3);
+    for (int k = 0; k < ncl; ++k) {
+        bw.put_huff(clcode[clsyms[k]], cllen[clsyms[k]]);
+        if (clebits[k]) bw.put_lsb(clextra[k], clebits[k]);
+    }
+
+    // ---- emit tokens ----
+    for (uint64_t k = 0; k < ntok; ++k) {
+        const uint32_t tok = tokens[k];
+        if (tok & 0x80000000u) {
+            uint32_t sym, eb, ev;
+            length_symbol(tok & 0x7FFFFFFFu, sym, eb, ev);
+            bw.put_huff(lcode[sym], llen[sym]);
+            if (eb) bw.put_lsb(ev, eb);
+            bw.put_huff(dcode[0], dlen[0]);  // distance 1
+        } else {
+            bw.put_huff(lcode[tok], llen[tok]);
+        }
+    }
+    bw.put_huff(lcode[256], llen[256]);
+    bw.byte_align();
+
+    // incompressible data: redo as stored blocks (raw copy), strictly
+    // bounded at n + 5 per 64K chunk + 6
+    const uint64_t stored_size = 2 + n + 5 * (n / 65535 + 1);
+    if (bw.pos > stored_size) {
+        bw.pos = 2;
+        bw.acc = 0;
+        bw.fill = 0;
+        uint64_t k = 0;
+        do {
+            const uint32_t take = (n - k) > 65535 ? 65535 : (uint32_t)(n - k);
+            out[bw.pos++] = (k + take >= n) ? 1 : 0;
+            out[bw.pos++] = (uint8_t)take;
+            out[bw.pos++] = (uint8_t)(take >> 8);
+            out[bw.pos++] = (uint8_t)~take;
+            out[bw.pos++] = (uint8_t)(~take >> 8);
+            std::memcpy(out + bw.pos, src + k, take);
+            bw.pos += take;
+            k += take;
+        } while (k < n);
+    }
+
     const uint32_t MOD = 65521;
     uint32_t a = 1, b = 0;
     for (uint64_t k = 0; k < n; ++k) {

@@ -21,7 +21,6 @@ matches the reference wire format.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional

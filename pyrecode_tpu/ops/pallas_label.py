@@ -42,12 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_encode import (
-    _compact_chunk,
-    _cumsum_lanes,
-    _store_window,
-    make_pack_matrix,
-)
+from .pallas_encode import _compact_chunk, _store_window, make_pack_matrix
 
 _BIG = 1 << 30  # plain int: jnp scalars would be captured as kernel constants
 

@@ -155,7 +155,7 @@ class ReCoDeReader:
 
     # ------------------------------------------------------------------- read
 
-    def _read_intermediate_metadata(self, require_data: bool = True):
+    def _read_intermediate_metadata(self):
         """Read [frame_id u32][metadata fields] at the current position."""
         # part files grow during acquisition (live viewing): refresh the size
         self._file_size = os.fstat(self._fp.fileno()).st_size
@@ -170,7 +170,6 @@ class ReCoDeReader:
             d[field["name"]] = int.from_bytes(self._fp.read(field["bytes"]), "little")
         for name, size in self._rc_header.non_standard_metadata_sizes.items():
             d[name] = self._fp.read(size)
-        del require_data
         return frame_id, d
 
     def get_frame(self, z: int):

@@ -90,11 +90,32 @@ def bench_entropy_matrix(size=4096, density=0.01):
     reduced streams from a sparse frame."""
     from pyrecode_tpu import codecs, oracle
 
+    from pyrecode_tpu import native
+
     frame = _sparse(1, size, size, density)[0]
     enc = oracle.reduce_frame(frame, np.zeros_like(frame), 1, 12)
     streams = {"bitmap": enc["packed_binary_map"], "pixvals": enc["packed_pixvals"]}
     raw = sum(len(s) for s in streams.values())
     out = []
+
+    if native.available():
+        import zlib
+
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            compressed = {k: native.deflate_sparse(s) for k, s in streams.items()}
+        dt = (time.perf_counter() - t0) / reps
+        csize = sum(len(c) for c in compressed.values())
+        for k, c in compressed.items():
+            assert zlib.decompress(c) == streams[k]
+        out.append({
+            "config": f"entropy sparse-deflate(native) {size}^2 L1 streams",
+            "value": round(raw / 1e9 / dt, 3), "unit": "GB/s",
+            "ratio_vs_reduced": round(raw / csize, 3),
+            "ratio_vs_raw": round(frame.nbytes / csize, 2),
+        })
+
     for scheme in codecs.available_schemes():
         codec = codecs.get_codec(scheme, 1)
         t0 = time.perf_counter()
