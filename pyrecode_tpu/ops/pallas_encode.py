@@ -72,12 +72,18 @@ def _compact_chunk(m2, r2, S, SUB, C1, C2):
     cnt1 = csum[:, SUB - 1:SUB]               # (S, 1)
     ovf1 = jnp.max(cnt1) > C1
 
+    # rank-match selection, two slots per reduction pass: ranks 2j and 2j+1
+    # select disjoint lanes, so one row-sum carries both values in the low and
+    # high 16-bit halves (values < 2^16, no carries between halves)
     jrow = jax.lax.broadcasted_iota(jnp.int32, (1, C1), 1)
     c1 = jnp.zeros((S, C1), jnp.int32)
-    for j in range(C1):
-        colsum = jnp.sum(jnp.where((rank1 == j) & (m2 > 0), r2, 0),
-                         axis=1, keepdims=True)
-        c1 = c1 + colsum * (jrow == j)
+    fg = m2 > 0
+    for j in range(0, C1, 2):
+        pair = jnp.where((rank1 == j) & fg, r2, 0) \
+            + jnp.where((rank1 == j + 1) & fg, r2 << 16, 0)
+        colsum = jnp.sum(pair, axis=1, keepdims=True)
+        c1 = c1 + (colsum & 0xFFFF) * (jrow == j) \
+            + ((colsum >> 16) & 0xFFFF) * (jrow == j + 1)
 
     r_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
     c_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
