@@ -77,12 +77,14 @@ def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
         window = pltpu.roll(window, WIN - pend, axis=1)
 
         # ---- level-2 inverse: per-sub-row runs via dynamic rotates ----
-        rows = []
+        # (accumulate into rows with a mask rather than concatenating 64
+        # sublane pieces — concat forces relayouts)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (S, C1), 0)
+        c1 = jnp.zeros((S, C1), jnp.int32)
         for s in range(S):
             # lane k of the rotated window holds value off1[s] + k
             rot = pltpu.roll(window, WIN - off1[s, 0], axis=1)
-            rows.append(rot[:, :C1])                           # (1, C1)
-        c1 = jnp.concatenate(rows, axis=0)                     # (S, C1)
+            c1 = c1 + jnp.where(riota == s, rot[:, :C1], 0)
 
         # ---- level-1 inverse: place values at foreground positions ----
         dense2 = jnp.zeros((S, SUB), jnp.int32)
