@@ -95,9 +95,10 @@ def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
         off_sref[0] = off + chunk_cnt
         ovf_ref[0, 0, 0] |= jnp.int32(ovf1 | (off + chunk_cnt > OUT))
 
+    # numpy constant: jnp inside the lru_cached builder would leak tracers
     i = np.arange(SUB // 8)[:, None]
     j = np.arange(SUB)[None, :]
-    expand_mat = jnp.asarray((j // 8 == i).astype(np.float32))
+    expand_mat = (j // 8 == i).astype(np.float32)
 
     call = pl.pallas_call(
         kernel,

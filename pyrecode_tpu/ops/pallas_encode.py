@@ -125,10 +125,14 @@ def _store_window(comp_ref, tail_ref, off_sref, acc, chunk_cnt, OUT, WIN, C2):
 
 
 def make_pack_matrix(sub: int):
-    """Constant bitmap packing matrix P[i, j] = (i//8 == j) << (i%8)."""
+    """Constant bitmap packing matrix P[i, j] = (i//8 == j) << (i%8).
+
+    Returned as numpy: the kernel builders are lru_cached, and a jnp array
+    created while tracing would leak that trace's tracer into the cache.
+    """
     i = np.arange(sub)[:, None]
     j = np.arange(sub // 8)[None, :]
-    return jnp.asarray(((i // 8 == j) * (1 << (i % 8))).astype(np.float32))
+    return ((i // 8 == j) * (1 << (i % 8))).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=64)

@@ -315,9 +315,10 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
 
     # selection matrices for halo assembly / chunk extraction
     def sel(rows_out, rows_in, fn):
+        # numpy constants: jnp inside the lru_cached builder would leak tracers
         i = np.arange(rows_out)[:, None]
         j = np.arange(rows_in)[None, :]
-        return jnp.asarray(fn(i, j).astype(np.float32))
+        return fn(i, j).astype(np.float32)
 
     sel_prev = sel(R, RPC, lambda i, j: (i < K) & (j == i + RPC - K))
     sel_cur = sel(R, RPC, lambda i, j: (i >= K) & (i < K + RPC) & (j == i - K))

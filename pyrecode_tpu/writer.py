@@ -295,13 +295,20 @@ class ReCoDeWriter:
         pending = None
         for batch_start in range(0, available_frames, self._batch_size):
             batch = data[batch_start: batch_start + self._batch_size]
+            n_in_batch = batch.shape[0]
+            if 1 < n_in_batch < self._batch_size:
+                # pad short final batches to the fixed shape: every distinct
+                # batch size would otherwise compile a new device program
+                pad = np.zeros((self._batch_size - n_in_batch, *batch.shape[1:]),
+                               dtype=batch.dtype)
+                batch = np.concatenate([batch, pad], axis=0)
             first_abs_index = self._chunk_offset + frame_offset + batch_start
             stt = datetime.now()
             dispatched = self._dispatch_encode(batch)
             run_metrics["frame_thresholding_and_counting_time"] += datetime.now() - stt
             if pending is not None:
                 self._finish_batch(*pending, run_metrics)
-            pending = (batch, first_abs_index, dispatched)
+            pending = (batch, first_abs_index, dispatched, n_in_batch)
         if pending is not None:
             self._finish_batch(*pending, run_metrics)
 
@@ -441,9 +448,9 @@ class ReCoDeWriter:
         return out
 
     def _finish_batch(self, batch: np.ndarray, first_abs_index: int, dispatched,
-                      run_metrics: dict) -> None:
+                      n_in_batch: int, run_metrics: dict) -> None:
         stt = datetime.now()
-        streams = self._materialize_streams(batch, dispatched)
+        streams = self._materialize_streams(batch, dispatched)[:n_in_batch]
         if self._rc_operation_mode == 1 and self._compression_pool is not None \
                 and len(streams) > 1:
             records = self._assemble_records_parallel(first_abs_index, streams, run_metrics)
