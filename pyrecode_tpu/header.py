@@ -241,9 +241,11 @@ class ReCoDeHeader:
             if f.kind == "int":
                 out.write(int(value).to_bytes(f.nbytes, "little"))
             elif f.kind == "str":
-                s = str(value)
-                s = s[: f.nbytes] if len(s) > f.nbytes else s.ljust(f.nbytes, " ")
-                out.write(s.encode("utf-8"))
+                encoded = str(value).encode("utf-8")
+                # truncate/pad the encoded BYTES: multi-byte characters would
+                # otherwise break the fixed field width
+                encoded = encoded[: f.nbytes].ljust(f.nbytes, b" ")
+                out.write(encoded)
             else:  # bytes
                 b = bytes(value)[: f.nbytes]
                 out.write(b.ljust(f.nbytes, b"\x00"))

@@ -219,8 +219,12 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret):
 
 
 def supports(height: int, width: int, bit_depth: int) -> bool:
-    """Whether the fused kernel handles this geometry (else use the XLA path)."""
-    if width % 128 or bit_depth > 31:
+    """Whether the fused kernel handles this geometry (else use the XLA path).
+
+    bit_depth is capped at 16: the compaction packs two residuals into the
+    16-bit halves of one int32 accumulator, so wider values would corrupt.
+    """
+    if width % 128 or bit_depth > 16:
         return False
     if height % 8:
         return False

@@ -324,6 +324,8 @@ class ReCoDeReader:
         ny, nx = int(self._header["ny"]), int(self._header["nx"])
         bit_depth = int(self._header["target_bit_depth"])
         mode = int(self._header["rc_operation_mode"])
+        if not 0 <= start < int(self._header["nz"]):
+            raise ValueError("Requested frame index is greater than number of frames in dataset")
         count = min(count, int(self._header["nz"]) - start)
 
         bitmaps = np.zeros((count, self._structures.binary_image_sz_bytes), dtype=np.uint8)

@@ -278,7 +278,7 @@ class ReCoDeNode:
     def _process_file(self, request: MessageData) -> None:
         metrics = self._writer.run(self._data)
         for key, value in metrics.items():
-            if key in self.run_metrics and not key.startswith("run_frames"):
+            if key in self.run_metrics:
                 try:
                     self.run_metrics[key] += value
                 except TypeError:

@@ -82,7 +82,8 @@ def accurate_pixel_thresholds(frames: np.ndarray, base_threshold: np.ndarray,
     masked = jnp.where(d > base_threshold[None], d, -jnp.inf)
     # sort descending over time
     top = -jnp.sort(-masked, axis=0)
-    k = expected_n_events
+    # the (k+1)-th largest requires k < nFrames
+    k = min(expected_n_events, frames.shape[0] - 1)
     acc = (top[k] + top[k - 1]) / 2.0
     acc = jnp.where(jnp.isfinite(acc), acc, base_threshold)
     return np.asarray(acc)

@@ -296,7 +296,7 @@ class ReCoDeWriter:
         for batch_start in range(0, available_frames, self._batch_size):
             batch = data[batch_start: batch_start + self._batch_size]
             n_in_batch = batch.shape[0]
-            if 1 < n_in_batch < self._batch_size:
+            if n_in_batch < self._batch_size:
                 # pad short final batches to the fixed shape: every distinct
                 # batch size would otherwise compile a new device program
                 pad = np.zeros((self._batch_size - n_in_batch, *batch.shape[1:]),
@@ -569,6 +569,8 @@ class ReCoDeWriter:
         self._intermediate_file.close()
         if self._validation_file is not None:
             self._validation_file.close()
+        if self._compression_pool is not None:
+            self._compression_pool.shutdown(wait=False)
 
 
 def print_run_metrics(run_metrics: dict) -> None:

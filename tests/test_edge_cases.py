@@ -192,3 +192,44 @@ def test_binary_file_source(tmp_path):
         fd = reader.get_next_frame()
         assert np.array_equal(fd[i]["data"].todense(), data[i])
     reader.close()
+
+
+def test_review_regressions(tmp_path):
+    """Regression coverage for review findings."""
+    from pyrecode_tpu.header import ReCoDeHeader
+    from pyrecode_tpu import InitParams
+    from pyrecode_tpu.ops import pallas_encode
+    from pyrecode_tpu.utils import calibration
+
+    # non-ASCII filenames must not change the fixed header size
+    init = InitParams("batch", str(tmp_path), image_filename="données_μ.bin")
+    params = _params((2, 64, 64))
+    h = ReCoDeHeader()
+    h.create(init, params, is_intermediate=True)
+    assert len(h.to_bytes()) == 512
+    path = tmp_path / "utf8.hdr"
+    h.serialize(str(path))
+    h2 = ReCoDeHeader()
+    h2.load(str(path))
+    assert h2.as_dict()["nz"] == 2  # fields after the name are not shifted
+
+    # >16-bit depths must not take the 16-bit-half compaction kernel
+    assert not pallas_encode.supports(64, 128, 20)
+    assert pallas_encode.supports(64, 128, 16)
+
+    # accurate thresholds with expected events >= nFrames must not crash
+    rng = np.random.default_rng(0)
+    frames = rng.normal(100, 4, (5, 8, 8)).astype(np.float32)
+    base = np.median(frames, axis=0).astype(np.float32)
+    out = calibration.accurate_pixel_thresholds(frames, base, expected_n_events=50)
+    assert out.shape == (8, 8)
+
+    # read_frames_dense past the end raises cleanly
+    data = _fixture_small = np.zeros((2, 64, 64), np.uint16)
+    data[0, 1, 1] = 5
+    merged = _write_and_merge(tmp_path, data, _params(data.shape), name="rr")
+    reader = ReCoDeReader(merged)
+    reader.open()
+    with pytest.raises(ValueError):
+        reader.read_frames_dense(2, 4)
+    reader.close()
