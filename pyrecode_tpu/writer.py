@@ -256,8 +256,20 @@ class ReCoDeWriter:
         else:
             self._header["nz"] = self._input_params.num_frames
 
-    def run(self, data=None) -> dict:
-        """Encode this node's slice of the current chunk; returns run metrics."""
+    def run(self, data=None, profile_dir: Optional[str] = None) -> dict:
+        """Encode this node's slice of the current chunk; returns run metrics.
+
+        ``profile_dir`` captures a jax.profiler (TensorBoard/XProf) trace of
+        the whole run — device kernels show up annotated per batch.
+        """
+        if profile_dir:
+            from .profiling import trace
+
+            with trace(profile_dir):
+                return self._run_impl(data)
+        return self._run_impl(data)
+
+    def _run_impl(self, data=None) -> dict:
         run_metrics: dict = {}
         self._do_sanity_checks(data)
         self._is_first_chunk = False

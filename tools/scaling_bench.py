@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Multi-chip scaling-efficiency harness.
+
+Measures the shard_map'd fused encode step's throughput at 1, 2, ..., N
+devices on whatever mesh the runtime exposes and reports efficiency vs
+linear scaling — the BASELINE.json v5e-16 target is >=85%.
+
+On this round's single-chip terminal it can only demonstrate methodology on
+virtual CPU devices (set XLA_FLAGS=--xla_force_host_platform_device_count=N
+JAX_PLATFORMS=cpu); run on a real pod slice for meaningful numbers.
+
+Usage: python tools/scaling_bench.py [--size 1024] [--frames-per-device 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=1024)
+    parser.add_argument("--frames-per-device", type=int, default=8)
+    parser.add_argument("--density", type=float, default=0.01)
+    parser.add_argument("--reps", type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pyrecode_tpu.parallel import make_codec_mesh
+    from pyrecode_tpu.parallel.multihost import (
+        make_pallas_encode_step, replicate_threshold)
+
+    n_total = len(jax.devices())
+    size = args.size
+    out_size = max(1024, 1 << (int(args.density * size * size * 2) - 1).bit_length())
+    thr_host = jnp.zeros((size, size), jnp.uint16)
+
+    results = []
+    counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_total]
+    base = None
+    for n_dev in counts:
+        mesh = make_codec_mesh(n_dev, 1, devices=jax.devices()[:n_dev])
+        batch = args.frames_per_device * n_dev
+        key = jax.random.key(0)
+        u = jax.random.uniform(key, (batch, size, size), jnp.float32)
+        vals = jax.random.randint(jax.random.key(1), (batch, size, size), 1, 4096, jnp.int32)
+        frames = jnp.where(u < args.density, vals, 0).astype(jnp.uint16)
+        frames = jax.device_put(
+            frames, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data", None, None)))
+        thr = replicate_threshold(thr_host, mesh)
+        step = make_pallas_encode_step(mesh, out_size=out_size, bit_depth=12)
+
+        out = step(frames, thr)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(step(frames, thr))
+            best = min(best, time.perf_counter() - t0)
+        gbps = batch * size * size * 2 / 1e9 / best
+        if base is None:
+            base = gbps
+        eff = gbps / (base * n_dev)
+        results.append({"devices": n_dev, "GBps": round(gbps, 3),
+                        "efficiency_vs_linear": round(eff, 3)})
+        print(json.dumps(results[-1]), file=sys.stderr)
+
+    print(json.dumps({"metric": "weak-scaling encode efficiency",
+                      "platform": jax.devices()[0].platform,
+                      "results": results}))
+
+
+if __name__ == "__main__":
+    main()
