@@ -17,6 +17,9 @@ from pyrecode_tpu.reader import ReCoDeReader, merge_parts
 
 
 def main(out_dir):
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
     shape = (9, 512, 512)
     rng = np.random.default_rng(0)
     data = (rng.integers(0, 4096, size=shape) - 3500).clip(0).astype(np.uint16)

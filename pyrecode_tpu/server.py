@@ -166,6 +166,7 @@ class Logger:
         if self._thread is not None:
             self._thread.join(timeout=10)
         if self._log_filename:
+            Path(self._log_filename).parent.mkdir(parents=True, exist_ok=True)
             with open(self._log_filename, "a") as fp:
                 for line in self._records:
                     fp.write(line + "\n")
