@@ -363,6 +363,11 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
         ],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
                         pltpu.VMEM((1, WIN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            # the unrolled propagation/window loops hold many chunk-sized
+            # temporaries live on the Mosaic stack; the 16MB default scoped
+            # budget OOMs at 4096-wide chunks
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=bool(interpret),
     )
     return call, (pack_mat, sel_prev, sel_cur, sel_next, sel_chunk)
@@ -387,7 +392,8 @@ def supports(height: int, width: int, bit_depth: int) -> bool:
                                              "bit_depth", "interpret"))
 def _label_call(frames, threshold, out_size, halo, c1, mode, bit_depth, interpret):
     B, H, W = frames.shape
-    rpc = 32
+    # narrower chunks for wide frames keep the halo'd working set bounded
+    rpc = 32 if W <= 2048 else 16
     sub = W if W <= 512 else 512
     call, consts = _build_l2l4_kernel(
         B, H, W, out_size, rpc, halo, sub, c1, mode, bit_depth, interpret)
