@@ -99,9 +99,15 @@ def _padded_u8(buf: bytes, pad: int = 8) -> np.ndarray:
 def unpack_frame_sparse(bitmap: bytes, pixvals: Optional[bytes], ny: int, nx: int,
                         bit_depth: int, reduction_level: int
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Native decode to (rows, cols, values); falls back to the oracle."""
+    """Native decode to (rows, cols, values); falls back to the oracle.
+
+    Depths above 16 bits take the oracle path: the C kernel extracts values
+    through an unaligned 64-bit window (correct only to 57 bits) and its
+    encode counterpart is u16-only, so wide depths are served by numpy's
+    np.unpackbits-based oracle, which is exact at any depth.
+    """
     lib = get_lib()
-    if lib is None:
+    if lib is None or bit_depth > 16:
         from . import oracle
 
         return oracle.decode_frame_sparse(bitmap, pixvals, ny, nx, bit_depth,
@@ -120,9 +126,12 @@ def unpack_frame_sparse(bitmap: bytes, pixvals: Optional[bytes], ny: int, nx: in
 
 
 def bit_pack(values: np.ndarray, bit_depth: int) -> np.ndarray:
-    """Native b-bit LSB-first packing; falls back to the oracle."""
+    """Native b-bit LSB-first packing; falls back to the oracle.
+
+    The C kernel reads u16 inputs, so depths above 16 bits go to the oracle.
+    """
     lib = get_lib()
-    if lib is None:
+    if lib is None or bit_depth > 16:
         from . import oracle
 
         return oracle.bit_pack(values, bit_depth)
@@ -136,9 +145,11 @@ def bit_pack(values: np.ndarray, bit_depth: int) -> np.ndarray:
 
 
 def bit_unpack(packed: bytes, bit_depth: int, n_values: int, dtype=np.uint64) -> np.ndarray:
-    """Native b-bit unpack; falls back to the oracle."""
+    """Native b-bit unpack; falls back to the oracle (always for depth > 16,
+    where the C unaligned-64-bit-window extraction would go wrong past 57
+    bits and asymmetry with the u16-only packer serves no one)."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or bit_depth > 16:
         from . import oracle
 
         return oracle.bit_unpack(packed, bit_depth, n_values, dtype=dtype)

@@ -299,8 +299,12 @@ class ReCoDeReader:
             rows, cols, vals = oracle.decode_frame_sparse(binary_map, None, ny, nx, bit_depth, 2,
                                                           dtype=self._numpy_dtype)
             data = coo_matrix((vals, (rows, cols)), shape=(ny, nx), dtype=self._numpy_dtype)
-            n_packed = int(metadata["bytes_in_packed_summary_stats"])
-            n_puddles = (n_packed * 8) // bit_depth
+            # True puddle count from a label pass over the decoded bitmap:
+            # inferring it from the packed byte length ((n_packed*8)//bit_depth)
+            # over-counts for bit_depth not dividing 8 — the final byte's pad
+            # bits would decode as spurious zero-valued puddles.
+            mask = oracle.unpack_binary_frame(binary_map, ny * nx).reshape(ny, nx).astype(bool)
+            _, n_puddles = oracle.label_components(mask)
             stats = oracle.decode_summary_stats(pixvals, bit_depth, n_puddles, dtype=self._numpy_dtype)
             return {"metadata": metadata, "data": data, "summary_stats": stats}
         # L3 / L4: bitmap only, value 1 per set bit
@@ -441,7 +445,7 @@ def merge_parts(folder_path: str, base_filename: str, num_parts: int) -> str:
     mode = int(header["rc_operation_mode"])
     from .structures import _SCHEMA
 
-    metadata_fields = [f["name"] for f in _SCHEMA[(level, mode)]]
+    metadata_fields = _SCHEMA[(level, mode)]
 
     while True:
         live = [(i, next(iter(p.keys()))) for i, p in enumerate(pending) if p is not None]
@@ -457,8 +461,10 @@ def merge_parts(folder_path: str, base_filename: str, num_parts: int) -> str:
     # backfill the metadata table (frame_id is dropped: recode_reader.py:584-585)
     target.seek(header_length + source_header_length, 0)
     for row in metadata_rows:
-        for name in metadata_fields:
-            target.write(int(row[name]).to_bytes(4, "little"))
+        for field in metadata_fields:
+            # honor each field's declared width so writer and reader share one
+            # source of truth (reader parses with field['bytes'])
+            target.write(int(row[field["name"]]).to_bytes(field["bytes"], "little"))
 
     # patch nz with the true merged frame count
     target.seek(nz_position, 0)

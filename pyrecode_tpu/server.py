@@ -177,14 +177,23 @@ class ReCoDeNode:
     machine start / process_file / close (reference recode_server.py:567-736)."""
 
     def __init__(self, node_id: int, init_params: InitParams, input_params: InputParams,
-                 logger: Logger, session_id: str, fail_on_command: Optional[str] = None):
+                 logger: Logger, session_id: str, fail_on_command: Optional[str] = None,
+                 resume: bool = False, resume_chunk_offset: int = 0):
         self.node_id = node_id
         self._init_params = init_params
         self._input_params = input_params
         self._logger = logger
         self._session_id = session_id
-        # fault injection for recovery tests: raise once on this command
-        self._fail_on_command = fail_on_command
+        # fault injection for recovery tests: die on the nth occurrence of a
+        # command — either "cmd" (first occurrence) or ("cmd", n)
+        if isinstance(fail_on_command, tuple):
+            self._fail_command, self._fail_at_occurrence = fail_on_command
+        else:
+            self._fail_command, self._fail_at_occurrence = fail_on_command, 1
+        # stream-mode replacement: append to the existing part file instead
+        # of truncating it, continuing frame_ids at resume_chunk_offset
+        self._resume = resume
+        self._resume_chunk_offset = resume_chunk_offset
         self._writer: Optional[ReCoDeWriter] = None
         self._dark_data = None
         self._data = None
@@ -224,11 +233,13 @@ class ReCoDeNode:
                 continue
             command = request.message
             self.status = rc.STATUS_CODE_BUSY
-            if command == self._fail_on_command:
-                self._fail_on_command = None
-                self._log(f"injected fault on '{command}'", rc.MESSAGE_TYPE_ERROR)
-                self.status = rc.STATUS_CODE_ERROR
-                return
+            if command == self._fail_command:
+                self._fail_at_occurrence -= 1
+                if self._fail_at_occurrence <= 0:
+                    self._fail_command = None
+                    self._log(f"injected fault on '{command}'", rc.MESSAGE_TYPE_ERROR)
+                    self.status = rc.STATUS_CODE_ERROR
+                    return
             try:
                 if command == "start":
                     self._open()
@@ -273,8 +284,9 @@ class ReCoDeNode:
         self._log("writer created")
 
     def _start(self) -> None:
-        self._writer.start()
-        self._log("writer started")
+        self._writer.start(resume=self._resume,
+                           chunk_offset=self._resume_chunk_offset)
+        self._log("writer started" + (" (resumed)" if self._resume else ""))
 
     def _process_file(self, request: MessageData) -> None:
         metrics = self._writer.run(self._data)
@@ -393,15 +405,24 @@ class ReCoDeServer:
 
     def _spawn_replacement_node(self, index: int, clients: List[NodeClient],
                                 nodes: List[ReCoDeNode], logger: Logger) -> None:
-        """Rebuild a failed node in place and bring it back to AVAILABLE."""
+        """Rebuild a failed node in place and bring it back to AVAILABLE.
+
+        Batch mode restarts the part file from the header (the whole slice is
+        re-encoded).  Stream mode must NOT truncate: earlier chunks' source
+        files are already deleted, so the replacement writer appends to the
+        existing part file and continues frame_ids from the head node's
+        completed-chunk frame counter.
+        """
         logger.push("head", f"spawning replacement for node-{index}",
                     rc.MESSAGE_TYPE_ERROR)
-        replacement = ReCoDeNode(index, self._init_params_live, self._input_params_live,
-                                 logger, self._session_id)
+        resume = self._mode == "stream"
+        replacement = ReCoDeNode(
+            index, self._init_params_live, self._input_params_live,
+            logger, self._session_id, resume=resume,
+            resume_chunk_offset=getattr(self, "_stream_chunk_offset", 0))
         replacement.start_thread(dark_data=self._dark_data, data=self._data)
         nodes[index] = replacement
         clients[index] = NodeClient(replacement.token, self._session_id)
-        # bring the writer back up; its part file restarts from the header
         clients[index].send_request("start")
 
     @staticmethod
@@ -431,6 +452,9 @@ class ReCoDeServer:
         idle_timeout = max(15.0, float(init_params.chunk_time_in_sec) + 1.0)
 
         processed = 0
+        # cumulative frames of COMPLETED chunks — the authoritative resume
+        # point for a stream-mode replacement writer's frame counter
+        self._stream_chunk_offset = 0
         idle_since = time.monotonic()
         while processed < max_count:
             chunks = sorted(
@@ -452,4 +476,11 @@ class ReCoDeServer:
                 break
             next_name.unlink(missing_ok=True)
             processed += 1
+            # all healthy nodes share the chunk sequence, so any writer's
+            # advanced frame counter is the completed-chunk total
+            for node in nodes:
+                writer = node._writer
+                if writer is not None and node.status != rc.STATUS_CODE_ERROR:
+                    self._stream_chunk_offset = max(self._stream_chunk_offset,
+                                                    writer._chunk_offset)
             logger.push("head", f"processed stream chunk {processed} ({chunk.name})")

@@ -113,7 +113,14 @@ class ReCoDeWriter:
             calibration = calibration.astype(self._src_dtype)
         self._calibration_frame = calibration
         eps = self._input_params.calibration_threshold_epsilon
-        self._threshold = (calibration.astype(np.int64) + eps).astype(self._src_dtype)
+        # Saturate instead of wrapping: a dark pixel near the dtype max must
+        # become a "never foreground" threshold, not wrap to ~0 and flag the
+        # pixel permanently hot (the reference wraps, recode_writer.py:137 —
+        # silent-corruption quirk we deliberately do not replicate).
+        thr = calibration.astype(np.int64) + eps
+        if np.issubdtype(self._src_dtype, np.integer):
+            thr = np.minimum(thr, np.iinfo(self._src_dtype).max)
+        self._threshold = thr.astype(self._src_dtype)
 
         self._node_id = node_id
         self._structures = ReCoDeStructures(self._header)
@@ -195,8 +202,16 @@ class ReCoDeWriter:
     def part_file_name(self) -> Optional[str]:
         return self._intermediate_file_name
 
-    def start(self) -> None:
-        """Create the part file, serialize the header, set up buffers."""
+    def start(self, resume: bool = False, chunk_offset: int = 0) -> None:
+        """Create the part file, serialize the header, set up buffers.
+
+        With ``resume=True`` (stream-mode node replacement) an existing part
+        file is *appended to* instead of truncated: the complete records
+        already on disk are scanned to restore ``_num_frames_in_part``, any
+        torn trailing record is dropped, and ``chunk_offset`` restores the
+        global frame counter (the head node tracks it across completed
+        chunks) so new frame_ids continue where the dead writer left off.
+        """
         if self._init_params.mode == "batch":
             base_filename = Path(self._init_params.image_filename).stem
         else:
@@ -205,20 +220,55 @@ class ReCoDeWriter:
         self._intermediate_file_name = os.path.join(
             self._init_params.output_directory,
             f"{base_filename}.rc{self._reduction_level}_part{self._node_id:03d}")
-        self._intermediate_file = open(self._intermediate_file_name, "wb")
-        self._rc_header.serialize_to(self._intermediate_file)
-        self._intermediate_file.flush()
+        resumed = resume and self._resume_part_file()
+        if not resumed:
+            self._intermediate_file = open(self._intermediate_file_name, "wb")
+            self._rc_header.serialize_to(self._intermediate_file)
+            self._intermediate_file.flush()
+            self._num_frames_in_part = 0
 
         if self._init_params.validation_frame_gap > 0:
             self._validation_file_name = os.path.join(
                 self._init_params.output_directory,
                 f"{base_filename}_part{self._node_id:03d}_validation_frames.bin")
-            self._validation_file = open(self._validation_file_name, "wb")
+            self._validation_file = open(self._validation_file_name,
+                                         "ab" if resumed else "wb")
 
         frame_bytes = int(self._header["ny"]) * int(self._header["nx"]) * np.dtype(self._src_dtype).itemsize
         self._out_buffer_limit = max(frame_bytes * self._batch_size, 1 << 20)
-        self._chunk_offset = 0
-        self._num_frames_in_part = 0
+        self._chunk_offset = int(chunk_offset) if resumed else 0
+
+    def _resume_part_file(self) -> bool:
+        """Reopen an existing part file for append; restore frame count.
+
+        Returns False (caller falls back to a fresh file) when the file is
+        missing or its header is unreadable.
+        """
+        path = self._intermediate_file_name
+        if not os.path.exists(path):
+            return False
+        try:
+            from .reader import ReCoDeReader
+
+            scan = ReCoDeReader(path, is_intermediate=True)
+            scan.open()
+            end_pos = scan._frame_data_start_position
+            if os.path.getsize(path) < end_pos:
+                scan.close()
+                return False  # torn inside the headers: start fresh
+            n = 0
+            while scan.get_next_frame_raw(read_data=False) is not None:
+                n += 1
+                end_pos = scan.get_file_position()
+            scan.close()
+        except Exception:
+            return False
+        self._intermediate_file = open(path, "r+b")
+        self._intermediate_file.truncate(end_pos)
+        self._intermediate_file.seek(end_pos)
+        self._num_frames_in_part = n
+        self._is_first_chunk = False  # source header is already on disk
+        return True
 
     # -------------------------------------------------------------------- run
 
@@ -486,19 +536,26 @@ class ReCoDeWriter:
         processes, but per batch inside one writer.  zstd contexts are not
         thread-safe, so each task builds on the per-thread codec cache.
         """
-        stt = datetime.now()
         compress = self._codec_for_thread
 
         def work(args):
             index, (bitmap, pixvals) = args
             codec = compress()
+            t0 = datetime.now()
             cbm = codec.compress(bitmap)
+            t1 = datetime.now()
             cpx = codec.compress(pixvals) if pixvals is not None else None
-            return index, bitmap, pixvals, cbm, cpx
+            t2 = datetime.now()
+            return index, bitmap, pixvals, cbm, cpx, t1 - t0, t2 - t1
 
         results = list(self._compression_pool.map(work, enumerate(streams)))
         records = []
-        for index, bitmap, pixvals, cbm, cpx in results:
+        # Per-stage times measured inside each pool task (the reference times
+        # each stage truly, recode_writer.py:497-550); summed task durations
+        # are the cumulative-work analogue under thread fan-out.
+        for index, bitmap, pixvals, cbm, cpx, t_bm, t_px in results:
+            run_metrics["frame_binary_image_compression_time"] += t_bm
+            run_metrics["frame_pixel_intensity_compression_time"] += t_px
             frame_id = int(first_abs_index + index).to_bytes(4, "little")
             if self._reduction_level in (1, 2):
                 records.append(frame_id
@@ -508,9 +565,6 @@ class ReCoDeWriter:
                                + cbm + cpx)
             else:
                 records.append(frame_id + len(cbm).to_bytes(4, "little") + cbm)
-        elapsed = datetime.now() - stt
-        run_metrics["frame_binary_image_compression_time"] += elapsed / 2
-        run_metrics["frame_pixel_intensity_compression_time"] += elapsed / 2
         return records
 
     def _codec_for_thread(self):

@@ -233,3 +233,40 @@ def test_uneven_split(tmp_path):
         fd = reader.get_next_frame()
         assert np.array_equal(fd[i]["data"].todense(), data[i]), i
     reader.close()
+
+
+def test_threshold_saturates_instead_of_wrapping(tmp_path):
+    """dark + epsilon past the dtype max must saturate (pixel permanently
+    background), not wrap to ~0 (pixel permanently foreground)."""
+    dark = np.full((16, 16), 65530, dtype=np.uint16)
+    params = _params((2, 16, 16), num_threads=1, calibration_threshold_epsilon=10)
+    writer = ReCoDeWriter("sat", dark_data=dark, output_directory=str(tmp_path),
+                          input_params=params, use_tpu=False)
+    assert writer._threshold.dtype == np.uint16
+    assert np.all(writer._threshold == 65535)  # saturated, not 65530+10-65536=4
+
+
+def test_l2_no_spurious_pad_puddles(tmp_path):
+    """For bit_depth < 8 the packed summary-stat stream's pad bits must not
+    decode as extra zero-valued puddles (puddle count comes from the label
+    pass, not the padded byte length)."""
+    from pyrecode_tpu import oracle
+
+    # exactly 3 puddles: 3 values * 4 bits = 12 bits -> 2 bytes; a byte-length
+    # derived count would report 4 puddles
+    data = np.zeros((1, 32, 32), dtype=np.uint16)
+    data[0, 2, 2] = 9
+    data[0, 10, 10] = 13
+    data[0, 20, 20] = 7
+    dark = np.zeros((32, 32), dtype=np.uint16)
+    params = _params(data.shape, num_threads=1, reduction_level=2,
+                     l2_statistics=1, target_bit_depth=4, source_bit_depth=4)
+    _write_parts(tmp_path, data, dark, params, use_tpu=False)
+    merged = merge_parts(str(tmp_path), "test_data.rc2", 1)
+    reader = ReCoDeReader(merged)
+    reader.open()
+    fd = reader.get_next_frame()
+    stats = fd[0]["summary_stats"]
+    assert len(stats) == 3
+    assert np.array_equal(np.sort(stats), [7, 9, 13])
+    reader.close()

@@ -156,3 +156,42 @@ def test_replacement_node_recovers_failed_slice(tmp_path):
     reader.close()
     log = (tmp_path / "recode.log").read_text()
     assert "replacement" in log
+
+
+def test_stream_replacement_preserves_earlier_chunks(tmp_path):
+    """A stream-mode node that dies on chunk 2 must be replaced WITHOUT
+    truncating its part file: chunk 1 data (whose source file is already
+    deleted) survives, and replayed frame_ids continue where it left off."""
+    shape_chunk = (4, 64, 64)
+    chunks = [_fixture(shape_chunk, seed=10 + i) for i in range(3)]
+    dark = np.zeros(shape_chunk[1:], dtype=np.uint16)
+
+    watch = tmp_path / "acquisition"
+    watch.mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+    for i, chunk in enumerate(chunks):
+        (watch / f"chunk_{i:03d}.seq").write_bytes(chunk.tobytes())
+        time.sleep(0.02)
+
+    init_params = InitParams(
+        "stream", str(out), image_filename="ignored", directory_path=str(watch),
+        log_filename=str(tmp_path / "recode.log"), run_name="stream_rec",
+        verbosity=0, max_count=3, chunk_time_in_sec=1)
+    params = _input_params(shape_chunk, num_threads=2)
+
+    server = ReCoDeServer("stream")
+    server.run(init_params, input_params=params, dark_data=dark,
+               fail_node_ids={1}, fail_node_on_command=("process_file", 2))
+
+    merged = merge_parts(str(out), "stream_rec.rc1", 2)
+    reader = ReCoDeReader(merged)
+    reader.open()
+    expected = np.concatenate(chunks, axis=0)
+    assert reader.get_shape()[0] == 12  # nothing lost
+    for i in range(12):
+        fd = reader.get_next_frame()
+        assert np.array_equal(fd[i]["data"].todense(), expected[i]), i
+    reader.close()
+    log = (tmp_path / "recode.log").read_text()
+    assert "replacement" in log and "resumed" in log
