@@ -439,61 +439,17 @@ inline void length_symbol(uint32_t len, uint32_t &sym, uint32_t &extra_bits,
     extra_val = len - base[c];
 }
 
-}  // namespace
-
-extern "C" {
-
-// Dynamic-Huffman sparse deflate (zlib stream).  out capacity as for
-// deflate_sparse.  Scratch token buffer must hold n+16 uint32.
-int64_t deflate_sparse_dyn(const uint8_t *src, uint64_t n, uint8_t *out,
-                           uint32_t *tokens) {
-    // ---- tokenize: literal v, or run -> literal v + matches (dist 1) ----
-    uint64_t ntok = 0;
-    uint32_t lfreq[286] = {0};
-    uint64_t i = 0;
-    while (i < n) {
-        const uint8_t v = src[i];
-        uint64_t j = i + 1;
-        while (j < n && src[j] == v) ++j;
-        uint64_t run = j - i;
-        if (run >= 4) {
-            tokens[ntok++] = v;  // literal
-            ++lfreq[v];
-            uint64_t left = run - 1;
-            while (left >= 3) {
-                uint32_t take = left > 258 ? 258 : (uint32_t)left;
-                if (left - take == 1 || left - take == 2) take -= 3;
-                tokens[ntok++] = 0x80000000u | take;
-                uint32_t sym, eb, ev;
-                length_symbol(take, sym, eb, ev);
-                ++lfreq[sym];
-                left -= take;
-            }
-            while (left--) { tokens[ntok++] = v; ++lfreq[v]; }
-        } else {
-            while (run--) { tokens[ntok++] = v; ++lfreq[v]; }
-        }
-        i = j;
-    }
-    ++lfreq[256];  // end of block
-
-    // ---- literal/length + distance code construction ----
-    uint8_t llen[286];
-    uint16_t lcode[286];
-    huff_lengths(lfreq, 286, 15, llen);
-    huff_codes(llen, 286, lcode);
-    // single distance symbol (0 = distance 1); RFC requires >= 1 dist code
+// Serialize the RFC 1951 dynamic block header (HLIT/HDIST/HCLEN + code-length
+// code + length sequence) for literal/length lengths `llen` and the codec's
+// fixed single-distance-code table.  Factored out so the TPU entropy path can
+// obtain a bit-identical header for device-assembled token streams.
+void write_dyn_header(BitWriter &bw, const uint8_t *llen) {
     uint8_t dlen[30] = {0};
-    uint16_t dcode[30] = {0};
     dlen[0] = 1;
 
-    BitWriter bw(out);
-    out[bw.pos++] = 0x78;
-    out[bw.pos++] = 0x01;
     bw.put_lsb(1, 1);  // BFINAL
     bw.put_lsb(2, 2);  // BTYPE = 10 (dynamic)
 
-    // ---- code-length alphabet for the header ----
     int hlit = 286;
     while (hlit > 257 && llen[hlit - 1] == 0) --hlit;
     int hdist = 1;  // just distance code 0
@@ -556,6 +512,81 @@ int64_t deflate_sparse_dyn(const uint8_t *src, uint64_t n, uint8_t *out,
         bw.put_huff(clcode[clsyms[k]], cllen[clsyms[k]]);
         if (clebits[k]) bw.put_lsb(clextra[k], clebits[k]);
     }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build canonical dynamic-Huffman tables from 286 literal/length frequencies.
+// (Exported so the TPU entropy path shares this exact construction — heap
+// tie-breaking included — making device streams byte-identical to
+// deflate_sparse_dyn's.)
+void dyn_tables(const uint32_t *lfreq, uint8_t *llen, uint16_t *lcode) {
+    huff_lengths(lfreq, 286, 15, llen);
+    huff_codes(llen, 286, lcode);
+}
+
+// Serialize zlib header (2 bytes) + BFINAL/BTYPE + dynamic block header into
+// out (capacity >= 400 bytes; the trailing partial byte is written zero-padded).
+// Returns the total BIT length including the 16 zlib-header bits.
+int64_t dyn_header(const uint8_t *llen, uint8_t *out) {
+    BitWriter bw(out);
+    out[bw.pos++] = 0x78;
+    out[bw.pos++] = 0x01;
+    write_dyn_header(bw, llen);
+    const int64_t bits = (int64_t)bw.pos * 8 + bw.fill;
+    if (bw.fill) out[bw.pos] = (uint8_t)bw.acc;  // partial byte, zero-padded
+    return bits;
+}
+
+// Dynamic-Huffman sparse deflate (zlib stream).  out capacity as for
+// deflate_sparse.  Scratch token buffer must hold n+16 uint32.
+int64_t deflate_sparse_dyn(const uint8_t *src, uint64_t n, uint8_t *out,
+                           uint32_t *tokens) {
+    // ---- tokenize: literal v, or run -> literal v + matches (dist 1) ----
+    uint64_t ntok = 0;
+    uint32_t lfreq[286] = {0};
+    uint64_t i = 0;
+    while (i < n) {
+        const uint8_t v = src[i];
+        uint64_t j = i + 1;
+        while (j < n && src[j] == v) ++j;
+        uint64_t run = j - i;
+        if (run >= 4) {
+            tokens[ntok++] = v;  // literal
+            ++lfreq[v];
+            uint64_t left = run - 1;
+            while (left >= 3) {
+                uint32_t take = left > 258 ? 258 : (uint32_t)left;
+                if (left - take == 1 || left - take == 2) take -= 3;
+                tokens[ntok++] = 0x80000000u | take;
+                uint32_t sym, eb, ev;
+                length_symbol(take, sym, eb, ev);
+                ++lfreq[sym];
+                left -= take;
+            }
+            while (left--) { tokens[ntok++] = v; ++lfreq[v]; }
+        } else {
+            while (run--) { tokens[ntok++] = v; ++lfreq[v]; }
+        }
+        i = j;
+    }
+    ++lfreq[256];  // end of block
+
+    // ---- literal/length + distance code construction ----
+    uint8_t llen[286];
+    uint16_t lcode[286];
+    huff_lengths(lfreq, 286, 15, llen);
+    huff_codes(llen, 286, lcode);
+    // single distance symbol (0 = distance 1): dlen[0]=1, dcode[0]=0
+    const uint8_t dlen0 = 1;
+    const uint16_t dcode0 = 0;
+
+    BitWriter bw(out);
+    out[bw.pos++] = 0x78;
+    out[bw.pos++] = 0x01;
+    write_dyn_header(bw, llen);
 
     // ---- emit tokens ----
     for (uint64_t k = 0; k < ntok; ++k) {
@@ -565,7 +596,7 @@ int64_t deflate_sparse_dyn(const uint8_t *src, uint64_t n, uint8_t *out,
             length_symbol(tok & 0x7FFFFFFFu, sym, eb, ev);
             bw.put_huff(lcode[sym], llen[sym]);
             if (eb) bw.put_lsb(ev, eb);
-            bw.put_huff(dcode[0], dlen[0]);  // distance 1
+            bw.put_huff(dcode0, dlen0);  // distance 1
         } else {
             bw.put_huff(lcode[tok], llen[tok]);
         }

@@ -75,6 +75,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.deflate_sparse_dyn.restype = ctypes.c_int64
         lib.deflate_sparse_dyn.argtypes = [u8p, ctypes.c_uint64, u8p, u32p]
+        u16p2 = ctypes.POINTER(ctypes.c_uint16)
+        lib.dyn_tables.restype = None
+        lib.dyn_tables.argtypes = [u32p, u8p, u16p2]
+        lib.dyn_header.restype = ctypes.c_int64
+        lib.dyn_header.argtypes = [u8p, u8p]
         _lib = lib
         return _lib
 
@@ -195,6 +200,42 @@ def deflate_sparse(data) -> bytes:
         _u8ptr(src), ctypes.c_uint64(src.size), _u8ptr(out),
         tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return out[:n].tobytes()
+
+
+def dyn_tables(lfreq: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Canonical dynamic-Huffman tables from 286 literal/length frequencies.
+
+    Exactly the construction used by :func:`deflate_sparse` dynamic mode
+    (heap tie-breaking included), so streams assembled from these tables are
+    byte-identical to ``deflate_sparse_dyn`` output.  Returns (llen u8[286],
+    lcode u16[286]).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    freq = np.ascontiguousarray(lfreq, dtype=np.uint32)
+    assert freq.size == 286
+    llen = np.zeros(286, dtype=np.uint8)
+    lcode = np.zeros(286, dtype=np.uint16)
+    lib.dyn_tables(freq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                   _u8ptr(llen),
+                   lcode.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    return llen, lcode
+
+
+def dyn_header(llen: np.ndarray) -> Tuple[np.ndarray, int]:
+    """zlib header + dynamic block header bits for literal/length lengths.
+
+    Returns (bytes u8[ceil(bits/8)], bit_length); the final byte is partial
+    (zero-padded) unless bit_length % 8 == 0.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    lens = np.ascontiguousarray(llen, dtype=np.uint8)
+    out = np.zeros(512, dtype=np.uint8)
+    bits = int(lib.dyn_header(_u8ptr(lens), _u8ptr(out)))
+    return out[: (bits + 7) // 8], bits
 
 
 class Reader:
