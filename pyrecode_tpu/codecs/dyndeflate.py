@@ -213,6 +213,111 @@ def finish_stream(hdr_bytes: np.ndarray, hdr_bits: int, body: np.ndarray,
     return stream + int(adler).to_bytes(4, "big")
 
 
+def luts_as_radix(llen: np.ndarray, lcode: np.ndarray
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Token LUTs padded to 1024 entries and laid out (idx>>5, idx&31) as
+    (32, 32) float32 — the shape the assembly kernel's bilinear lookup wants.
+    """
+    val, bits = token_luts(llen, lcode)
+    v = np.zeros(1024, np.float32)
+    b = np.zeros(1024, np.float32)
+    v[:LUT_SIZE] = val.astype(np.float32)
+    b[:LUT_SIZE] = bits.astype(np.float32)
+    return v.reshape(32, 32), b.reshape(32, 32)
+
+
+def splice_eob(body: np.ndarray, total_bits: int, eob_val: int, eob_len: int
+               ) -> Tuple[np.ndarray, int]:
+    """Append the end-of-block code at bit ``total_bits`` of ``body``."""
+    nfull = total_bits // 8
+    ph = total_bits % 8
+    head = int(body[nfull]) if ph else 0
+    word = head | (int(eob_val) << ph)
+    nb = (ph + eob_len + 7) // 8
+    tail = np.frombuffer(bytes((word >> (8 * i)) & 255 for i in range(nb)),
+                         dtype=np.uint8)
+    return np.concatenate([body[:nfull], tail]), total_bits + eob_len
+
+
+def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None):
+    """Device entropy stage: deflate a batch of byte streams on the TPU.
+
+    ``streams`` — (B, NPAD) u8 array (device or host; NPAD a multiple of
+    4096); ``lengths`` — (B,) valid byte counts.  ``raw_cb(i)`` optionally
+    returns stream i's raw bytes for the (rare) stored-block fallback; when
+    absent, a fallback-needing stream is read back from the device.
+
+    Tokenization, histograms, adler32 and bitstream assembly run on device
+    (ops/pallas_deflate.py); the host contributes the O(alphabet) Huffman
+    table + header construction via the native library, making the output
+    byte-identical to ``native.deflate_sparse``.  Returns a list of B zlib
+    streams.
+    """
+    import jax.numpy as jnp
+
+    from .. import native
+    from ..ops import pallas_deflate as pdk
+
+    streams = jnp.asarray(streams, dtype=jnp.uint8)
+    B, npad = streams.shape
+    lengths = np.asarray(lengths, dtype=np.int32)
+    assert npad % pdk.CH_A == 0 and npad % pdk.CH_B == 0
+
+    lut_idx, hist, adler = pdk.tokenize_pallas(streams, jnp.asarray(lengths),
+                                               interpret=interpret)
+    hist_np = np.asarray(hist)     # (B, 512) — small readback
+    adler_np = np.asarray(adler)
+
+    vluts = np.zeros((B, 32, 32), np.float32)
+    bluts = np.zeros((B, 32, 32), np.float32)
+    hdrs, hdr_bits, eobs = [], [], []
+    phases = np.zeros(B, np.int32)
+    partials = np.zeros(B, np.int32)
+    for i in range(B):
+        lfreq = hist_np[i, :286].astype(np.uint32).copy()
+        lfreq[256] += 1  # end of block
+        llen, lcode = native.dyn_tables(lfreq)
+        hb, hbits = native.dyn_header(llen)
+        vluts[i], bluts[i] = luts_as_radix(llen, lcode)
+        hdrs.append(hb)
+        hdr_bits.append(hbits)
+        eobs.append((int(bit_reverse(lcode[256:257], llen[256:257])[0]),
+                     int(llen[256])))
+        phases[i] = hbits % 8
+        partials[i] = int(hb[-1]) if hbits % 8 else 0
+
+    out_bound = 2 * npad + 256
+    body, totbits, ovf = pdk.assemble_pallas(
+        lut_idx, jnp.asarray(vluts), jnp.asarray(bluts),
+        jnp.asarray(phases), jnp.asarray(partials), out_bound,
+        interpret=interpret)
+    totbits_np = np.asarray(totbits)
+    ovf_np = np.asarray(ovf)
+
+    results = []
+    for i in range(B):
+        n = int(lengths[i])
+        stored_size = 2 + n + 5 * (n // 65535 + 1)
+        tot = int(totbits_np[i])
+        nbytes = (tot + eobs[i][1] + 7) // 8 + 1
+        body_i = np.asarray(body[i, :nbytes])   # per-stream small readback
+        spliced, bits2 = splice_eob(body_i, tot, *eobs[i])
+        if bool(ovf_np[i]):
+            # cannot happen: the output bound (2n + 256 bytes) exceeds the
+            # worst case of 15 bits per input byte
+            raise RuntimeError(f"device deflate output overflow (stream {i})")
+        final_len = hdr_bits[i] // 8 + (bits2 + 7) // 8
+        raw = None
+        if final_len > stored_size:
+            # stored-block fallback (same rule as the native encoder): only
+            # here do we need the raw bytes back from the device
+            raw = raw_cb(i) if raw_cb is not None else \
+                np.asarray(streams[i, :n]).tobytes()
+        results.append(finish_stream(hdrs[i], hdr_bits[i], spliced, bits2,
+                                     int(adler_np[i]), n, raw=raw))
+    return results
+
+
 def deflate_dyn_np(data: bytes) -> bytes:
     """Full numpy reference pipeline; byte-identical to
     ``native.deflate_sparse`` (the dynamic-Huffman encoder)."""

@@ -1,0 +1,457 @@
+"""Pallas TPU kernels for the dynamic-Huffman deflate entropy stage.
+
+This is the device side of the TPU entropy backend (the reference runs its
+entire entropy stage on host CPU, recode_compressors.py:103-118).  The
+encoder is the data-parallel reformulation documented in
+codecs/dyndeflate.py; output streams are byte-identical to the native host
+encoder ``deflate_sparse_dyn``.
+
+Two passes with an O(alphabet)-only host step between them:
+
+**Pass A — tokenize** (grid step = 4096 stream bytes as an (8, 512) tile):
+  * run structure from two scans: run *start* via a prefix-max over change
+    positions (in-row log-shift scan + an unrolled scalar chain across
+    sublanes + a cross-chunk SMEM carry), run *end* via a suffix-min over the
+    current tile plus the next tile as halo (the C encoder's take-adjustment
+    only perturbs the last <=520 bytes of a run, so one-tile lookahead with a
+    clamp at 522 is exact);
+  * per-byte token decision (literal / dist-1 match / covered) in closed
+    form — see codecs/dyndeflate.py for the rules;
+  * 286-symbol histogram via a radix-split NT matmul: one-hot of sym&31
+    (32 x 4096) contracted with one-hot of sym>>5 (16 x 4096) on the MXU;
+  * adler32 in carried (A, B) SMEM scalars with per-row mod-65521 reduction.
+
+**Host** (between passes): canonical Huffman tables + dynamic block header
+via the native library's own builders (bit-identical), and the per-token
+(value, bit-count) LUTs.
+
+**Pass B — assemble** (grid step = 2048 tokens, 16 sub-chunks of 128):
+  * LUT lookup via a bilinear one-hot: M1 = LUT(32x32) @ onehot(lo) and a
+    masked sublane reduction against onehot(hi) — no gathers;
+  * bit offsets via lane cumsum with a carried bit phase; each token's
+    shifted value contributes <= 4 bytes, scattered with ONE NT matmul per
+    sub-chunk: A[(th, token)] = contrib * onehot(target>>5) (12 x 512,
+    4 k-shifts concatenated along lanes) contracted with onehot(target&31)
+    (32 x 512) — disjoint bit ranges make f32 sums exact (<= 255);
+  * the (12, 32) scatter result merges to a (1, 384) byte row and appends at
+    the running output offset via the 128-aligned window store with VMEM
+    tail carry shared with the L1 encode kernel (pallas_encode._store_window)
+    — the variable-bit-width generalization of that compaction machinery.
+
+The end-of-block code, byte alignment, stored-block fallback and adler
+trailer are host-side O(1) splices (codecs/dyndeflate.finish_stream).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_encode import _cumsum_lanes, _store_window
+
+CH_A = 4096          # pass-A bytes per grid step
+ROWS_A, SUB_A = 8, 512
+CH_B = 2048          # pass-B tokens per grid step
+SUB_B = 128          # tokens per sub-chunk
+WIN_B = 512          # sub-chunk local byte window (<= 344 bytes used)
+
+_INF = 1 << 30
+_SENT = 300   # byte sentinel (breaks runs at stream boundaries)
+_ADLER_MOD = 65521
+
+# deflate length-code bases (codecs/dyndeflate.LEN_BASE)
+_LEN_BASE = (3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35, 43,
+             51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+
+NO_TOKEN = 512
+SYM_NONE = 287       # histogram slot for covered bytes (unused by real syms)
+
+
+def _premax_lanes(x, n, fill):
+    """Inclusive prefix-max along lanes via log-shift rolls."""
+    io = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = x
+    d = 1
+    while d < n:
+        rolled = pltpu.roll(acc, d, axis=1)
+        acc = jnp.maximum(acc, jnp.where(io >= d, rolled, fill))
+        d *= 2
+    return acc
+
+
+def _sufmin_lanes(x, n, fill):
+    """Inclusive suffix-min along lanes via log-shift rolls."""
+    io = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = x
+    d = 1
+    while d < n:
+        rolled = pltpu.roll(acc, n - d, axis=1)
+        acc = jnp.minimum(acc, jnp.where(io < n - d, rolled, fill))
+        d *= 2
+    return acc
+
+
+def _row_broadcast(scalars, shape):
+    """(rows, lanes) array whose row r equals the r-th scalar."""
+    rio = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    out = jnp.zeros(shape, jnp.int32)
+    for r, s in enumerate(scalars):
+        out = out + s * (rio == r).astype(jnp.int32)
+    return out
+
+
+def _shift_prev(x, first):
+    """prev[i] = x[i-1] in row-major (rows, lanes) order; prev[0,0]=first."""
+    rows = x.shape[0]
+    rl = pltpu.roll(x, 1, axis=1)                # [r, 0] <- x[r, L-1]
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) == 0
+    if rows > 1:
+        wrap = pltpu.roll(rl, 1, axis=0)         # [r, 0] <- x[r-1, L-1]
+        prev = jnp.where(lane0, wrap, rl)
+    else:
+        prev = rl
+    row0 = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) == 0
+    return jnp.where(lane0 & row0, first, prev)
+
+
+def _tile_stats(x_eff, gidx, n, carry_prev):
+    """change flags + (change ? gidx : fill) candidates for one (8,512) tile."""
+    prev = _shift_prev(x_eff, carry_prev)
+    change = x_eff != prev
+    cand_e = jnp.where((gidx >= n) | change, gidx, _INF)
+    return change, cand_e
+
+
+@functools.lru_cache(maxsize=32)
+def _build_tokenize_kernel(B, NPAD, interpret):
+    n_chunks = NPAD // CH_A
+
+    def kernel(x_ref, xn_ref, len_ref, lut_ref, hist_ref, adA_ref, adB_ref,
+               prevb_sref, carrys_sref, adler_sref, hist_vref):
+        h = pl.program_id(1)
+        n = len_ref[0, 0, 0]
+
+        @pl.when(h == 0)
+        def _():
+            prevb_sref[0] = -1          # != any byte: stream starts a run
+            carrys_sref[0] = -1
+            adler_sref[0] = 1           # adler A
+            adler_sref[1] = 0           # adler B
+            hist_vref[...] = jnp.zeros_like(hist_vref)
+
+        x = x_ref[0, 0].astype(jnp.int32)       # (ROWS_A, SUB_A)
+        xn = xn_ref[0, 0].astype(jnp.int32)
+        rio = jax.lax.broadcasted_iota(jnp.int32, (ROWS_A, SUB_A), 0)
+        lio = jax.lax.broadcasted_iota(jnp.int32, (ROWS_A, SUB_A), 1)
+        base = h * CH_A
+        gidx = base + rio * SUB_A + lio
+        gidx_n = gidx + CH_A
+
+        x_eff = jnp.where(gidx < n, x, _SENT)
+        xn_eff = jnp.where(gidx_n < n, xn, _SENT)
+
+        change, cand_e = _tile_stats(x_eff, gidx, n, prevb_sref[0])
+        # halo tile: its prev[0,0] is this tile's last byte
+        _, cand_e_n = _tile_stats(xn_eff, gidx_n, n,
+                                  x_eff[ROWS_A - 1, SUB_A - 1])
+
+        # ---- run starts: prefix-max of change positions ----
+        cand_s = jnp.where(change, gidx, -1)
+        s_inrow = _premax_lanes(cand_s, SUB_A, jnp.int32(-1))
+        row_max = jnp.max(cand_s, axis=1, keepdims=True)        # (ROWS_A, 1)
+        run_s = carrys_sref[0]
+        pre = []
+        for r in range(ROWS_A):
+            pre.append(run_s)
+            run_s = jnp.maximum(run_s, row_max[r, 0])
+        s = jnp.maximum(s_inrow, _row_broadcast(pre, (ROWS_A, SUB_A)))
+        carrys_sref[0] = run_s
+        prevb_sref[0] = x_eff[ROWS_A - 1, SUB_A - 1]
+
+        # ---- run ends: exclusive suffix-min over [tile || halo tile] ----
+        e_inrow_incl = _sufmin_lanes(cand_e, SUB_A, _INF)
+        e_inrow = jnp.where(lio < SUB_A - 1,
+                            pltpu.roll(e_inrow_incl, SUB_A - 1, axis=1), _INF)
+        rmin_cur = jnp.min(cand_e, axis=1, keepdims=True)
+        rmin_nxt = jnp.min(cand_e_n, axis=1, keepdims=True)
+        run_e = _INF
+        for r in range(ROWS_A):
+            run_e = jnp.minimum(run_e, rmin_nxt[r, 0])
+        suf = [None] * ROWS_A
+        for r in range(ROWS_A - 1, -1, -1):
+            suf[r] = run_e
+            run_e = jnp.minimum(run_e, rmin_cur[r, 0])
+        e = jnp.minimum(e_inrow, _row_broadcast(suf, (ROWS_A, SUB_A)))
+
+        # ---- per-byte token decision ----
+        p = gidx - s
+        run = e - s
+        d = jnp.minimum(e - gidx, 522)
+        is_lit = (p == 0) | (run < 4)
+        q = p - 1
+        qm = q % 258
+        take0 = jnp.where(d >= 261, 258, jnp.where(d >= 259, 255, d))
+        m0 = (qm == 0) & (d >= 3)
+        m255 = (qm == 255) & ((d == 4) | (d == 5))
+        take = jnp.where(m255, d, take0)
+        is_match = (~is_lit) & (m0 | m255)
+        valid = gidx < n
+
+        lut = jnp.where(is_lit, x, jnp.where(is_match, 256 + take - 3,
+                                             NO_TOKEN))
+        lut = jnp.where(valid, lut, NO_TOKEN)
+        lut_ref[0, 0] = lut
+
+        c = jnp.zeros_like(take)
+        for b_ in _LEN_BASE[1:]:
+            c = c + (take >= b_).astype(jnp.int32)
+        sym = jnp.where(is_lit, x, jnp.where(is_match, 257 + c, SYM_NONE))
+        sym = jnp.where(valid, sym, SYM_NONE)
+
+        # ---- histogram via radix-split NT matmul ----
+        sym_row = sym.reshape(1, CH_A)
+        io32 = jax.lax.broadcasted_iota(jnp.int32, (32, CH_A), 0)
+        oh_lo = ((sym_row & 31) == io32).astype(jnp.float32)
+        io16 = jax.lax.broadcasted_iota(jnp.int32, (16, CH_A), 0)
+        oh_hi = ((sym_row >> 5) == io16).astype(jnp.float32)
+        h2d = jax.lax.dot_general(oh_hi, oh_lo, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        hist_vref[...] = hist_vref[...] + h2d.astype(jnp.int32)
+
+        # ---- adler32 ----
+        # magnitudes bounded for i32: weights <= CH_A, row sums <= 512*255,
+        # products <= 5.4e8; per-row mod keeps the accumulator small
+        xm = jnp.where(valid, x, 0)
+        L_chunk = jnp.clip(n - base, 0, CH_A)
+        sx_r = jnp.sum(xm, axis=1, keepdims=True)          # (ROWS_A, 1)
+        sjx_r = jnp.sum(xm * lio, axis=1, keepdims=True)   # j within row
+        a0 = adler_sref[0]
+        b0 = adler_sref[1]
+        badd = jnp.int32(0)
+        s_all = jnp.int32(0)
+        for r in range(ROWS_A):
+            term = (L_chunk - r * SUB_A) * sx_r[r, 0] - sjx_r[r, 0]
+            badd = (badd + term) % _ADLER_MOD
+            s_all = s_all + sx_r[r, 0]
+        b1 = (b0 + L_chunk * a0 % _ADLER_MOD + badd) % _ADLER_MOD
+        a1 = (a0 + s_all) % _ADLER_MOD
+        adler_sref[0] = a1
+        adler_sref[1] = b1
+
+        @pl.when(h == n_chunks - 1)
+        def _():
+            hist_ref[0] = hist_vref[...]
+            adA_ref[0, 0, 0] = adler_sref[0]
+            adB_ref[0, 0, 0] = adler_sref[1]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, ROWS_A, SUB_A), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ROWS_A, SUB_A),
+                         lambda b, h: (b, jnp.minimum(h + 1, n_chunks - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, ROWS_A, SUB_A), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, 32), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_chunks, ROWS_A, SUB_A), jnp.int32),
+            jax.ShapeDtypeStruct((B, 16, 32), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((2,), jnp.int32),
+                        pltpu.VMEM((16, 32), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=bool(interpret),
+    )
+    return call
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _tokenize_call(streams, lengths, interpret):
+    B, NPAD = streams.shape
+    call = _build_tokenize_kernel(B, NPAD, bool(interpret))
+    s4 = streams.reshape(B, NPAD // CH_A, ROWS_A, SUB_A)
+    lut, hist, adA, adB = call(s4, s4, lengths.reshape(B, 1, 1).astype(jnp.int32))
+    adler = (adB[:, 0, 0].astype(jnp.uint32) << 16) | adA[:, 0, 0].astype(jnp.uint32)
+    return lut.reshape(B, NPAD), hist.reshape(B, 512), adler
+
+
+def tokenize_pallas(streams, lengths, interpret=None):
+    """Pass A: per-byte token LUT indices + symbol histogram + adler32.
+
+    ``streams`` (B, NPAD) u8 with NPAD a multiple of 4096; ``lengths`` (B,)
+    valid byte counts.  Returns (lut_idx (B, NPAD) i32, hist (B, 512) i32
+    [sym = 32*(i>>5)... row-major (sym>>5, sym&31), EOB not yet counted],
+    adler (B,) u32).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    return _tokenize_call(streams, lengths, bool(interpret))
+
+
+# ---------------------------------------------------------------- assembly
+
+
+@functools.lru_cache(maxsize=32)
+def _build_assemble_kernel(B, NPAD, OUT, interpret):
+    n_steps = NPAD // CH_B
+    WIN = WIN_B + 128
+
+    def kernel(lut_ref, vlut_ref, blut_ref, phase_ref, part_ref,
+               comp_ref, totbits_ref, ovf_ref,
+               off_sref, bit_sref, part_sref, tot_sref, tail_vref):
+        h = pl.program_id(1)
+
+        @pl.when(h == 0)
+        def _():
+            off_sref[0] = 0
+            bit_sref[0] = phase_ref[0, 0, 0]
+            part_sref[0] = part_ref[0, 0, 0]
+            tot_sref[0] = phase_ref[0, 0, 0]
+            ovf_ref[0, 0, 0] = 0
+            tail_vref[...] = jnp.zeros_like(tail_vref)
+            comp_ref[...] = jnp.zeros_like(comp_ref)
+
+        vlut = vlut_ref[0]     # (32, 32) f32
+        blut = blut_ref[0]
+        lut_row = lut_ref[0, 0].reshape(1, CH_B)   # (8, 256) -> (1, 2048)
+
+        io32s = jax.lax.broadcasted_iota(jnp.int32, (32, SUB_B), 0)
+        io12s = jax.lax.broadcasted_iota(jnp.int32, (12, SUB_B), 0)
+        io_w = jax.lax.broadcasted_iota(jnp.int32, (1, WIN_B), 1)
+        ovf_acc = jnp.int32(0)
+
+        for sc in range(CH_B // SUB_B):
+            idx = lut_row[:, sc * SUB_B:(sc + 1) * SUB_B]      # (1, 128)
+            lo = idx & 31
+            hi = idx >> 5
+            oh_lo = (lo == io32s).astype(jnp.float32)          # (32, 128)
+            oh_hi = (hi == io32s).astype(jnp.float32)
+            m1v = jnp.dot(vlut, oh_lo, preferred_element_type=jnp.float32)
+            m1b = jnp.dot(blut, oh_lo, preferred_element_type=jnp.float32)
+            val = jnp.sum(oh_hi * m1v, axis=0, keepdims=True).astype(jnp.int32)
+            bits = jnp.sum(oh_hi * m1b, axis=0, keepdims=True).astype(jnp.int32)
+
+            csum = _cumsum_lanes(bits, SUB_B)
+            bitpos = bit_sref[0]
+            off = bitpos + csum - bits                          # exclusive
+            sub_total = bitpos + csum[0, SUB_B - 1]
+            sv = val << (off & 7)
+
+            a_rows = []
+            oh_rows = []
+            for k in range(4):
+                ck = ((sv >> (8 * k)) & 255).astype(jnp.float32)
+                tk = (off >> 3) + k
+                a_rows.append((((tk >> 5) == io12s).astype(jnp.float32))
+                              * ck)                             # (12, 128)
+                oh_rows.append(((tk & 31) == io32s).astype(jnp.float32))
+            a_cat = jnp.concatenate(a_rows, axis=1)             # (12, 512)
+            oh_cat = jnp.concatenate(oh_rows, axis=1)           # (32, 512)
+            out2d = jax.lax.dot_general(a_cat, oh_cat,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            local = out2d.astype(jnp.int32).reshape(1, 12 * 32)  # (1, 384)
+            local = jnp.concatenate(
+                [local, jnp.zeros((1, WIN_B - 12 * 32), jnp.int32)], axis=1)
+            local = local + part_sref[0] * (io_w == 0).astype(jnp.int32)
+
+            nbytes = sub_total >> 3
+            part_sref[0] = jnp.sum(jnp.where(io_w == nbytes, local, 0))
+            bit_sref[0] = sub_total & 7
+            tot_sref[0] = tot_sref[0] + csum[0, SUB_B - 1]
+            ovf = _store_window(comp_ref, tail_vref, off_sref, local, nbytes,
+                                OUT, WIN, WIN_B)
+            ovf_acc = ovf_acc | jnp.int32(ovf)
+
+        ovf_ref[0, 0, 0] |= ovf_acc
+
+        @pl.when(h == n_steps - 1)
+        def _():
+            # flush the final partial byte (if any) as one more output byte
+            flush = jnp.where(io_w == 0, part_sref[0], 0)
+            _store_window(comp_ref, tail_vref, off_sref, flush,
+                          jnp.int32((bit_sref[0] > 0).astype(jnp.int32)),
+                          OUT, WIN, WIN_B)
+            totbits_ref[0, 0, 0] = tot_sref[0]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, n_steps),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, CH_B // 8), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32, 32), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32, 32), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, OUT + WIN), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, OUT + WIN), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.VMEM((1, WIN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=bool(interpret),
+    )
+    return call
+
+
+@functools.partial(jax.jit, static_argnames=("out_bound", "interpret"))
+def _assemble_call(lut_idx, vlut, blut, phase, partial, out_bound, interpret):
+    B, NPAD = lut_idx.shape
+    call = _build_assemble_kernel(B, NPAD, out_bound, bool(interpret))
+    comp, totbits, ovf = call(
+        lut_idx.reshape(B, NPAD // CH_B, 8, CH_B // 8), vlut, blut,
+        phase.reshape(B, 1, 1).astype(jnp.int32),
+        partial.reshape(B, 1, 1).astype(jnp.int32))
+    body = comp[:, 0, :out_bound].astype(jnp.uint8)
+    return body, totbits[:, 0, 0], ovf[:, 0, 0] != 0
+
+
+def assemble_pallas(lut_idx, vlut, blut, phase, partial, out_bound,
+                    interpret=None):
+    """Pass B: pack per-byte tokens into the deflate bitstream.
+
+    ``vlut``/``blut`` (B, 32, 32) f32 — token (value, bits) LUTs laid out as
+    [idx >> 5, idx & 31] (idx 512 = no token -> (0, 0)).  ``phase`` (B,) is
+    the header's trailing bit count (0..7) and ``partial`` its trailing
+    partial-byte value.  Returns (body (B, out_bound) u8 — starting at the
+    header's last partial byte — , total_bits (B,) incl. phase, overflow
+    (B,) bool).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    out_bound = -(-out_bound // 128) * 128
+    return _assemble_call(lut_idx, vlut, blut, phase, partial, out_bound,
+                          bool(interpret))

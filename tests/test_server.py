@@ -195,3 +195,49 @@ def test_stream_replacement_preserves_earlier_chunks(tmp_path):
     reader.close()
     log = (tmp_path / "recode.log").read_text()
     assert "replacement" in log and "resumed" in log
+
+
+def test_stream_server_real_seq_chunks(tmp_path):
+    """Stream mode consuming actual StreamPix v5 chunk files end-to-end
+    (the reference needs pims for this; here the native SEQ parser reads
+    real bytes)."""
+    from pyrecode_tpu.em_reader import write_seq
+
+    shape_chunk = (3, 64, 64)
+    rng = np.random.default_rng(20)
+    chunks = [
+        (rng.integers(0, 500, shape_chunk)
+         * (rng.random(shape_chunk) < 0.05)).astype(np.int16)
+        for _ in range(2)
+    ]
+    dark = np.zeros(shape_chunk[1:], dtype=np.int16)
+
+    watch = tmp_path / "acquisition"
+    watch.mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+    for i, chunk in enumerate(chunks):
+        write_seq(watch / f"chunk_{i:03d}.seq", chunk)
+        time.sleep(0.02)
+
+    init_params = InitParams(
+        "stream", str(out), image_filename="ignored", directory_path=str(watch),
+        log_filename=str(tmp_path / "recode.log"), run_name="seq_stream",
+        verbosity=0, max_count=2, chunk_time_in_sec=1)
+    params = _input_params(shape_chunk, num_threads=2, source_file_type=2,
+                           source_data_type=1, target_data_type=1,
+                           target_bit_depth=15, source_bit_depth=15,
+                           source_header_length=1024)
+
+    server = ReCoDeServer("stream")
+    server.run(init_params, input_params=params, dark_data=dark)
+
+    merged = merge_parts(str(out), "seq_stream.rc1", 2)
+    reader = ReCoDeReader(merged)
+    reader.open()
+    expected = np.concatenate(chunks, axis=0)
+    assert reader.get_shape()[0] == 6
+    for i in range(6):
+        fd = reader.get_next_frame()
+        assert np.array_equal(fd[i]["data"].todense(), expected[i]), i
+    reader.close()
