@@ -61,6 +61,19 @@ except ImportError:  # pragma: no cover
     _blosc = None
     _availability["blosc"] = False
 
+# pure-python fallbacks keep schemes 2, 3, 6-11 executable without the C
+# bindings (format-conformant; see codecs/purepy.py for limits)
+from . import purepy as _purepy
+
+_FALLBACK = {name: not _availability[name] for name in ("lz4", "snappy", "blosc")}
+for _name in ("lz4", "snappy", "blosc"):
+    _availability[_name] = True
+
+
+def uses_fallback(scheme: int) -> bool:
+    """Whether this scheme code is served by the pure-python fallback."""
+    return _FALLBACK.get(_SCHEME_LIBS[int(scheme)], False)
+
 
 _SCHEME_NAMES = {
     0: "zlib", 1: "zstandard", 2: "lz4", 3: "snappy", 4: "bzip", 5: "lzma",
@@ -119,12 +132,19 @@ def get_codec(scheme: int, level: int = 1) -> Codec:
             lambda d: dctx.decompress(d, max_output_size=1 << 31),
         )
     if scheme == 2:
+        if _lz4_frame is None:
+            return Codec(2, "lz4-purepy",
+                         lambda d: _purepy.lz4_frame_compress(d, level),
+                         _purepy.lz4_frame_decompress)
         return Codec(
             2, "lz4",
             lambda d: _lz4_frame.compress(d, compression_level=level, store_size=False),
             _lz4_frame.decompress,
         )
     if scheme == 3:
+        if _snappy is None:
+            return Codec(3, "snappy-purepy", _purepy.snappy_compress,
+                         _purepy.snappy_decompress)
         return Codec(3, "snappy", _snappy.compress, _snappy.decompress)
     if scheme == 4:
         return Codec(4, "bzip", lambda d: bz2.compress(d, compresslevel=max(level, 1)), bz2.decompress)
@@ -132,6 +152,10 @@ def get_codec(scheme: int, level: int = 1) -> Codec:
         return Codec(5, "lzma", lambda d: lzma.compress(d, preset=level), lzma.decompress)
     if scheme in _BLOSC_CNAMES:
         cname = _BLOSC_CNAMES[scheme]
+        if _blosc is None:
+            return Codec(scheme, _SCHEME_NAMES[scheme] + "-purepy",
+                         lambda d: _purepy.blosc_compress(d, cname=cname),
+                         _purepy.blosc_decompress)
         return Codec(
             scheme, _SCHEME_NAMES[scheme],
             lambda d: _blosc.compress(d, clevel=level, cname=cname, shuffle=_blosc.BITSHUFFLE),

@@ -53,15 +53,37 @@ def test_all_available_schemes_roundtrip():
         assert codec.decompress(codec.compress(data)) == data, scheme
 
 
-def test_unavailable_scheme_raises():
-    from pyrecode_tpu.codecs import backends
+def test_every_scheme_code_executes():
+    """All 12 scheme codes must round-trip (pure-python fallbacks serve
+    lz4/snappy/blosc when the C bindings are absent)."""
+    assert codecs.available_schemes() == list(range(12))
+    data = _blob(seed=11)
+    for scheme in range(12):
+        codec = codecs.get_codec(scheme, 1)
+        assert codec.decompress(codec.compress(data)) == data, scheme
 
-    missing = [s for s in range(12) if s not in codecs.available_schemes()]
-    for scheme in missing:
-        with pytest.raises(ImportError):
-            codecs.get_codec(scheme)
-        with pytest.raises(ImportError):
-            codecs.import_checks({"compression_scheme": scheme})
+
+def test_purepy_lz4_snappy_formats():
+    """Format-level checks of the fallbacks against spec test vectors."""
+    from pyrecode_tpu.codecs import purepy
+
+    # xxh32 known-answer vectors (seed 0)
+    assert purepy.xxh32(b"") == 0x02CC5D05
+    assert purepy.xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+
+    rng = np.random.default_rng(4)
+    streams = [b"", b"a", b"abcabcabcabcabcabc" * 100,
+               (rng.integers(0, 8, 20000) * (rng.random(20000) < 0.2)
+                ).astype(np.uint8).tobytes(),
+               bytes(rng.integers(0, 256, 5000).astype(np.uint8))]
+    for s in streams:
+        assert purepy.lz4_frame_decompress(purepy.lz4_frame_compress(s)) == s
+        assert purepy.snappy_decompress(purepy.snappy_compress(s)) == s
+        assert purepy.blosc_decompress(purepy.blosc_compress(s)) == s
+    # the repetitive streams actually compress
+    rep = b"abcabcabcabcabcabc" * 100
+    assert len(purepy.lz4_frame_compress(rep)) < len(rep) // 4
+    assert len(purepy.snappy_compress(rep)) < len(rep) // 4
 
 
 def test_import_checks_ok():
