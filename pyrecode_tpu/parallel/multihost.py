@@ -74,7 +74,8 @@ def gather_ordered_blocks(bitmap, packed, counts, bit_depth: int,
     multi-process runtime the shards are allgathered and only the writer
     process (default 0) returns the blocks; other processes return None.
     """
-    if jax.process_count() > 1:  # pragma: no cover - needs a real pod slice
+    if jax.process_count() > 1:
+        # exercised by tests/test_multihost.py on a 2-process CPU runtime
         from jax.experimental import multihost_utils
 
         bitmap = multihost_utils.process_allgather(bitmap, tiled=True)
