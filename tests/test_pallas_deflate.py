@@ -1,0 +1,95 @@
+"""Device deflate kernels (interpret mode) vs the native encoder, byte-exact.
+
+Exercises the cross-chunk carries of both kernels: runs spanning (and much
+longer than) the 4096-byte tokenize tiles, token streams crossing the
+2048-token assembly steps, and every take-boundary corner of the C
+tokenizer.  tools/bench_deflate.py runs the same pipeline on the real TPU.
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from pyrecode_tpu import native
+from pyrecode_tpu.codecs import dyndeflate as dd
+from pyrecode_tpu.ops import pallas_deflate as pdk
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def _battery():
+    rng = np.random.default_rng(7)
+    streams = [
+        b"",
+        b"\x00" * 4096,                      # run == exactly one tile
+        b"\x00" * 4097,                      # run crosses the tile boundary
+        b"X" * 4090 + b"\x00" * 5000 + b"Y",  # long run straddling tiles
+        b"A" + b"\x00" * 520 + b"B",
+        b"\x07" * 261 + b"xy" + b"\x07" * 519,
+        (rng.integers(0, 256, 9000)
+         * (rng.random(9000) < 0.02)).astype(np.uint8).tobytes(),
+        bytes(rng.integers(0, 256, 5000).astype(np.uint8)),  # stored fallback
+        bytes(rng.integers(0, 3, 11000).astype(np.uint8)),   # dense tokens
+    ]
+    # runs ending exactly at every distance from a tile edge near take
+    # boundaries
+    for off in (4094, 4095, 4096):
+        streams.append(b"Q" * off + b"\x00" * 259 + b"R" * 40)
+    return streams
+
+
+def _pack(raws, npad):
+    streams = np.zeros((len(raws), npad), np.uint8)
+    lengths = np.zeros(len(raws), np.int32)
+    for i, r in enumerate(raws):
+        streams[i, : len(r)] = np.frombuffer(r, np.uint8)
+        lengths[i] = len(r)
+    return streams, lengths
+
+
+def test_device_pipeline_matches_native_bytes():
+    raws = _battery()
+    npad = 4 * pdk.CH_A
+    streams, lengths = _pack(raws, npad)
+    outs = dd.deflate_batch_device(streams, lengths,
+                                   raw_cb=lambda i: raws[i], interpret=True)
+    for i, (raw, got) in enumerate(zip(raws, outs)):
+        assert got == native.deflate_sparse(raw), (i, len(raw))
+        assert zlib.decompress(got) == raw, i
+
+
+def test_tokenize_outputs_match_numpy_reference():
+    raws = _battery()
+    npad = 4 * pdk.CH_A
+    streams, lengths = _pack(raws, npad)
+    lut, hist, adler = pdk.tokenize_pallas(streams, lengths, interpret=True)
+    lut = np.asarray(lut)
+    hist = np.asarray(hist)
+    adler = np.asarray(adler)
+    for i, raw in enumerate(raws):
+        n = len(raw)
+        ref_lut, ref_sym = dd.tokenize_bytes_np(np.frombuffer(raw, np.uint8))
+        assert np.array_equal(lut[i, :n], ref_lut), i
+        assert np.all(lut[i, n:] == pdk.NO_TOKEN), i
+        ref_hist = dd.histogram_np(ref_sym)
+        ref_hist[256] -= 1  # kernel histogram excludes EOB
+        assert np.array_equal(hist[i, :286], ref_hist), i
+        assert int(adler[i]) == zlib.adler32(raw), i
+
+
+def test_fuzz_random_sparse_streams():
+    rng = np.random.default_rng(123)
+    raws = []
+    for _ in range(8):
+        n = int(rng.integers(0, 3 * pdk.CH_A))
+        density = float(rng.choice([0.005, 0.05, 0.3, 0.9]))
+        s = (rng.integers(0, 256, n) * (rng.random(n) < density)).astype(np.uint8)
+        raws.append(s.tobytes())
+    npad = 3 * pdk.CH_A
+    streams, lengths = _pack(raws, npad)
+    outs = dd.deflate_batch_device(streams, lengths,
+                                   raw_cb=lambda i: raws[i], interpret=True)
+    for i, (raw, got) in enumerate(zip(raws, outs)):
+        assert got == native.deflate_sparse(raw), (i, len(raw))
