@@ -30,10 +30,10 @@ via the native library's own builders (bit-identical), and the per-token
     masked sublane reduction against onehot(hi) — no gathers;
   * bit offsets via lane cumsum with a carried bit phase; each token's
     shifted value contributes <= 4 bytes, scattered with ONE NT matmul per
-    sub-chunk: A[(th, token)] = contrib * onehot(target>>5) (12 x 512,
-    4 k-shifts concatenated along lanes) contracted with onehot(target&31)
-    (32 x 512) — disjoint bit ranges make f32 sums exact (<= 255);
-  * the (12, 32) scatter result merges to a (1, 384) byte row and appends at
+    sub-chunk: A[(th, token)] = contrib * onehot(target>>7) (8 x 512,
+    4 k-shifts concatenated along lanes) contracted with onehot(target&127)
+    (128 x 512) — disjoint bit ranges make f32 sums exact (<= 255);
+  * the (8, 128) scatter result merges to a (1, 1024) byte row and appends at
     the running output offset via the 128-aligned window store with VMEM
     tail carry shared with the L1 encode kernel (pallas_encode._store_window)
     — the variable-bit-width generalization of that compaction machinery.
@@ -335,7 +335,8 @@ def _build_assemble_kernel(B, NPAD, OUT, interpret):
         lut_row = lut_ref[0, 0].reshape(1, CH_B)   # (8, 256) -> (1, 2048)
 
         io32s = jax.lax.broadcasted_iota(jnp.int32, (32, SUB_B), 0)
-        io12s = jax.lax.broadcasted_iota(jnp.int32, (12, SUB_B), 0)
+        io8s = jax.lax.broadcasted_iota(jnp.int32, (8, SUB_B), 0)
+        io128s = jax.lax.broadcasted_iota(jnp.int32, (128, SUB_B), 0)
         io_w = jax.lax.broadcasted_iota(jnp.int32, (1, WIN_B), 1)
         ovf_acc = jnp.int32(0)
 
@@ -356,22 +357,24 @@ def _build_assemble_kernel(B, NPAD, OUT, interpret):
             sub_total = bitpos + csum[0, SUB_B - 1]
             sv = val << (off & 7)
 
+            # byte scatter: target = 128*(t>>7) + (t&127); one NT matmul over
+            # all 4 k-shifts; (8, 128) merges to a (1, 1024) lane row (lane
+            # width must stay 128-aligned for the Mosaic relayout)
             a_rows = []
             oh_rows = []
             for k in range(4):
                 ck = ((sv >> (8 * k)) & 255).astype(jnp.float32)
                 tk = (off >> 3) + k
-                a_rows.append((((tk >> 5) == io12s).astype(jnp.float32))
-                              * ck)                             # (12, 128)
-                oh_rows.append(((tk & 31) == io32s).astype(jnp.float32))
-            a_cat = jnp.concatenate(a_rows, axis=1)             # (12, 512)
-            oh_cat = jnp.concatenate(oh_rows, axis=1)           # (32, 512)
+                a_rows.append((((tk >> 7) == io8s).astype(jnp.float32))
+                              * ck)                             # (8, 128)
+                oh_rows.append(((tk & 127) == io128s).astype(jnp.float32))
+            a_cat = jnp.concatenate(a_rows, axis=1)             # (8, 512)
+            oh_cat = jnp.concatenate(oh_rows, axis=1)           # (128, 512)
             out2d = jax.lax.dot_general(a_cat, oh_cat,
                                         (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-            local = out2d.astype(jnp.int32).reshape(1, 12 * 32)  # (1, 384)
-            local = jnp.concatenate(
-                [local, jnp.zeros((1, WIN_B - 12 * 32), jnp.int32)], axis=1)
+            local = out2d.astype(jnp.int32).reshape(1, 8 * 128)  # (1, 1024)
+            local = local[:, :WIN_B]
             local = local + part_sref[0] * (io_w == 0).astype(jnp.int32)
 
             nbytes = sub_total >> 3

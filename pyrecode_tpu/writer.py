@@ -61,7 +61,7 @@ class ReCoDeWriter:
                  input_params=None, params_filename="", mode="batch", validation_frame_gap=-1,
                  log_filename="recode.log", run_name="run", verbosity=0, use_tpu=True,
                  max_count=-1, chunk_time_in_sec=0, node_id=0, buffer_size_in_frames=32,
-                 use_c=None, fast_deflate=True):
+                 use_c=None, fast_deflate=True, device_entropy=None):
         """Parameters mirror the reference writer (recode_writer.py:26-66).
 
         ``node_id`` selects this writer's contiguous frame slice
@@ -73,6 +73,12 @@ class ReCoDeWriter:
         still a valid zlib stream that every inflate (incl. the reference)
         decodes, ~18% smaller than zlib level 1 on sparse detector streams
         and faster to produce.  Set False for byte-identical-to-zlib output.
+        ``device_entropy`` runs that same dynamic-Huffman deflate ON THE TPU
+        (ops/pallas_deflate.py): the reduced streams never come back to the
+        host raw — only the compressed bytes do.  Output is byte-identical to
+        the native encoder.  Default (None) enables it automatically on a
+        real TPU for scheme-0 mode-1 L1/L3 runs through the fused kernel
+        path; True forces it (tests use interpret mode); False disables.
         """
         self._init_params = InitParams(
             mode, output_directory, image_filename=image_filename,
@@ -142,6 +148,21 @@ class ReCoDeWriter:
                 self._codec = codecs.Codec(0, "zlib-sparse-native",
                                            native.deflate_sparse,
                                            self._codec.decompress)
+
+        # TPU entropy stage: device dynamic-Huffman deflate for the fused
+        # L1/L3 path (scheme 0, mode 1).  None = auto-enable on real TPU.
+        self._device_entropy = device_entropy
+        if self._device_entropy is None:
+            try:
+                import jax
+                from . import native as _native
+
+                self._device_entropy = (
+                    use_tpu and scheme == 0 and self._rc_operation_mode == 1
+                    and _native.available()
+                    and jax.devices()[0].platform == "tpu")
+            except Exception:
+                self._device_entropy = False
         import threading
         from concurrent.futures import ThreadPoolExecutor
 
@@ -468,9 +489,15 @@ class ReCoDeWriter:
         return ("device", res)
 
     def _materialize_streams(self, batch: np.ndarray, dispatched):
+        """Resolve a dispatched encode to per-frame streams.
+
+        Returns ("raw", [(bitmap_bytes, pixvals_bytes|None), ...]) for host
+        entropy coding, or ("compressed", [(cbm, cpx|None, raw_pixlen), ...])
+        when the device entropy stage already produced the zlib streams.
+        """
         kind, res = dispatched
         if kind == "host":
-            return res
+            return ("raw", res)
         if kind == "pallas":
             from .ops import pallas_encode
 
@@ -479,24 +506,28 @@ class ReCoDeWriter:
                 # rare: clustered data exceeded this bucket; escalate
                 # persistently and redo the batch synchronously
                 if self._cap_bucket + 1 >= pallas_encode.num_buckets():
-                    return self._encode_batch_oracle(batch)
+                    return ("raw", self._encode_batch_oracle(batch))
                 self._cap_bucket += 1
                 kind, res = self._dispatch_encode(batch)
                 if kind != "pallas":
                     return self._materialize_streams(batch, (kind, res))
                 bitmap, packed, counts_dev, ovf, out_size = res
+            counts_np = np.asarray(counts_dev)
+            if self._device_entropy:
+                recs, t_bm, t_px = self._deflate_on_device(bitmap, packed,
+                                                           counts_np)
+                return ("compressed", (recs, t_bm, t_px))
             bitmaps = np.asarray(bitmap).reshape(batch.shape[0], -1)
             out = []
             if packed is not None:
                 packed_np = np.asarray(packed)
-                counts_np = np.asarray(counts_dev)
                 for i in range(batch.shape[0]):
                     plen = (int(counts_np[i]) * self._bit_depth + 7) // 8
                     out.append((bitmaps[i].tobytes(), packed_np[i][:plen].tobytes()))
             else:
                 for i in range(batch.shape[0]):
                     out.append((bitmaps[i].tobytes(), None))
-            return out
+            return ("raw", out)
         bitmaps = np.asarray(res.bitmap)
         out = []
         if res.packed is not None:
@@ -507,19 +538,63 @@ class ReCoDeWriter:
         else:
             for i in range(batch.shape[0]):
                 out.append((bitmaps[i].tobytes(), None))
-        return out
+        return ("raw", out)
+
+    def _deflate_on_device(self, bitmap, packed, counts_np: np.ndarray):
+        """TPU entropy stage: deflate bitmap + pixval streams on device.
+
+        Only the compressed bytes come back to the host (the raw streams are
+        read back solely for the rare stored-block fallback).  Output is
+        byte-identical to the native sparse-deflate encoder, hence to what
+        the host path would have written.
+        """
+        import jax.numpy as jnp
+
+        from .codecs import dyndeflate
+        from .ops import pallas_deflate as pdk
+
+        B = bitmap.shape[0]
+        n_bm = bitmap.shape[1]
+        pad_bm = -(-n_bm // pdk.CH_A) * pdk.CH_A - n_bm
+        bm = jnp.pad(bitmap, ((0, 0), (0, pad_bm))) if pad_bm else bitmap
+        stt = datetime.now()
+        cbm = dyndeflate.deflate_batch_device(
+            bm, np.full(B, n_bm, np.int32),
+            raw_cb=lambda i: np.asarray(bitmap[i]).tobytes())
+        t_bm = datetime.now() - stt
+
+        if packed is None:
+            return [(cbm[i], None, 0) for i in range(B)], t_bm, timedelta(0)
+
+        plens = (counts_np.astype(np.int64) * self._bit_depth + 7) // 8
+        n_px = packed.shape[1]
+        pad_px = -(-n_px // pdk.CH_A) * pdk.CH_A - n_px
+        px = jnp.pad(packed, ((0, 0), (0, pad_px))) if pad_px else packed
+        stt = datetime.now()
+        cpx = dyndeflate.deflate_batch_device(
+            px, plens.astype(np.int32),
+            raw_cb=lambda i: np.asarray(packed[i, :int(plens[i])]).tobytes())
+        t_px = datetime.now() - stt
+        return ([(cbm[i], cpx[i], int(plens[i])) for i in range(B)],
+                t_bm, t_px)
 
     def _finish_batch(self, batch: np.ndarray, first_abs_index: int, dispatched,
                       n_in_batch: int, run_metrics: dict) -> None:
         stt = datetime.now()
-        streams = self._materialize_streams(batch, dispatched)[:n_in_batch]
-        if self._rc_operation_mode == 1 and self._compression_pool is not None \
-                and len(streams) > 1:
+        stream_kind, streams = self._materialize_streams(batch, dispatched)
+        if stream_kind == "compressed":
+            streams, t_bm, t_px = streams
+            run_metrics["frame_binary_image_compression_time"] += t_bm
+            run_metrics["frame_pixel_intensity_compression_time"] += t_px
+            records = self._assemble_precompressed(first_abs_index,
+                                                   streams[:n_in_batch])
+        elif self._rc_operation_mode == 1 and self._compression_pool is not None \
+                and len(streams := streams[:n_in_batch]) > 1:
             records = self._assemble_records_parallel(first_abs_index, streams, run_metrics)
         else:
             records = [
                 self._assemble_record(first_abs_index + i, bitmap, pixvals, run_metrics)
-                for i, (bitmap, pixvals) in enumerate(streams)
+                for i, (bitmap, pixvals) in enumerate(streams[:n_in_batch])
             ]
         for record in records:
             self._out_buffer.append(record)
@@ -527,6 +602,21 @@ class ReCoDeWriter:
             if self._out_buffer_bytes >= self._out_buffer_limit:
                 self._flush_out_buffer()
         run_metrics["frame_time"] += datetime.now() - stt
+
+    def _assemble_precompressed(self, first_abs_index: int, streams):
+        """Build mode-1 records from device-compressed (cbm, cpx, plen)."""
+        records = []
+        for i, (cbm, cpx, plen) in enumerate(streams):
+            frame_id = int(first_abs_index + i).to_bytes(4, "little")
+            if self._reduction_level in (1, 2):
+                records.append(frame_id
+                               + len(cbm).to_bytes(4, "little")
+                               + len(cpx).to_bytes(4, "little")
+                               + int(plen).to_bytes(4, "little")
+                               + cbm + cpx)
+            else:
+                records.append(frame_id + len(cbm).to_bytes(4, "little") + cbm)
+        return records
 
     def _assemble_records_parallel(self, first_abs_index: int, streams, run_metrics):
         """Entropy-compress a batch's frames on the pool (order preserved).

@@ -93,3 +93,50 @@ def test_fuzz_random_sparse_streams():
                                    raw_cb=lambda i: raws[i], interpret=True)
     for i, (raw, got) in enumerate(zip(raws, outs)):
         assert got == native.deflate_sparse(raw), (i, len(raw))
+
+
+def test_writer_device_entropy_roundtrip(tmp_path):
+    """Writer with the TPU entropy stage forced on (interpret mode): the
+    container must be byte-identical to the host fast-deflate container and
+    decode bit-exactly."""
+    from pyrecode_tpu import InputParams
+    from pyrecode_tpu.reader import ReCoDeReader, merge_parts
+    from pyrecode_tpu.writer import ReCoDeWriter
+
+    rng = np.random.default_rng(3)
+    data = np.where(rng.random((4, 64, 64)) < 0.04,
+                    rng.integers(1, 4096, (4, 64, 64)), 0).astype(np.uint16)
+    dark = np.zeros((64, 64), np.uint16)
+    params = InputParams(dict(
+        reduction_level=1, rc_operation_mode=1, calibration_threshold_epsilon=0,
+        target_bit_depth=12, source_bit_depth=12, num_cols=64, num_rows=64,
+        num_frames=4, frame_offset=0, num_calibration_frames=1,
+        calibration_frame_offset=0, keep_part_files=0, num_threads=1,
+        l2_statistics=0, l4_centroiding=0, compression_scheme=0,
+        compression_level=1, source_file_type=0, source_header_length=0,
+        keep_calibration_data=1, calibration_file_type=0, source_data_type=0,
+        target_data_type=0))
+    assert params.validate()
+
+    def write(subdir, device_entropy):
+        out = tmp_path / subdir
+        out.mkdir()
+        w = ReCoDeWriter("vol", dark_data=dark, output_directory=str(out),
+                         input_params=params, device_entropy=device_entropy,
+                         fast_deflate=True)
+        w.start()
+        w.run(data)
+        w.close()
+        return out / "vol.rc1_part000"
+
+    dev_part = write("dev", True)
+    host_part = write("host", False)
+    assert dev_part.read_bytes() == host_part.read_bytes()
+
+    merge_parts(str(tmp_path / "dev"), "vol.rc1", 1)
+    reader = ReCoDeReader(str(tmp_path / "dev" / "vol.rc1"))
+    reader.open()
+    for i in range(4):
+        fd = reader.get_next_frame()
+        assert np.array_equal(fd[i]["data"].todense(), data[i]), i
+    reader.close()

@@ -1,0 +1,125 @@
+"""Benchmark the TPU deflate entropy stage (pass A / pass B) on real TPU.
+
+Honest axon-relay methodology (see tools/profile_kernels.py): each pass runs
+inside a ``lax.scan`` over device-generated batches within ONE jit and only a
+scalar comes back, so relay latency/readback cannot pollute the number.  The
+host table-build step is timed separately on host.
+
+Usage: python tools/bench_deflate.py [--size 4096] [--occupancy 0.01]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
+def _bitmap_fixture(size, occupancy, batch, seed=0):
+    """Bit-packed binary maps of `size`^2 frames at the given occupancy."""
+    rng = np.random.default_rng(seed)
+    n = size * size // 8
+    streams = np.zeros((batch, n), np.uint8)
+    for b in range(batch):
+        mask = rng.random(size * size) < occupancy
+        streams[b] = np.packbits(mask, bitorder="little")
+    return streams
+
+
+def scan_time(fn, xs, iters):
+    """Time fn over a scanned batch axis inside one jit; returns sec/iter."""
+    @jax.jit
+    def run(xs):
+        def body(carry, x):
+            out = fn(x)
+            return carry + out, ()
+        total, _ = jax.lax.scan(body, jnp.float32(0), xs)
+        return total
+
+    r = run(xs)
+    jax.block_until_ready(r)   # compile + warm
+    t0 = time.perf_counter()
+    r = run(xs)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=4096)
+    ap.add_argument("--occupancy", type=float, default=0.01)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    from pyrecode_tpu import native
+    from pyrecode_tpu.codecs import dyndeflate as dd
+    from pyrecode_tpu.ops import pallas_deflate as pdk
+
+    n = args.size * args.size // 8
+    npad = -(-n // pdk.CH_A) * pdk.CH_A
+    streams = np.zeros((args.iters, 1, npad), np.uint8)
+    streams[:, :, :n] = _bitmap_fixture(args.size, args.occupancy,
+                                        args.iters).reshape(args.iters, 1, n)
+    lengths = np.full((args.iters, 1), n, np.int32)
+    xs_a = (jnp.asarray(streams), jnp.asarray(lengths))
+
+    # ---- pass A ----
+    def run_a(x):
+        s, ln = x
+        lut, hist, adler = pdk.tokenize_pallas(s, ln, interpret=False)
+        return jnp.sum(hist).astype(jnp.float32)
+
+    dt_a = scan_time(run_a, xs_a, args.iters)
+    gbps_a = n / dt_a / 1e9
+    print(f"pass A (tokenize): {dt_a*1e3:.2f} ms/frame-stream -> "
+          f"{gbps_a:.2f} GB/s")
+
+    # ---- host table step (per stream) ----
+    lut, hist, adler = pdk.tokenize_pallas(jnp.asarray(streams[0]),
+                                           jnp.asarray(lengths[0]),
+                                           interpret=False)
+    hist_np = np.asarray(hist)
+    t0 = time.perf_counter()
+    reps = 50
+    for _ in range(reps):
+        lfreq = hist_np[0, :286].astype(np.uint32).copy()
+        lfreq[256] += 1
+        llen, lcode = native.dyn_tables(lfreq)
+        hb, hbits = native.dyn_header(llen)
+        vl, bl = dd.luts_as_radix(llen, lcode)
+    dt_h = (time.perf_counter() - t0) / reps
+    print(f"host tables+header: {dt_h*1e6:.0f} us/stream")
+
+    # ---- pass B ----
+    vlut = jnp.asarray(vl[None])
+    blut = jnp.asarray(bl[None])
+    phase = jnp.asarray(np.array([hbits % 8], np.int32))
+    partial = jnp.asarray(np.array([int(hb[-1]) if hbits % 8 else 0], np.int32))
+    out_bound = -(-(2 * npad + 256) // 128) * 128
+    lut_batch = jnp.broadcast_to(lut[None], (args.iters, *lut.shape))
+
+    def run_b(x):
+        body, totbits, ovf = pdk.assemble_pallas(
+            x, vlut, blut, phase, partial, out_bound, interpret=False)
+        return jnp.sum(totbits).astype(jnp.float32)
+
+    dt_b = scan_time(run_b, lut_batch, args.iters)
+    gbps_b = n / dt_b / 1e9
+    print(f"pass B (assemble): {dt_b*1e3:.2f} ms/frame-stream -> "
+          f"{gbps_b:.2f} GB/s")
+
+    total = dt_a + dt_b + dt_h
+    print(f"device entropy total: {total*1e3:.2f} ms -> {n/total/1e9:.2f} GB/s "
+          f"(stream bytes), size={args.size}^2 occupancy={args.occupancy}")
+
+
+if __name__ == "__main__":
+    main()
