@@ -110,6 +110,9 @@ def bench_encode(batch, height, width, density, scan_len=16, outer_reps=3,
 
 
 def main():
+    from pyrecode_tpu.profiling import enable_compile_cache
+    enable_compile_cache()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="small smoke run")
     parser.add_argument("--all", action="store_true", help="extra configs to stderr")

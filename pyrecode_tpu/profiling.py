@@ -59,3 +59,15 @@ class StageTimer:
     def as_seconds(self) -> Dict[str, float]:
         return {k: v.total_seconds() for k, v in self.metrics.items()
                 if isinstance(v, timedelta)}
+
+
+def enable_compile_cache(path: str = "/root/.jax_cache") -> None:
+    """Enable JAX's persistent compilation cache (remote TPU compiles through
+    the axon relay take minutes; the cache makes them one-time per kernel)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # older jax without these options

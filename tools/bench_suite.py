@@ -229,6 +229,9 @@ def bench_end_to_end(tmp_dir, size=512, n_frames=64, num_threads=4):
 
 
 def main():
+    from pyrecode_tpu.profiling import enable_compile_cache
+    enable_compile_cache()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--fast", action="store_true")
     parser.add_argument("--out", default="BENCH_DETAIL.json")

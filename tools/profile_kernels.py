@@ -45,6 +45,9 @@ def scan_time(body_fn, frames_all, *args, outer=3):
 
 
 def main():
+    from pyrecode_tpu.profiling import enable_compile_cache
+    enable_compile_cache()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=4096)
     parser.add_argument("--batch", type=int, default=4)

@@ -23,6 +23,9 @@ sys.path.insert(0, ".")
 
 
 def main():
+    from pyrecode_tpu.profiling import enable_compile_cache
+    enable_compile_cache()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=1024)
     parser.add_argument("--frames-per-device", type=int, default=8)
