@@ -215,15 +215,24 @@ def finish_stream(hdr_bytes: np.ndarray, hdr_bits: int, body: np.ndarray,
 
 def luts_as_radix(llen: np.ndarray, lcode: np.ndarray
                   ) -> Tuple[np.ndarray, np.ndarray]:
-    """Token LUTs padded to 1024 entries and laid out (idx>>5, idx&31) as
-    (32, 32) float32 — the shape the assembly kernel's bilinear lookup wants.
+    """Token LUTs padded to 1024 entries and laid out (idx>>5, idx&31) for
+    the assembly kernel's bilinear lookup.
+
+    Values (up to 21 bits) are split into three byte planes stacked along
+    the row axis — (96, 32) float32 — because the MXU's default f32 matmul
+    (bf16x3) is only exact for small integers; byte planes (<= 255) pass
+    through exactly and the kernel recombines them in int32.  Bit counts
+    (<= 21) fit one exact (32, 32) plane.
     """
     val, bits = token_luts(llen, lcode)
-    v = np.zeros(1024, np.float32)
+    v = np.zeros(1024, np.uint32)
     b = np.zeros(1024, np.float32)
-    v[:LUT_SIZE] = val.astype(np.float32)
+    v[:LUT_SIZE] = val
     b[:LUT_SIZE] = bits.astype(np.float32)
-    return v.reshape(32, 32), b.reshape(32, 32)
+    v2d = v.reshape(32, 32)
+    planes = np.concatenate([(v2d >> (8 * k)) & 0xFF for k in range(3)],
+                            axis=0).astype(np.float32)          # (96, 32)
+    return planes, b.reshape(32, 32)
 
 
 def splice_eob(body: np.ndarray, total_bits: int, eob_val: int, eob_len: int
@@ -268,7 +277,7 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None):
     hist_np = np.asarray(hist)     # (B, 512) — small readback
     adler_np = np.asarray(adler)
 
-    vluts = np.zeros((B, 32, 32), np.float32)
+    vluts = np.zeros((B, 96, 32), np.float32)
     bluts = np.zeros((B, 32, 32), np.float32)
     hdrs, hdr_bits, eobs = [], [], []
     phases = np.zeros(B, np.int32)

@@ -346,9 +346,15 @@ def _build_assemble_kernel(B, NPAD, OUT, interpret):
             hi = idx >> 5
             oh_lo = (lo == io32s).astype(jnp.float32)          # (32, 128)
             oh_hi = (hi == io32s).astype(jnp.float32)
+            # vlut rows are 3 stacked byte planes (MXU f32 matmuls are only
+            # exact for small ints); recombine in i32
             m1v = jnp.dot(vlut, oh_lo, preferred_element_type=jnp.float32)
             m1b = jnp.dot(blut, oh_lo, preferred_element_type=jnp.float32)
-            val = jnp.sum(oh_hi * m1v, axis=0, keepdims=True).astype(jnp.int32)
+            val = jnp.int32(0)
+            for k in range(3):
+                byte_k = jnp.sum(oh_hi * m1v[32 * k: 32 * (k + 1)], axis=0,
+                                 keepdims=True).astype(jnp.int32)
+                val = val + (byte_k << (8 * k))
             bits = jnp.sum(oh_hi * m1b, axis=0, keepdims=True).astype(jnp.int32)
 
             csum = _cumsum_lanes(bits, SUB_B)
@@ -402,7 +408,7 @@ def _build_assemble_kernel(B, NPAD, OUT, interpret):
         in_specs=[
             pl.BlockSpec((1, 1, 8, CH_B // 8), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32, 32), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 96, 32), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 32, 32), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
@@ -446,8 +452,9 @@ def assemble_pallas(lut_idx, vlut, blut, phase, partial, out_bound,
                     interpret=None):
     """Pass B: pack per-byte tokens into the deflate bitstream.
 
-    ``vlut``/``blut`` (B, 32, 32) f32 — token (value, bits) LUTs laid out as
-    [idx >> 5, idx & 31] (idx 512 = no token -> (0, 0)).  ``phase`` (B,) is
+    ``vlut`` (B, 96, 32) f32 — token value LUT as 3 stacked byte planes,
+    ``blut`` (B, 32, 32) f32 — bit counts; both laid out [idx >> 5, idx & 31]
+    (idx 512 = no token -> (0, 0)).  ``phase`` (B,) is
     the header's trailing bit count (0..7) and ``partial`` its trailing
     partial-byte value.  Returns (body (B, out_bound) u8 — starting at the
     header's last partial byte — , total_bits (B,) incl. phase, overflow

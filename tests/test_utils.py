@@ -6,7 +6,7 @@ import pytest
 from pyrecode_tpu import InputParams, oracle
 from pyrecode_tpu.reader import ReCoDeReader, merge_parts
 from pyrecode_tpu.utils import calibration, converters, converters_mt
-from pyrecode_tpu.utils.viewer import ReCoDeViewer
+from pyrecode_tpu.utils.viewer import ReCoDeViewer, ReCoDeViewerMT
 from pyrecode_tpu.writer import ReCoDeWriter
 
 
@@ -148,6 +148,39 @@ class TestViewer:
         assert v1["start"] == 0 and v1["n_frames"] == 3
         assert np.array_equal(v1["view"], data[:3].sum(axis=0).astype(np.float64))
         v2 = viewer.get_next_view()
+        assert np.array_equal(v2["view"], data[3:6].sum(axis=0).astype(np.float64))
+        viewer.close()
+
+    def test_live_view_mt_threads_per_part(self, tmp_path):
+        """Threaded variant: one reader thread per part (the reference's MT
+        notebook uses one process per part)."""
+        rng = np.random.default_rng(10)
+        data = rng.integers(0, 4096, size=(6, 64, 64)).astype(np.int64) - 3500
+        data[data < 0] = 0
+        data = data.astype(np.uint16)
+        dark = np.zeros((64, 64), np.uint16)
+        params = InputParams(dict(
+            reduction_level=1, rc_operation_mode=1, calibration_threshold_epsilon=0,
+            target_bit_depth=12, source_bit_depth=12, num_cols=64, num_rows=64,
+            num_frames=6, frame_offset=0, num_calibration_frames=1,
+            calibration_frame_offset=0, keep_part_files=0, num_threads=2,
+            l2_statistics=0, l4_centroiding=0, compression_scheme=0,
+            compression_level=1, source_file_type=0, source_header_length=0,
+            keep_calibration_data=1, calibration_file_type=0, source_data_type=0,
+            target_data_type=0))
+        assert params.validate()
+        for node_id in range(2):
+            w = ReCoDeWriter("mt_data", dark_data=dark, output_directory=str(tmp_path),
+                             input_params=params, node_id=node_id)
+            w.start()
+            w.run(data)
+            w.close()
+
+        viewer = ReCoDeViewerMT(str(tmp_path), "mt_data.rc1", 2, fractionation=3)
+        v1 = viewer.get_next_view(timeout=10)
+        assert v1["start"] == 0 and v1["n_frames"] == 3
+        assert np.array_equal(v1["view"], data[:3].sum(axis=0).astype(np.float64))
+        v2 = viewer.get_next_view(timeout=10)
         assert np.array_equal(v2["view"], data[3:6].sum(axis=0).astype(np.float64))
         viewer.close()
 
