@@ -330,66 +330,71 @@ def _build_assemble_kernel(B, NPAD, OUT, interpret):
             tail_vref[...] = jnp.zeros_like(tail_vref)
             comp_ref[...] = jnp.zeros_like(comp_ref)
 
-        vlut = vlut_ref[0]     # (32, 32) f32
+        vlut = vlut_ref[0]     # (96, 32) f32: 3 byte planes
         blut = blut_ref[0]
         lut_row = lut_ref[0, 0].reshape(1, CH_B)   # (8, 256) -> (1, 2048)
 
-        io32s = jax.lax.broadcasted_iota(jnp.int32, (32, SUB_B), 0)
-        io8s = jax.lax.broadcasted_iota(jnp.int32, (8, SUB_B), 0)
+        # ---- step-level LUT lookup + bit cumsum over all 2048 tokens ----
+        io32w = jax.lax.broadcasted_iota(jnp.int32, (32, CH_B), 0)
+        lo = lut_row & 31
+        hi = lut_row >> 5
+        oh_lo = (lo == io32w).astype(jnp.float32)              # (32, 2048)
+        oh_hi = (hi == io32w).astype(jnp.float32)
+        # vlut rows are 3 stacked byte planes (MXU f32 matmuls are only
+        # exact for small ints); recombine in i32
+        m1v = jnp.dot(vlut, oh_lo, preferred_element_type=jnp.float32)
+        m1b = jnp.dot(blut, oh_lo, preferred_element_type=jnp.float32)
+        val_all = jnp.int32(0)
+        for k in range(3):
+            byte_k = jnp.sum(oh_hi * m1v[32 * k: 32 * (k + 1)], axis=0,
+                             keepdims=True).astype(jnp.int32)
+            val_all = val_all + (byte_k << (8 * k))
+        bits_all = jnp.sum(oh_hi * m1b, axis=0, keepdims=True).astype(jnp.int32)
+        gcs = _cumsum_lanes(bits_all, CH_B)                    # inclusive
+
+        io4s = jax.lax.broadcasted_iota(jnp.int32, (4, SUB_B), 0)
         io128s = jax.lax.broadcasted_iota(jnp.int32, (128, SUB_B), 0)
         io_w = jax.lax.broadcasted_iota(jnp.int32, (1, WIN_B), 1)
         ovf_acc = jnp.int32(0)
 
         for sc in range(CH_B // SUB_B):
-            idx = lut_row[:, sc * SUB_B:(sc + 1) * SUB_B]      # (1, 128)
-            lo = idx & 31
-            hi = idx >> 5
-            oh_lo = (lo == io32s).astype(jnp.float32)          # (32, 128)
-            oh_hi = (hi == io32s).astype(jnp.float32)
-            # vlut rows are 3 stacked byte planes (MXU f32 matmuls are only
-            # exact for small ints); recombine in i32
-            m1v = jnp.dot(vlut, oh_lo, preferred_element_type=jnp.float32)
-            m1b = jnp.dot(blut, oh_lo, preferred_element_type=jnp.float32)
-            val = jnp.int32(0)
-            for k in range(3):
-                byte_k = jnp.sum(oh_hi * m1v[32 * k: 32 * (k + 1)], axis=0,
-                                 keepdims=True).astype(jnp.int32)
-                val = val + (byte_k << (8 * k))
-            bits = jnp.sum(oh_hi * m1b, axis=0, keepdims=True).astype(jnp.int32)
+            sl = slice(sc * SUB_B, (sc + 1) * SUB_B)
+            val = val_all[:, sl]
+            bits = bits_all[:, sl]
+            prev_total = gcs[0, sc * SUB_B - 1] if sc else jnp.int32(0)
+            csum = gcs[:, sl] - prev_total                     # in-sub incl.
 
-            csum = _cumsum_lanes(bits, SUB_B)
             bitpos = bit_sref[0]
             off = bitpos + csum - bits                          # exclusive
             sub_total = bitpos + csum[0, SUB_B - 1]
-            sv = val << (off & 7)
 
-            # byte scatter: target = 128*(t>>7) + (t&127); one NT matmul over
-            # all 4 k-shifts; (8, 128) merges to a (1, 1024) lane row (lane
-            # width must stay 128-aligned for the Mosaic relayout)
-            a_rows = []
-            oh_rows = []
-            for k in range(4):
-                ck = ((sv >> (8 * k)) & 255).astype(jnp.float32)
-                tk = (off >> 3) + k
-                a_rows.append((((tk >> 7) == io8s).astype(jnp.float32))
-                              * ck)                             # (8, 128)
-                oh_rows.append(((tk & 127) == io128s).astype(jnp.float32))
-            a_cat = jnp.concatenate(a_rows, axis=1)             # (8, 512)
-            oh_cat = jnp.concatenate(oh_rows, axis=1)           # (128, 512)
-            out2d = jax.lax.dot_general(a_cat, oh_cat,
-                                        (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-            local = out2d.astype(jnp.int32).reshape(1, 8 * 128)  # (1, 1024)
-            local = local[:, :WIN_B]
-            local = local + part_sref[0] * (io_w == 0).astype(jnp.int32)
+            @pl.when(csum[0, SUB_B - 1] > 0)
+            def _(val=val, off=off, sub_total=sub_total, csum=csum):
+                sv = val << (off & 7)
+                # byte scatter at the k=0 target only (128-wide one-hot);
+                # the k-shifted byte planes are rolled after the matmul
+                t0 = off >> 3
+                oh_tl = ((t0 & 127) == io128s).astype(jnp.float32)  # (128,128)
+                th = t0 >> 7                                        # in [0,4)
+                local = part_sref[0] * (io_w == 0).astype(jnp.int32)
+                for k in range(4):
+                    ck = ((sv >> (8 * k)) & 255).astype(jnp.float32)
+                    a_k = ((th == io4s).astype(jnp.float32)) * ck   # (4, 128)
+                    o2 = jax.lax.dot_general(a_k, oh_tl,
+                                             (((1,), (1,)), ((), ())),
+                                             preferred_element_type=jnp.float32)
+                    row = o2.astype(jnp.int32).reshape(1, 4 * 128)  # (1, 512)
+                    local = local + (row if k == 0
+                                     else pltpu.roll(row, k, axis=1))
 
-            nbytes = sub_total >> 3
-            part_sref[0] = jnp.sum(jnp.where(io_w == nbytes, local, 0))
-            bit_sref[0] = sub_total & 7
+                nbytes = sub_total >> 3
+                part_sref[0] = jnp.sum(jnp.where(io_w == nbytes, local, 0))
+                bit_sref[0] = sub_total & 7
+                _store_window(comp_ref, tail_vref, off_sref, local, nbytes,
+                              OUT, WIN, WIN_B)
+
             tot_sref[0] = tot_sref[0] + csum[0, SUB_B - 1]
-            ovf = _store_window(comp_ref, tail_vref, off_sref, local, nbytes,
-                                OUT, WIN, WIN_B)
-            ovf_acc = ovf_acc | jnp.int32(ovf)
+        ovf_acc = ovf_acc | jnp.int32(off_sref[0] > OUT)
 
         ovf_ref[0, 0, 0] |= ovf_acc
 

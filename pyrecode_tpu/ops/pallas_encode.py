@@ -136,10 +136,22 @@ def make_pack_matrix(sub: int):
 
 
 @functools.lru_cache(maxsize=64)
-def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret):
-    """Build (and cache) the pallas_call for one static configuration."""
+def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
+                     spf_steps=0, align=128):
+    """Build (and cache) the pallas_call for one static configuration.
+
+    ``spf_steps > 0`` enables *stacked subframes*: H is ``n_sub`` frames of
+    ``spf_steps * RPC`` rows each, and at every subframe boundary the running
+    value offset is rounded up to ``align`` (by appending zeros through the
+    window store, which also flushes the tail carry) so each subframe's
+    values start pack- and lane-aligned.  The host reproduces the rounding
+    from per-frame counts to slice the shared output buffer.  This amortizes
+    per-frame overheads for small frames: one kernel invocation encodes a
+    whole batch.
+    """
     S = RPC * W // SUB
     n_chunks = H // RPC
+    t_steps = spf_steps if spf_steps else n_chunks
     C2 = S * C1          # sum of sub-row capacities: level 2 cannot overflow
     WIN = C2 + 128
 
@@ -153,6 +165,17 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret):
             ovf_ref[0, 0, 0] = 0
             comp_ref[...] = jnp.zeros_like(comp_ref)
             tail_ref[...] = jnp.zeros_like(tail_ref)
+
+        if spf_steps and with_values:
+            @pl.when((h > 0) & (h % spf_steps == 0))
+            def _():
+                # subframe boundary: round the offset up by appending zeros
+                # (flushes the tail so the pad region lands as real zeros)
+                off = off_sref[0]
+                pad = (align - jax.lax.rem(off, align)) % align
+                zeros = jnp.zeros((1, C2), jnp.int32)
+                _store_window(comp_ref, tail_ref, off_sref, zeros, pad,
+                              OUT, WIN, C2)
 
         x = x_ref[0].astype(jnp.int32)            # (RPC, W)
         t = t_ref[...].astype(jnp.int32)
@@ -196,7 +219,8 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret):
         grid=(B, n_chunks),
         in_specs=[
             pl.BlockSpec((1, RPC, W), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RPC, W), lambda b, h: (h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RPC, W), lambda b, h: (h % t_steps, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, SUB // 8), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
