@@ -272,12 +272,15 @@ def _choose_rpc(height: int, width: int) -> int:
     return rpc if height % rpc == 0 else 8
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "c1", "with_values", "interpret"))
-def _encode_call(frames, threshold, out_size, c1, with_values, interpret):
+@functools.partial(jax.jit, static_argnames=("out_size", "c1", "with_values",
+                                              "interpret", "n_sub", "align"))
+def _encode_call(frames, threshold, out_size, c1, with_values, interpret,
+                 n_sub=1, align=128):
     B, H, W = frames.shape
+    rpc = _choose_rpc(H // n_sub, W)
     call, pack_mat = _build_l1_kernel(
-        B, H, W, out_size, _choose_rpc(H, W), _choose_sub(W), c1,
-        with_values, interpret)
+        B, H, W, out_size, rpc, _choose_sub(W), c1, with_values, interpret,
+        spf_steps=(H // n_sub) // rpc if n_sub > 1 else 0, align=align)
     bitmap, comp, counts, ovf = call(frames, threshold, pack_mat)
     bitmap = bitmap.reshape(B, H * (W // 8))
     comp = comp[:, 0, :out_size]
@@ -302,6 +305,51 @@ def encode_l1_pallas(frames, threshold, out_size: int, bucket: int = 0,
         comp = None
     elif out_aligned != out_size:
         comp = comp[:, :out_size]
+    return bitmap, comp, counts, ovf
+
+
+STACK_ALIGN = 128  # value alignment at stacked-frame boundaries
+
+
+def stacked_offsets(counts, align: int = STACK_ALIGN):
+    """Start offset of each stacked frame's values in the shared buffer.
+
+    Reproduces the kernel's boundary rounding from per-frame foreground
+    counts: frame i starts at sum of round-up(count_j, align) for j < i.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    rounded = -(-counts // align) * align
+    starts = np.zeros_like(rounded)
+    starts[1:] = np.cumsum(rounded)[:-1]
+    return starts
+
+
+def encode_l1_stacked(frames, threshold, per_frame_bound: int,
+                      bucket: int = 0, with_values: bool = True,
+                      interpret: Optional[bool] = None):
+    """Encode a whole (B, H, W) batch as ONE stacked superframe.
+
+    Small frames pay a per-frame kernel overhead (buffer initialization,
+    frame-switch stalls) that dominates below ~1k rows; stacking the batch
+    along the row axis encodes it in a single grid pass.  Each frame's
+    values start at an ``align``-rounded offset in the shared buffer
+    (byte- and pack-group-aligned for any bit depth), recoverable via
+    :func:`stacked_offsets` from per-frame counts.
+
+    Returns (bitmap (B, H*W/8) u8, values (1, total_bound) i32 or None,
+    total_count (1,) i32, overflow (1,) bool).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B, H, W = frames.shape
+    c1 = CAPACITY_BUCKETS[bucket]
+    per_bound = -(-per_frame_bound // STACK_ALIGN) * STACK_ALIGN
+    out_size = per_bound * B
+    stacked = frames.reshape(1, B * H, W)
+    bitmap, comp, counts, ovf = _encode_call(
+        stacked, threshold, out_size, c1, with_values, bool(interpret),
+        n_sub=B, align=STACK_ALIGN)
+    bitmap = bitmap.reshape(B, H * (W // 8))
     return bitmap, comp, counts, ovf
 
 

@@ -470,15 +470,41 @@ class ReCoDeWriter:
         if (self._reduction_level in (1, 3)
                 and pallas_encode.supports(ny, nx, self._bit_depth)
                 and bucket <= (4 << 20)):
+            import jax
+            import jax.numpy as jnp
+
             with_values = self._reduction_level == 1
+            B = batch.shape[0]
+            # small frames: encode the whole batch as one stacked superframe
+            # (one grid pass amortizes per-frame kernel overhead); per-frame
+            # value slices start at aligned offsets derived from the prepass
+            # counts
+            stack = (B > 1 and ny <= 1024
+                     and pallas_encode.supports(B * ny, nx, self._bit_depth)
+                     and B * bucket <= (4 << 20))
+            if stack:
+                bitmap, comp, _, ovf = pallas_encode.encode_l1_stacked(
+                    batch, self._threshold, per_frame_bound=bucket,
+                    bucket=self._cap_bucket, with_values=with_values)
+                packed = None
+                if with_values:
+                    starts = pallas_encode.stacked_offsets(counts)
+                    bound = -(-bucket // pallas_encode.STACK_ALIGN) \
+                        * pallas_encode.STACK_ALIGN
+                    rows = jnp.stack([
+                        jax.lax.dynamic_slice(comp[0], (int(starts[i]),),
+                                              (bound,))
+                        for i in range(B)])
+                    packed = ops.bitpack_values(rows.astype(jnp.uint32),
+                                                self._bit_depth)
+                return ("pallas", (bitmap, packed, jnp.asarray(counts), ovf,
+                                   bucket))
             out = pallas_encode.encode_l1_pallas(
                 batch, self._threshold, out_size=bucket if with_values else 128,
                 bucket=self._cap_bucket, with_values=with_values)
             bitmap, comp, counts_dev, ovf = out
             packed = None
             if with_values:
-                import jax.numpy as jnp
-
                 packed = ops.bitpack_values(comp.astype(jnp.uint32), self._bit_depth)
             return ("pallas", (bitmap, packed, counts_dev, ovf, bucket))
 

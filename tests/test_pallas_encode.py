@@ -143,3 +143,61 @@ class TestPallasDecode:
             np.asarray(bitmap), packed, 16, 128, 12, bucket=2, interpret=True)
         assert not np.asarray(dovf2).any()
         assert np.array_equal(np.asarray(dense), frames)
+
+
+class TestStackedEncode:
+    """Superframe stacking: a whole batch in one grid pass (small-frame
+    throughput), values sliceable at aligned per-frame offsets."""
+
+    def test_matches_per_frame_encode(self):
+        from pyrecode_tpu import oracle
+        from pyrecode_tpu.ops import bitpack
+        from pyrecode_tpu.ops.pallas_encode import (encode_l1_stacked,
+                                                    stacked_offsets)
+
+        rng = np.random.default_rng(31)
+        B, H, W = 6, 64, 256
+        frames = np.where(rng.random((B, H, W)) < 0.03,
+                          rng.integers(1, 4096, (B, H, W)), 0).astype(np.uint16)
+        thr = rng.integers(0, 8, (H, W)).astype(np.uint16)
+        counts = np.array([(f > thr).sum() for f in frames])
+
+        bitmap, comp, total, ovf = encode_l1_stacked(
+            frames, thr, per_frame_bound=int(counts.max()) + 128,
+            bucket=1, interpret=True)
+        assert not bool(np.asarray(ovf).any())
+        starts = stacked_offsets(counts)
+        comp_np = np.asarray(comp)[0]
+        bitmap_np = np.asarray(bitmap)
+
+        # one bitpack over the shared buffer; per-frame slices are aligned
+        packed = np.asarray(bitpack.bitpack_values(
+            comp.astype(np.uint32), 12))[0]
+        for i in range(B):
+            enc = oracle.reduce_frame(frames[i], thr, 1, 12)
+            assert bitmap_np[i].tobytes() == enc["packed_binary_map"], i
+            vals = comp_np[starts[i]: starts[i] + counts[i]]
+            mask = frames[i] > thr
+            expected_vals = (frames[i].astype(np.int64)
+                             - thr.astype(np.int64))[mask]
+            assert np.array_equal(vals, expected_vals), i
+            byte0 = starts[i] * 12 // 8
+            nbytes = (counts[i] * 12 + 7) // 8
+            assert packed[byte0: byte0 + nbytes].tobytes() == \
+                enc["packed_pixvals"], i
+
+    def test_empty_and_full_frames(self):
+        from pyrecode_tpu.ops.pallas_encode import (encode_l1_stacked,
+                                                    stacked_offsets)
+
+        frames = np.zeros((3, 16, 128), np.uint16)
+        frames[1] = 100  # every pixel foreground
+        thr = np.zeros((16, 128), np.uint16)
+        counts = np.array([(f > thr).sum() for f in frames])
+        bitmap, comp, total, ovf = encode_l1_stacked(
+            frames, thr, per_frame_bound=2048, bucket=2, interpret=True)
+        assert not bool(np.asarray(ovf).any())
+        starts = stacked_offsets(counts)
+        comp_np = np.asarray(comp)[0]
+        assert counts[0] == 0 and counts[2] == 0
+        assert np.all(comp_np[starts[1]: starts[1] + counts[1]] == 100)
