@@ -169,9 +169,21 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
         # be silently truncated -> flag overflow (escalate K)
         root_row = lbl // W
         at_boundary = (r_io == 0) | (r_io == R - 1)
+        root_in_chunk = (root_row >= K) & (root_row < K + RPC)
         ovf_halo = ovf_halo | (jnp.sum(
-            (mask & at_boundary & (root_row >= K) & (root_row < K + RPC))
-            .astype(jnp.int32)) > 0)
+            (mask & at_boundary & root_in_chunk).astype(jnp.int32)) > 0)
+
+        # the stats/centroid windows only reach CHEBYSHEV distance K from
+        # the root.  Label convergence alone does not guarantee that bound:
+        # a straight-line puddle of K+2 pixels has geodesic radius K+1 <= T
+        # (labels converge, the extra iteration shows no change) yet its far
+        # pixel sits outside the +-K window and its sum/centroid would be
+        # silently truncated.  Flag any owned pixel beyond the box.
+        root_col = lbl - root_row * W
+        cheby_bad = mask & root_in_chunk & (
+            (r_io - root_row > K)
+            | (c_io - root_col > K) | (root_col - c_io > K))
+        ovf_halo = ovf_halo | (jnp.sum(cheby_bad.astype(jnp.int32)) > 0)
 
         # ---- per-puddle statistic ----
         if mode == "l2max":

@@ -83,6 +83,38 @@ def test_big_puddle_overflows_small_halo():
     assert np.asarray(res.packed)[0][:plen].tobytes() == enc["packed_pixvals"]
 
 
+@pytest.mark.parametrize("length", [6, 9, 12])
+@pytest.mark.parametrize("lvl,stat,scheme", [
+    (2, "sum", "weighted_average"),
+    (2, "max", "weighted_average"),
+    (4, "max", "weighted_average"),
+    (4, "max", "unweighted"),
+])
+def test_line_puddle_flags_chebyshev_overflow(length, lvl, stat, scheme):
+    """A straight-line puddle can converge labels (geodesic radius <= T)
+    while exceeding the +-K stats window (Chebyshev distance > K).  The
+    kernel must flag overflow so the caller escalates; the auto path must
+    stay byte-exact via escalation / XLA fallback."""
+    frames = np.zeros((1, 64, 128), np.uint16)
+    frames[0, 10, 10:10 + length] = np.arange(5, 5 + length, dtype=np.uint16)
+    thr = np.zeros((64, 128), np.uint16)
+
+    _, _, _, ovf0 = encode_l2l4_pallas(
+        frames, thr, lvl, out_size=128, bit_depth=12, statistic=stat,
+        scheme=scheme, halo_bucket=0, interpret=True)
+    assert np.asarray(ovf0).any(), "K=4 bucket must flag the line puddle"
+
+    res = encode_frames_auto(frames, thr, reduction_level=lvl, bit_depth=12,
+                             max_values=1024, l2_statistic=stat,
+                             l4_scheme=scheme)
+    enc = oracle.reduce_frame(frames[0], thr, lvl, 12, l2_statistic=stat,
+                              l4_scheme=scheme)
+    assert np.asarray(res.bitmap)[0].tobytes() == enc["packed_binary_map"]
+    if lvl == 2:
+        plen = int(np.asarray(res.packed_len)[0])
+        assert np.asarray(res.packed)[0][:plen].tobytes() == enc["packed_pixvals"]
+
+
 def test_auto_uses_label_kernel_and_matches():
     frames = _frames(seed=7, shape=(64, 128))
     thr = np.zeros(frames.shape[1:], np.uint16)
