@@ -248,7 +248,8 @@ def splice_eob(body: np.ndarray, total_bits: int, eob_val: int, eob_len: int
     return np.concatenate([body[:nfull], tail]), total_bits + eob_len
 
 
-def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None):
+def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
+                         compact=None):
     """Device entropy stage: deflate a batch of byte streams on the TPU.
 
     ``streams`` — (B, NPAD) u8 array (device or host; NPAD a multiple of
@@ -261,6 +262,13 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None):
     table + header construction via the native library, making the output
     byte-identical to ``native.deflate_sparse``.  Returns a list of B zlib
     streams.
+
+    ``compact`` — insert the device token-compaction pass (A.5) so the
+    assembly grid covers only real tokens instead of every input slot.
+    Default (None) auto-enables it when the batch's token density is low
+    enough that it shrinks the assembly grid (sparse bitmap streams yes,
+    literal-dense pixel-value streams no).  Output bytes are identical
+    either way.
     """
     import jax.numpy as jnp
 
@@ -276,6 +284,31 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None):
                                                interpret=interpret)
     hist_np = np.asarray(hist)     # (B, 512) — small readback
     adler_np = np.asarray(adler)
+
+    # ---- pass A.5: token compaction (see pallas_deflate.compact_tokens) ----
+    tok_counts = hist_np[:, :286].sum(axis=1).astype(np.int64)
+    tok_max = int(tok_counts.max()) if B else 0
+    # pow2 quantization bounds the number of distinct kernel shapes compiled
+    tok_bound = max(pdk.CH_B, 1 << int(np.ceil(np.log2(max(tok_max, 1)))))
+    if compact is None:
+        compact = tok_bound < npad
+    if compact and tok_bound < npad:
+        density = tok_max / max(int(lengths.max()), 1)
+        bucket = pdk.compact_bucket_for(density)
+        from ..ops.pallas_encode import CAPACITY_BUCKETS
+        while True:
+            dense, dcounts, covf = pdk.compact_tokens(
+                lut_idx, tok_bound, bucket=bucket, interpret=interpret)
+            if not bool(np.asarray(covf).any()) or \
+                    bucket >= len(CAPACITY_BUCKETS) - 1:
+                break
+            bucket += 1
+        # body-size bound: <= 21 bits per dense token, and never more than
+        # the uncompacted worst case (the emitted bits are identical)
+        out_bound_c = min(2 * npad, (tok_bound * pdk.MAX_TOKEN_BITS + 7) // 8)
+        lut_idx, npad, out_bound = dense, tok_bound, out_bound_c + 256
+    else:
+        out_bound = 2 * npad + 256
 
     vluts = np.zeros((B, 96, 32), np.float32)
     bluts = np.zeros((B, 32, 32), np.float32)

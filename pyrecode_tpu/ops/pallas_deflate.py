@@ -25,18 +25,20 @@ Two passes with an O(alphabet)-only host step between them:
 via the native library's own builders (bit-identical), and the per-token
 (value, bit-count) LUTs.
 
-**Pass B — assemble** (grid step = 2048 tokens, 16 sub-chunks of 128):
+**Pass B — assemble** (grid step = 2048 tokens, ONE step-level scatter):
   * LUT lookup via a bilinear one-hot: M1 = LUT(32x32) @ onehot(lo) and a
     masked sublane reduction against onehot(hi) — no gathers;
   * bit offsets via lane cumsum with a carried bit phase; each token's
-    shifted value contributes <= 4 bytes, scattered with ONE NT matmul per
-    sub-chunk: A[(th, token)] = contrib * onehot(target>>7) (8 x 512,
-    4 k-shifts concatenated along lanes) contracted with onehot(target&127)
-    (128 x 512) — disjoint bit ranges make f32 sums exact (<= 255);
-  * the (8, 128) scatter result merges to a (1, 1024) byte row and appends at
-    the running output offset via the 128-aligned window store with VMEM
-    tail carry shared with the L1 encode kernel (pallas_encode._store_window)
-    — the variable-bit-width generalization of that compaction machinery.
+    shifted value (<= 21+7 bits) contributes <= 4 bytes, scattered with ONE
+    NT matmul per byte plane k: A[(th, token)] = contrib * onehot(target>>7)
+    (43 x 2048) contracted with onehot(target&127) (128 x 2048) — disjoint
+    bit ranges make f32 sums exact (<= 255); the (43, 128) result merges to
+    a (1, 5504) byte row, plane k rolled right by k lanes;
+  * the merged row appends at the running output offset via the 128-aligned
+    window store with VMEM tail carry shared with the L1 encode kernel
+    (pallas_encode._store_window) — the variable-bit-width generalization of
+    that compaction machinery.  The whole step is one serial region (vs 16
+    sub-chunk scatters previously: 10x fewer carried-scalar dependencies).
 
 The end-of-block code, byte alignment, stored-block fallback and adler
 trailer are host-side O(1) splices (codecs/dyndeflate.finish_stream).
@@ -57,8 +59,10 @@ from .pallas_encode import _cumsum_lanes, _store_window
 CH_A = 4096          # pass-A bytes per grid step
 ROWS_A, SUB_A = 8, 512
 CH_B = 2048          # pass-B tokens per grid step
-SUB_B = 128          # tokens per sub-chunk
-WIN_B = 512          # sub-chunk local byte window (<= 344 bytes used)
+MAX_TOKEN_BITS = 21  # lit code <= 15; match = len code 15 + extra 5 + dist 1
+# step-local byte window: 7 phase bits + CH_B * 21 bits, plus 3 spill bytes
+# for the k-shifted planes, rounded to 128 lanes
+WIN_B = -(-((7 + CH_B * MAX_TOKEN_BITS) // 8 + 4) // 128) * 128
 
 _INF = 1 << 30
 _SENT = 300   # byte sentinel (breaks runs at stream boundaries)
@@ -307,12 +311,66 @@ def tokenize_pallas(streams, lengths, interpret=None):
     return _tokenize_call(streams, lengths, bool(interpret))
 
 
+# ---------------------------------------------------- token compaction (A.5)
+
+COMPACT_W = 128   # token-compaction sub-row window (capacity C1 per window)
+
+
+def compact_tokens(lut_idx, tok_bound: int, bucket: int = 0, interpret=None):
+    """Squeeze the NO_TOKEN slots out of a per-byte token-LUT stream.
+
+    In a sparse stream most bytes are covered by matches, so pass A's LUT
+    output is mostly NO_TOKEN — yet pass B pays per SLOT.  Compacting first
+    makes the assembly grid proportional to the true token count (a 3-5x
+    step reduction on 1%-occupancy bitmap streams).
+
+    Reuses the L1 encode kernel's hierarchical compaction (pallas_encode):
+    the stream is mapped to v = NO_TOKEN - lut (tokens -> [1, 512],
+    covered -> 0), compacted as "foreground values" over 128-lane sub-rows,
+    and mapped back (pad slots 0 -> NO_TOKEN, which assembles as 0 bits).
+
+    Returns (dense_lut (B, tok_bound) i32, counts (B,) i32, overflow (B,)
+    bool).  At the top bucket (C1 = 128 = the window size) overflow is
+    impossible, so bucket escalation always terminates.
+    """
+    from .pallas_encode import encode_l1_pallas
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B, NPAD = lut_idx.shape
+    v = (NO_TOKEN - lut_idx).astype(jnp.uint16)        # covered -> 0
+    rows = NPAD // COMPACT_W
+    frames = v.reshape(B, rows, COMPACT_W)
+    thr = jnp.zeros((rows, COMPACT_W), jnp.uint16)
+    _, comp, counts, ovf = encode_l1_pallas(
+        frames, thr, out_size=tok_bound, bucket=bucket, interpret=interpret)
+    dense = NO_TOKEN - comp                            # pad 0 -> NO_TOKEN
+    return dense, counts, ovf
+
+
+def compact_bucket_for(density: float) -> int:
+    """First capacity bucket to try for a given global token density.
+
+    C1 must cover the densest 128-byte window; windows fluctuate around
+    128*density, so aim ~5 sigma above the mean (escalation on overflow
+    keeps this a heuristic, not a correctness bound)."""
+    from .pallas_encode import CAPACITY_BUCKETS
+
+    lam = COMPACT_W * min(max(density, 0.0), 1.0)
+    need = lam + 5.0 * max(lam, 1.0) ** 0.5
+    for b, c1 in enumerate(CAPACITY_BUCKETS):
+        if c1 >= need:
+            return b
+    return len(CAPACITY_BUCKETS) - 1
+
+
 # ---------------------------------------------------------------- assembly
 
 
 @functools.lru_cache(maxsize=32)
 def _build_assemble_kernel(B, NPAD, OUT, interpret):
     n_steps = NPAD // CH_B
+    NW = WIN_B // 128          # scatter sublane rows (t0 >> 7 < NW)
     WIN = WIN_B + 128
 
     def kernel(lut_ref, vlut_ref, blut_ref, phase_ref, part_ref,
@@ -351,52 +409,44 @@ def _build_assemble_kernel(B, NPAD, OUT, interpret):
             val_all = val_all + (byte_k << (8 * k))
         bits_all = jnp.sum(oh_hi * m1b, axis=0, keepdims=True).astype(jnp.int32)
         gcs = _cumsum_lanes(bits_all, CH_B)                    # inclusive
+        step_bits = gcs[0, CH_B - 1]
 
-        io4s = jax.lax.broadcasted_iota(jnp.int32, (4, SUB_B), 0)
-        io128s = jax.lax.broadcasted_iota(jnp.int32, (128, SUB_B), 0)
         io_w = jax.lax.broadcasted_iota(jnp.int32, (1, WIN_B), 1)
-        ovf_acc = jnp.int32(0)
 
-        for sc in range(CH_B // SUB_B):
-            sl = slice(sc * SUB_B, (sc + 1) * SUB_B)
-            val = val_all[:, sl]
-            bits = bits_all[:, sl]
-            prev_total = gcs[0, sc * SUB_B - 1] if sc else jnp.int32(0)
-            csum = gcs[:, sl] - prev_total                     # in-sub incl.
+        # ---- ONE scatter for the whole step ----
+        @pl.when(step_bits > 0)
+        def _():
+            bitpos = bit_sref[0]                 # phase within current byte
+            off = bitpos + gcs - bits_all        # exclusive bit offsets
+            sub_total = bitpos + step_bits
+            sv = val_all << (off & 7)
+            t0 = off >> 3                        # first target byte, < WIN_B-3
+            io128s = jax.lax.broadcasted_iota(jnp.int32, (128, CH_B), 0)
+            io_nw = jax.lax.broadcasted_iota(jnp.int32, (NW, CH_B), 0)
+            oh_tl = ((t0 & 127) == io128s).astype(jnp.float32)  # (128, CH_B)
+            oh_th = ((t0 >> 7) == io_nw).astype(jnp.float32)    # (NW, CH_B)
+            local = part_sref[0] * (io_w == 0).astype(jnp.int32)
+            for k in range(4):
+                # byte plane k scatters at the k=0 target (one NT matmul);
+                # the merged row is then rolled right by k.  Disjoint bit
+                # ranges of adjacent tokens keep every byte sum <= 255, so
+                # the f32 accumulation is exact.
+                ck = ((sv >> (8 * k)) & 255).astype(jnp.float32)
+                o2 = jax.lax.dot_general(oh_th * ck, oh_tl,
+                                         (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                row = o2.astype(jnp.int32).reshape(1, WIN_B)
+                local = local + (row if k == 0
+                                 else pltpu.roll(row, k, axis=1))
 
-            bitpos = bit_sref[0]
-            off = bitpos + csum - bits                          # exclusive
-            sub_total = bitpos + csum[0, SUB_B - 1]
+            nbytes = sub_total >> 3
+            part_sref[0] = jnp.sum(jnp.where(io_w == nbytes, local, 0))
+            bit_sref[0] = sub_total & 7
+            _store_window(comp_ref, tail_vref, off_sref, local, nbytes,
+                          OUT, WIN, WIN_B)
 
-            @pl.when(csum[0, SUB_B - 1] > 0)
-            def _(val=val, off=off, sub_total=sub_total, csum=csum):
-                sv = val << (off & 7)
-                # byte scatter at the k=0 target only (128-wide one-hot);
-                # the k-shifted byte planes are rolled after the matmul
-                t0 = off >> 3
-                oh_tl = ((t0 & 127) == io128s).astype(jnp.float32)  # (128,128)
-                th = t0 >> 7                                        # in [0,4)
-                local = part_sref[0] * (io_w == 0).astype(jnp.int32)
-                for k in range(4):
-                    ck = ((sv >> (8 * k)) & 255).astype(jnp.float32)
-                    a_k = ((th == io4s).astype(jnp.float32)) * ck   # (4, 128)
-                    o2 = jax.lax.dot_general(a_k, oh_tl,
-                                             (((1,), (1,)), ((), ())),
-                                             preferred_element_type=jnp.float32)
-                    row = o2.astype(jnp.int32).reshape(1, 4 * 128)  # (1, 512)
-                    local = local + (row if k == 0
-                                     else pltpu.roll(row, k, axis=1))
-
-                nbytes = sub_total >> 3
-                part_sref[0] = jnp.sum(jnp.where(io_w == nbytes, local, 0))
-                bit_sref[0] = sub_total & 7
-                _store_window(comp_ref, tail_vref, off_sref, local, nbytes,
-                              OUT, WIN, WIN_B)
-
-            tot_sref[0] = tot_sref[0] + csum[0, SUB_B - 1]
-        ovf_acc = ovf_acc | jnp.int32(off_sref[0] > OUT)
-
-        ovf_ref[0, 0, 0] |= ovf_acc
+        tot_sref[0] = tot_sref[0] + step_bits
+        ovf_ref[0, 0, 0] |= jnp.int32(off_sref[0] > OUT)
 
         @pl.when(h == n_steps - 1)
         def _():

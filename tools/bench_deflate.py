@@ -113,10 +113,43 @@ def main():
 
     dt_b = scan_time(run_b, lut_batch, args.iters)
     gbps_b = n / dt_b / 1e9
-    print(f"pass B (assemble): {dt_b*1e3:.2f} ms/frame-stream -> "
+    print(f"pass B direct (assemble): {dt_b*1e3:.2f} ms/frame-stream -> "
           f"{gbps_b:.2f} GB/s")
 
-    total = dt_a + dt_b + dt_h
+    # ---- pass A.5 (token compaction) + compacted pass B ----
+    tok_max = int(hist_np[0, :286].sum())
+    tok_bound = max(pdk.CH_B, 1 << int(np.ceil(np.log2(max(tok_max, 1)))))
+    density = tok_max / n
+    bucket = pdk.compact_bucket_for(density)
+    print(f"tokens: {tok_max} ({100*density:.1f}% of stream), "
+          f"tok_bound={tok_bound}, bucket C1="
+          f"{[32, 64, 128][bucket]}")
+
+    def run_a5(x):
+        dense, cnts, covf = pdk.compact_tokens(x, tok_bound, bucket=bucket,
+                                               interpret=False)
+        return jnp.sum(cnts).astype(jnp.float32)
+
+    dt_a5 = scan_time(run_a5, lut_batch, args.iters)
+    print(f"pass A.5 (compact): {dt_a5*1e3:.2f} ms/frame-stream -> "
+          f"{n/dt_a5/1e9:.2f} GB/s")
+
+    dense0, cnts0, covf0 = pdk.compact_tokens(lut, tok_bound, bucket=bucket,
+                                              interpret=False)
+    assert not bool(np.asarray(covf0).any()), "compaction overflow in bench"
+    out_bound_c = min(2 * npad, (tok_bound * pdk.MAX_TOKEN_BITS + 7) // 8) + 256
+    dense_batch = jnp.broadcast_to(dense0[None], (args.iters, *dense0.shape))
+
+    def run_bc(x):
+        body, totbits, ovf = pdk.assemble_pallas(
+            x, vlut, blut, phase, partial, out_bound_c, interpret=False)
+        return jnp.sum(totbits).astype(jnp.float32)
+
+    dt_bc = scan_time(run_bc, dense_batch, args.iters)
+    print(f"pass B compacted: {dt_bc*1e3:.2f} ms/frame-stream -> "
+          f"{n/dt_bc/1e9:.2f} GB/s")
+
+    total = dt_a + min(dt_b, dt_a5 + dt_bc) + dt_h
     print(f"device entropy total: {total*1e3:.2f} ms -> {n/total/1e9:.2f} GB/s "
           f"(stream bytes), size={args.size}^2 occupancy={args.occupancy}")
 

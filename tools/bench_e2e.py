@@ -91,8 +91,19 @@ def main():
     tab_bm = tables_for(bm_pad0, n_bm)
     plen0 = int((int(np.asarray(cnt0)[0]) * 12 + 7) // 8)
     tab_pk = tables_for(pk_pad0, plen0)
-    out_bm = -(-(2 * npad_bm + 256) // 128) * 128
     out_pk = -(-(2 * npad_pk + 256) // 128) * 128
+
+    # bitmap stream: token-compact before assembly (production picks the
+    # bound from the tokenize histogram; here sized from frame 0 + margin)
+    lut0, hist0, _ = pdk.tokenize_pallas(bm_pad0, np.array([n_bm], np.int32),
+                                         interpret=False)
+    tok0 = int(np.asarray(hist0)[0, :286].sum())
+    tok_bound = max(pdk.CH_B,
+                    1 << int(np.ceil(np.log2(max(int(tok0 * 1.5), 1)))))
+    cbkt = pdk.compact_bucket_for(tok0 / n_bm)
+    out_bm = -(-(min(2 * npad_bm,
+                     (tok_bound * pdk.MAX_TOKEN_BITS + 7) // 8) + 256)
+               // 128) * 128
 
     def device_batch(frames):
         bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
