@@ -18,6 +18,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <utility>
+#include <vector>
 
 #if defined(_MSC_VER)
 #include <intrin.h>
@@ -116,6 +118,62 @@ void bit_unpack_u64(const uint8_t *packed, uint64_t n, uint8_t bit_depth, uint64
         const uint64_t window = load_le64(packed + (bitpos >> 3));
         out[i] = (window >> (bitpos & 7)) & mask_val;
     }
+}
+
+// 8-connected component labeling over a 0/1 byte mask (row-major).
+// labels: ny*nx i32 out; 0 = background, components numbered 1..count in
+// row-major first-encounter order (the semantics of scipy.ndimage.label with
+// a full 3x3 structure, which the reference's L2/L4 writer path uses,
+// recode_writer.py:443).  Two-pass union-find with path halving; serves the
+// reader's L2 summary-stat decode (puddle count + order) natively, the role
+// reader.h:39-41 plays for the reference's C decode path.
+// Returns the component count.
+int32_t label_components_u8(const uint8_t *mask, uint32_t ny, uint32_t nx,
+                            int32_t *labels) {
+    const uint64_t n = (uint64_t)ny * nx;
+    std::vector<int32_t> parent(1, 0);
+    auto find = [&](int32_t a) {
+        while (parent[a] != a) { parent[a] = parent[parent[a]]; a = parent[a]; }
+        return a;
+    };
+    auto unite = [&](int32_t a, int32_t b) {
+        a = find(a); b = find(b);
+        if (a == b) return a;
+        if (a > b) std::swap(a, b);
+        parent[b] = a;
+        return a;
+    };
+    for (uint32_t r = 0; r < ny; ++r) {
+        for (uint32_t c = 0; c < nx; ++c) {
+            const uint64_t i = (uint64_t)r * nx + c;
+            if (!mask[i]) { labels[i] = 0; continue; }
+            int32_t lab = 0;
+            if (c && labels[i - 1]) lab = labels[i - 1];
+            if (r) {
+                const uint64_t up = i - nx;
+                if (c && labels[up - 1])
+                    lab = lab ? unite(lab, labels[up - 1]) : labels[up - 1];
+                if (labels[up])
+                    lab = lab ? unite(lab, labels[up]) : labels[up];
+                if (c + 1 < nx && labels[up + 1])
+                    lab = lab ? unite(lab, labels[up + 1]) : labels[up + 1];
+            }
+            if (!lab) {
+                lab = (int32_t)parent.size();
+                parent.push_back(lab);
+            }
+            labels[i] = lab;
+        }
+    }
+    std::vector<int32_t> remap(parent.size(), 0);
+    int32_t count = 0;
+    for (uint64_t i = 0; i < n; ++i) {
+        if (!labels[i]) continue;
+        const int32_t root = find(labels[i]);
+        if (!remap[root]) remap[root] = ++count;
+        labels[i] = remap[root];
+    }
+    return count;
 }
 
 // Pack a 0/1 byte mask into bits (LSB-first per byte).

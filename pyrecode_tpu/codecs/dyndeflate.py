@@ -315,6 +315,7 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
     hdrs, hdr_bits, eobs = [], [], []
     phases = np.zeros(B, np.int32)
     partials = np.zeros(B, np.int32)
+    body_bits_exact = np.zeros(B, np.int64)
     for i in range(B):
         lfreq = hist_np[i, :286].astype(np.uint32).copy()
         lfreq[256] += 1  # end of block
@@ -327,12 +328,30 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
                      int(llen[256])))
         phases[i] = hbits % 8
         partials[i] = int(hb[-1]) if hbits % 8 else 0
+        # exact body bits: extra bits per length code are fixed, so the
+        # histogram determines the total (used to pick the scatter window)
+        f = hist_np[i, :286].astype(np.int64)
+        sym_bits = llen[:286].astype(np.int64).copy()
+        sym_bits[257:286] += LEN_EXTRA[: 286 - 257].astype(np.int64) + 1
+        body_bits_exact[i] = int((f * sym_bits).sum())
 
-    out_bound = 2 * npad + 256
+    # ---- scatter-window preset: expected bits in a full CH_B-token step ----
+    slots_used = np.maximum(
+        tok_counts if npad != streams.shape[1] else lengths.astype(np.int64), 1)
+    step_est = int(np.max(
+        body_bits_exact * pdk.CH_B // slots_used[:B])) if B else 0
+    nw = pdk.window_rows_for(int(step_est * 1.3) + 8)
+
     body, totbits, ovf = pdk.assemble_pallas(
         lut_idx, jnp.asarray(vluts), jnp.asarray(bluts),
         jnp.asarray(phases), jnp.asarray(partials), out_bound,
-        interpret=interpret)
+        nw=nw, interpret=interpret)
+    if nw < pdk.WIN_ROWS_MAX and bool(np.asarray(ovf).any()):
+        # a step's bits exceeded the narrow window — re-run at full width
+        body, totbits, ovf = pdk.assemble_pallas(
+            lut_idx, jnp.asarray(vluts), jnp.asarray(bluts),
+            jnp.asarray(phases), jnp.asarray(partials), out_bound,
+            nw=pdk.WIN_ROWS_MAX, interpret=interpret)
     totbits_np = np.asarray(totbits)
     ovf_np = np.asarray(ovf)
 

@@ -70,6 +70,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.bit_unpack_u64.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint8, u8p]
         lib.pack_mask.restype = None
         lib.pack_mask.argtypes = [u8p, ctypes.c_uint64, u8p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.label_components_u8.restype = ctypes.c_int32
+        lib.label_components_u8.argtypes = [u8p, ctypes.c_uint32,
+                                            ctypes.c_uint32, i32p]
         lib.deflate_sparse.restype = ctypes.c_int64
         lib.deflate_sparse.argtypes = [u8p, ctypes.c_uint64, u8p]
         u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -163,6 +167,24 @@ def bit_unpack(packed: bytes, bit_depth: int, n_values: int, dtype=np.uint64) ->
     lib.bit_unpack_u64(_u8ptr(src), ctypes.c_uint64(n_values),
                        ctypes.c_uint8(bit_depth), _u8ptr(out.view(np.uint8)))
     return out.astype(dtype)
+
+
+def label_components(mask: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Native 8-connected component labeling, labels in row-major
+    first-encounter order; falls back to the scipy-based oracle.  Matches
+    ``oracle.label_components`` exactly (tests enforce this)."""
+    lib = get_lib()
+    if lib is None:
+        from . import oracle
+
+        return oracle.label_components(mask)
+    m = np.ascontiguousarray(mask, dtype=np.uint8)
+    ny, nx = m.shape
+    labels = np.empty((ny, nx), np.int32)
+    n = lib.label_components_u8(
+        _u8ptr(m), ctypes.c_uint32(ny), ctypes.c_uint32(nx),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return labels, int(n)
 
 
 def pack_mask(mask: np.ndarray) -> np.ndarray:

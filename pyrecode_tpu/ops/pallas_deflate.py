@@ -60,9 +60,15 @@ CH_A = 4096          # pass-A bytes per grid step
 ROWS_A, SUB_A = 8, 512
 CH_B = 2048          # pass-B tokens per grid step
 MAX_TOKEN_BITS = 21  # lit code <= 15; match = len code 15 + extra 5 + dist 1
-# step-local byte window: 7 phase bits + CH_B * 21 bits, plus 3 spill bytes
-# for the k-shifted planes, rounded to 128 lanes
-WIN_B = -(-((7 + CH_B * MAX_TOKEN_BITS) // 8 + 4) // 128) * 128
+# widest step-local byte window: 7 phase bits + CH_B * 21 bits, plus 3 spill
+# bytes for the k-shifted planes, rounded to 128 lanes -> 43 rows
+WIN_ROWS_MAX = -(-((7 + CH_B * MAX_TOKEN_BITS) // 8 + 4) // 128) * 128 // 128
+# narrower presets: the scatter matmuls cost O(win_rows * CH_B), and real
+# streams average ~5-9 bits/token, far below the 21-bit worst case.  The
+# kernel flags any step whose bits exceed the window (caller re-runs wide),
+# so narrow windows are a speed heuristic, never a correctness bound.
+WIN_ROWS_PRESETS = (17, 26, WIN_ROWS_MAX)   # ~8.4 / 13 / 21 bits per token
+WIN_B = WIN_ROWS_MAX * 128                  # widest window, for bounds
 
 _INF = 1 << 30
 _SENT = 300   # byte sentinel (breaks runs at stream boundaries)
@@ -368,10 +374,13 @@ def compact_bucket_for(density: float) -> int:
 
 
 @functools.lru_cache(maxsize=32)
-def _build_assemble_kernel(B, NPAD, OUT, interpret):
+def _build_assemble_kernel(B, NPAD, OUT, NW, interpret):
     n_steps = NPAD // CH_B
-    NW = WIN_B // 128          # scatter sublane rows (t0 >> 7 < NW)
-    WIN = WIN_B + 128
+    WINB = NW * 128            # scatter window bytes (t0 >> 7 < NW)
+    WIN = WINB + 128
+    # a step fits iff every scattered byte lands inside the window: the last
+    # token ends at sub_total bits, its k=3 plane byte at (sub_total-1)//8+3
+    bit_cap = (WINB - 4) * 8
 
     def kernel(lut_ref, vlut_ref, blut_ref, phase_ref, part_ref,
                comp_ref, totbits_ref, ovf_ref,
@@ -411,7 +420,7 @@ def _build_assemble_kernel(B, NPAD, OUT, interpret):
         gcs = _cumsum_lanes(bits_all, CH_B)                    # inclusive
         step_bits = gcs[0, CH_B - 1]
 
-        io_w = jax.lax.broadcasted_iota(jnp.int32, (1, WIN_B), 1)
+        io_w = jax.lax.broadcasted_iota(jnp.int32, (1, WINB), 1)
 
         # ---- ONE scatter for the whole step ----
         @pl.when(step_bits > 0)
@@ -419,8 +428,12 @@ def _build_assemble_kernel(B, NPAD, OUT, interpret):
             bitpos = bit_sref[0]                 # phase within current byte
             off = bitpos + gcs - bits_all        # exclusive bit offsets
             sub_total = bitpos + step_bits
+            # narrow-window miss: scattered bytes beyond the window are
+            # silently dropped (one-hot rows don't exist), so flag the step
+            # and let the caller re-run with the widest preset
+            ovf_ref[0, 0, 0] |= jnp.int32(sub_total > bit_cap)
             sv = val_all << (off & 7)
-            t0 = off >> 3                        # first target byte, < WIN_B-3
+            t0 = off >> 3                        # first target byte, < WINB-3
             io128s = jax.lax.broadcasted_iota(jnp.int32, (128, CH_B), 0)
             io_nw = jax.lax.broadcasted_iota(jnp.int32, (NW, CH_B), 0)
             oh_tl = ((t0 & 127) == io128s).astype(jnp.float32)  # (128, CH_B)
@@ -435,7 +448,7 @@ def _build_assemble_kernel(B, NPAD, OUT, interpret):
                 o2 = jax.lax.dot_general(oh_th * ck, oh_tl,
                                          (((1,), (1,)), ((), ())),
                                          preferred_element_type=jnp.float32)
-                row = o2.astype(jnp.int32).reshape(1, WIN_B)
+                row = o2.astype(jnp.int32).reshape(1, WINB)
                 local = local + (row if k == 0
                                  else pltpu.roll(row, k, axis=1))
 
@@ -443,7 +456,7 @@ def _build_assemble_kernel(B, NPAD, OUT, interpret):
             part_sref[0] = jnp.sum(jnp.where(io_w == nbytes, local, 0))
             bit_sref[0] = sub_total & 7
             _store_window(comp_ref, tail_vref, off_sref, local, nbytes,
-                          OUT, WIN, WIN_B)
+                          OUT, WIN, WINB)
 
         tot_sref[0] = tot_sref[0] + step_bits
         ovf_ref[0, 0, 0] |= jnp.int32(off_sref[0] > OUT)
@@ -454,7 +467,7 @@ def _build_assemble_kernel(B, NPAD, OUT, interpret):
             flush = jnp.where(io_w == 0, part_sref[0], 0)
             _store_window(comp_ref, tail_vref, off_sref, flush,
                           jnp.int32((bit_sref[0] > 0).astype(jnp.int32)),
-                          OUT, WIN, WIN_B)
+                          OUT, WIN, WINB)
             totbits_ref[0, 0, 0] = tot_sref[0]
 
     call = pl.pallas_call(
@@ -491,10 +504,11 @@ def _build_assemble_kernel(B, NPAD, OUT, interpret):
     return call
 
 
-@functools.partial(jax.jit, static_argnames=("out_bound", "interpret"))
-def _assemble_call(lut_idx, vlut, blut, phase, partial, out_bound, interpret):
+@functools.partial(jax.jit, static_argnames=("out_bound", "nw", "interpret"))
+def _assemble_call(lut_idx, vlut, blut, phase, partial, out_bound, nw,
+                   interpret):
     B, NPAD = lut_idx.shape
-    call = _build_assemble_kernel(B, NPAD, out_bound, bool(interpret))
+    call = _build_assemble_kernel(B, NPAD, out_bound, nw, bool(interpret))
     comp, totbits, ovf = call(
         lut_idx.reshape(B, NPAD // CH_B, 8, CH_B // 8), vlut, blut,
         phase.reshape(B, 1, 1).astype(jnp.int32),
@@ -503,20 +517,36 @@ def _assemble_call(lut_idx, vlut, blut, phase, partial, out_bound, interpret):
     return body, totbits[:, 0, 0], ovf[:, 0, 0] != 0
 
 
+def window_rows_for(step_bits_estimate: int) -> int:
+    """Smallest scatter-window preset whose bit capacity covers an expected
+    per-step bit count (with the caller's margin already applied).  The
+    kernel flags any step that actually exceeds the window, so this is a
+    speed heuristic — the caller re-runs at WIN_ROWS_MAX on overflow."""
+    for nw in WIN_ROWS_PRESETS:
+        if (nw * 128 - 4) * 8 >= step_bits_estimate:
+            return nw
+    return WIN_ROWS_MAX
+
+
 def assemble_pallas(lut_idx, vlut, blut, phase, partial, out_bound,
-                    interpret=None):
+                    nw=None, interpret=None):
     """Pass B: pack per-byte tokens into the deflate bitstream.
 
     ``vlut`` (B, 96, 32) f32 — token value LUT as 3 stacked byte planes,
     ``blut`` (B, 32, 32) f32 — bit counts; both laid out [idx >> 5, idx & 31]
     (idx 512 = no token -> (0, 0)).  ``phase`` (B,) is
     the header's trailing bit count (0..7) and ``partial`` its trailing
-    partial-byte value.  Returns (body (B, out_bound) u8 — starting at the
-    header's last partial byte — , total_bits (B,) incl. phase, overflow
-    (B,) bool).
+    partial-byte value.  ``nw`` — scatter-window sublane rows (default
+    WIN_ROWS_MAX = always-sufficient; narrower presets from
+    ``window_rows_for`` run faster but may flag overflow, in which case the
+    caller must re-run at WIN_ROWS_MAX).  Returns (body (B, out_bound) u8 —
+    starting at the header's last partial byte — , total_bits (B,) incl.
+    phase, overflow (B,) bool).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    if nw is None:
+        nw = WIN_ROWS_MAX
     out_bound = -(-out_bound // 128) * 128
     return _assemble_call(lut_idx, vlut, blut, phase, partial, out_bound,
-                          bool(interpret))
+                          int(nw), bool(interpret))

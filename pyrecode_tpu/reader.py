@@ -296,21 +296,24 @@ class ReCoDeReader:
                               shape=(ny, nx), dtype=self._numpy_dtype)
             return {"metadata": metadata, "data": data}
         if level == 2:
-            rows, cols, vals = oracle.decode_frame_sparse(binary_map, None, ny, nx, bit_depth, 2,
-                                                          dtype=self._numpy_dtype)
-            data = coo_matrix((vals, (rows, cols)), shape=(ny, nx), dtype=self._numpy_dtype)
+            rows, cols, vals = native.unpack_frame_sparse(
+                binary_map, None, ny, nx, bit_depth, 2)
+            data = coo_matrix((vals.astype(self._numpy_dtype), (rows, cols)),
+                              shape=(ny, nx), dtype=self._numpy_dtype)
             # True puddle count from a label pass over the decoded bitmap:
             # inferring it from the packed byte length ((n_packed*8)//bit_depth)
             # over-counts for bit_depth not dividing 8 — the final byte's pad
             # bits would decode as spurious zero-valued puddles.
-            mask = oracle.unpack_binary_frame(binary_map, ny * nx).reshape(ny, nx).astype(bool)
-            _, n_puddles = oracle.label_components(mask)
+            mask = np.zeros((ny, nx), np.uint8)
+            mask[rows.astype(np.int64), cols.astype(np.int64)] = 1
+            _, n_puddles = native.label_components(mask)
             stats = oracle.decode_summary_stats(pixvals, bit_depth, n_puddles, dtype=self._numpy_dtype)
             return {"metadata": metadata, "data": data, "summary_stats": stats}
         # L3 / L4: bitmap only, value 1 per set bit
-        rows, cols, vals = oracle.decode_frame_sparse(binary_map, None, ny, nx, bit_depth, level,
-                                                      dtype=self._numpy_dtype)
-        data = coo_matrix((vals, (rows, cols)), shape=(ny, nx), dtype=self._numpy_dtype)
+        rows, cols, vals = native.unpack_frame_sparse(
+            binary_map, None, ny, nx, bit_depth, level)
+        data = coo_matrix((vals.astype(self._numpy_dtype), (rows, cols)),
+                          shape=(ny, nx), dtype=self._numpy_dtype)
         return {"metadata": metadata, "data": data}
 
     # --------------------------------------------------------- batched decode

@@ -189,3 +189,34 @@ class TestCompressedSizeTargets:
             ours = len(native.deflate_sparse(stream))
             zl = len(zlib.compress(stream, 1))
             assert ours <= zl, (ours, zl, len(stream))
+
+
+def test_label_components_matches_oracle():
+    """Native union-find labeling == scipy oracle: same labels (first-
+    encounter order) and count, across densities and connectivity corners."""
+    from pyrecode_tpu import native, oracle
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(9)
+    masks = [
+        np.zeros((5, 7), bool),
+        np.ones((5, 7), bool),
+        np.eye(16, dtype=bool),                       # diagonal = 8-connected
+        np.fliplr(np.eye(16, dtype=bool)),            # anti-diagonal merges
+        (np.arange(64).reshape(8, 8) % 2 == 0),       # checkerboard
+        np.array([[1]], dtype=bool),
+        np.array([[1, 0, 1, 0, 1]], dtype=bool),      # single row
+        np.array([[1], [0], [1]], dtype=bool),        # single column
+    ]
+    for density in (0.01, 0.1, 0.4, 0.7):
+        masks.append(rng.random((64, 96)) < density)
+    # U-shape: late union of two provisional labels
+    u = np.zeros((6, 6), bool)
+    u[0:5, 0] = u[0:5, 4] = u[5, 0:5] = True
+    masks.append(u)
+    for i, mask in enumerate(masks):
+        ref_labels, ref_n = oracle.label_components(mask)
+        got_labels, got_n = native.label_components(mask)
+        assert got_n == ref_n, i
+        assert np.array_equal(got_labels, ref_labels), i

@@ -95,6 +95,74 @@ def test_fuzz_random_sparse_streams():
         assert got == native.deflate_sparse(raw), (i, len(raw))
 
 
+def _assemble_inputs(raw):
+    """Host-side table construction for one stream (mirrors
+    dyndeflate.deflate_batch_device's per-stream loop)."""
+    import jax.numpy as jnp
+
+    x = np.frombuffer(raw, np.uint8)
+    lut_idx, sym = dd.tokenize_bytes_np(x)
+    lfreq = dd.histogram_np(sym)
+    llen, lcode = native.dyn_tables(lfreq)
+    hb, hbits = native.dyn_header(llen)
+    vlut, blut = dd.luts_as_radix(llen, lcode)
+    npad = -(-max(x.size, 1) // pdk.CH_B) * pdk.CH_B
+    lut_pad = np.full((1, npad), pdk.NO_TOKEN, np.int32)
+    lut_pad[0, : x.size] = lut_idx
+    phase = np.array([hbits % 8], np.int32)
+    partial = np.array([int(hb[-1]) if hbits % 8 else 0], np.int32)
+    return (jnp.asarray(lut_pad), jnp.asarray(vlut[None]),
+            jnp.asarray(blut[None]), jnp.asarray(phase),
+            jnp.asarray(partial), 2 * npad + 256)
+
+
+def test_assemble_narrow_window_presets_match_wide():
+    """Every preset that does not overflow must produce bytes identical to
+    the always-sufficient widest window; a bit-heavy stream must trip the
+    overflow flag on the narrowest preset."""
+    rng = np.random.default_rng(11)
+    sparse = (rng.integers(0, 256, 6000)
+              * (rng.random(6000) < 0.02)).astype(np.uint8).tobytes()
+    # adversarial: 20k alternating 0/1 literals make bytes 128..255 rare
+    # (~10-bit codes), then a 3000-byte block of those rare literals packs
+    # one aligned 2048-token step at ~10 bits/token > the 8.4-bit preset
+    dense = (np.arange(20000, dtype=np.uint8) % 2).tobytes() + \
+        (128 + np.arange(3000, dtype=np.uint8) % 128).tobytes()
+
+    for raw in (sparse, dense):
+        args = _assemble_inputs(raw)
+        ref_body, ref_bits, ref_ovf = pdk.assemble_pallas(
+            *args, nw=pdk.WIN_ROWS_MAX, interpret=True)
+        assert not bool(ref_ovf[0])
+        tripped = 0
+        for nw in pdk.WIN_ROWS_PRESETS[:-1]:
+            body, bits, ovf = pdk.assemble_pallas(*args, nw=nw,
+                                                  interpret=True)
+            if bool(ovf[0]):
+                tripped += 1
+                continue
+            assert int(bits[0]) == int(ref_bits[0]), nw
+            assert np.array_equal(np.asarray(body), np.asarray(ref_body)), nw
+        if raw is dense:
+            assert tripped >= 1  # 8.4-bit preset must flag ~9-bit literals
+
+
+def test_narrow_window_retry_in_pipeline(monkeypatch):
+    """Force the narrowest preset: the pipeline must detect overflow and
+    transparently re-run wide, still byte-identical to the native encoder."""
+    monkeypatch.setattr(pdk, "window_rows_for",
+                        lambda est: pdk.WIN_ROWS_PRESETS[0])
+    rng = np.random.default_rng(5)
+    raws = [bytes(rng.integers(0, 256, 7000).astype(np.uint8)),
+            (rng.integers(0, 256, 7000)
+             * (rng.random(7000) < 0.3)).astype(np.uint8).tobytes()]
+    streams, lengths = _pack(raws, 2 * pdk.CH_A)
+    outs = dd.deflate_batch_device(streams, lengths,
+                                   raw_cb=lambda i: raws[i], interpret=True)
+    for i, (raw, got) in enumerate(zip(raws, outs)):
+        assert got == native.deflate_sparse(raw), i
+
+
 def test_writer_device_entropy_roundtrip(tmp_path):
     """Writer with the TPU entropy stage forced on (interpret mode): the
     container must be byte-identical to the host fast-deflate container and

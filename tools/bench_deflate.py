@@ -149,7 +149,34 @@ def main():
     print(f"pass B compacted: {dt_bc*1e3:.2f} ms/frame-stream -> "
           f"{n/dt_bc/1e9:.2f} GB/s")
 
-    total = dt_a + min(dt_b, dt_a5 + dt_bc) + dt_h
+    # ---- compacted pass B with the narrow scatter window ----
+    from pyrecode_tpu.codecs.dyndeflate import LEN_EXTRA
+    f = hist_np[0, :286].astype(np.int64)
+    sym_bits = llen[:286].astype(np.int64).copy()
+    sym_bits[257:286] += LEN_EXTRA[: 286 - 257].astype(np.int64) + 1
+    body_bits = int((f * sym_bits).sum())
+    step_est = body_bits * pdk.CH_B // max(tok_max, 1)
+    nw = pdk.window_rows_for(int(step_est * 1.3) + 8)
+    print(f"exact body bits: {body_bits} "
+          f"({body_bits/max(tok_max,1):.1f} bits/token), window rows "
+          f"{nw}/{pdk.WIN_ROWS_MAX}")
+
+    def run_bn(x):
+        body, totbits, ovf = pdk.assemble_pallas(
+            x, vlut, blut, phase, partial, out_bound_c, nw=nw,
+            interpret=False)
+        return jnp.sum(totbits).astype(jnp.float32)
+
+    dt_bn = dt_bc
+    if nw < pdk.WIN_ROWS_MAX:
+        _, _, ovf_n = pdk.assemble_pallas(dense0, vlut, blut, phase, partial,
+                                          out_bound_c, nw=nw, interpret=False)
+        assert not bool(np.asarray(ovf_n).any()), "narrow window overflowed"
+        dt_bn = scan_time(run_bn, dense_batch, args.iters)
+        print(f"pass B compacted narrow: {dt_bn*1e3:.2f} ms/frame-stream -> "
+              f"{n/dt_bn/1e9:.2f} GB/s")
+
+    total = dt_a + min(dt_b, dt_a5 + dt_bn) + dt_h
     print(f"device entropy total: {total*1e3:.2f} ms -> {n/total/1e9:.2f} GB/s "
           f"(stream bytes), size={args.size}^2 occupancy={args.occupancy}")
 
