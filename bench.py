@@ -32,7 +32,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 
 NORTH_STAR_GBPS = 10.0
@@ -68,45 +67,35 @@ def bench_encode(batch, height, width, density, scan_len=16, outer_reps=3,
         vals = jax.random.randint(k2, shape, 1, 1 << 12, dtype=jnp.int32)
         return jnp.where(u < density, vals, 0).astype(jnp.uint16)
 
-    @jax.jit
-    def run(frames_all, threshold):
-        def body(carry, frames):
-            if use_pallas:
-                bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
-                    frames, threshold, out_size=max_values, bucket=bucket,
-                    with_values=reduction_level == 1, interpret=False)
-                chk = jnp.sum(counts) + jnp.sum(bitmap.astype(jnp.uint32)) \
-                    + jnp.sum(ovf.astype(jnp.uint32)) * jnp.uint32(1 << 31)
-                if comp is not None:
-                    packed = bitpack_values(comp.astype(jnp.uint32), bit_depth)
-                    chk = chk + jnp.sum(packed.astype(jnp.uint32))
-            else:
-                res = encode_frames(
-                    frames, threshold, reduction_level=reduction_level,
-                    bit_depth=bit_depth, max_values=max_values)
-                chk = jnp.sum(res.counts) + jnp.sum(res.bitmap.astype(jnp.uint32))
-                if res.packed is not None:
-                    chk = chk + jnp.sum(res.packed.astype(jnp.uint32)) + jnp.sum(res.packed_len)
-            return carry + chk.astype(jnp.uint32), None
-
-        total, _ = jax.lax.scan(body, jnp.uint32(0), frames_all)
-        return total
+    def body(frames, threshold):
+        if use_pallas:
+            bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
+                frames, threshold, out_size=max_values, bucket=bucket,
+                with_values=reduction_level == 1, interpret=False)
+            chk = (counts, bitmap, ovf.astype(jnp.uint32))
+            if comp is not None:
+                packed = bitpack_values(comp.astype(jnp.uint32), bit_depth)
+                chk = chk + (packed,)
+            return chk
+        res = encode_frames(
+            frames, threshold, reduction_level=reduction_level,
+            bit_depth=bit_depth, max_values=max_values)
+        chk = (res.counts, res.bitmap)
+        if res.packed is not None:
+            chk = chk + (res.packed, res.packed_len)
+        return chk
 
     threshold = jnp.zeros((height, width), dtype=jnp.uint16)
     frames_all = gen_batches(jax.random.key(0))
     jax.block_until_ready(frames_all)
 
-    float(run(frames_all, threshold))  # compile + warm
-
-    best = float("inf")
-    for _ in range(outer_reps):
-        t0 = time.perf_counter()
-        float(run(frames_all, threshold))  # scalar readback drains the program
-        best = min(best, time.perf_counter() - t0)
-
-    bytes_processed = scan_len * batch * height * width * 2
-    per_batch = best / scan_len
-    return bytes_processed / 1e9 / best, per_batch
+    # steady-state per-batch time with the relay's fixed dispatch latency
+    # cancelled by length differencing (profiling.delta_scan_time)
+    from pyrecode_tpu.profiling import delta_scan_time
+    per_batch = delta_scan_time(body, frames_all, threshold,
+                                short=max(1, scan_len // 4), outer=outer_reps)
+    batch_bytes = batch * height * width * 2
+    return batch_bytes / 1e9 / per_batch, per_batch
 
 
 def main():

@@ -52,15 +52,22 @@ LUT_SIZE = 513
 NO_TOKEN = 512
 
 
+# byte-wise bit-reversal LUT: rev16(x) = REV8[x & 255] << 8 | REV8[x >> 8]
+_REV8 = np.zeros(256, dtype=np.uint32)
+for _i in range(256):
+    _REV8[_i] = int(f"{_i:08b}"[::-1], 2)
+
+
 def bit_reverse(codes: np.ndarray, nbits: np.ndarray) -> np.ndarray:
     """Reverse the low ``nbits`` bits of each code (Huffman codes are written
-    MSB-first into an LSB-first stream)."""
+    MSB-first into an LSB-first stream).  Codes are <= 16 bits; a byte LUT
+    reverses the full 16-bit word, then a shift drops the unused high bits
+    (this runs per stream in the device-entropy host step, so it is
+    allocation-light on purpose)."""
     codes = np.asarray(codes, dtype=np.uint32)
     nbits = np.asarray(nbits, dtype=np.uint32)
-    out = np.zeros_like(codes)
-    for i in range(16):
-        out = np.where(i < nbits, out | (((codes >> i) & 1) << (nbits - 1 - i)), out)
-    return out
+    rev16 = (_REV8[codes & 255] << 8) | _REV8[codes >> 8]
+    return np.where(nbits > 0, rev16 >> (16 - nbits), 0).astype(np.uint32)
 
 
 def length_code(take: np.ndarray) -> np.ndarray:

@@ -35,28 +35,19 @@ def _bitmap_fixture(size, occupancy, batch, seed=0):
 
 
 def scan_time(fn, xs, iters):
-    """Time fn over a scanned batch axis inside one jit; returns sec/iter."""
-    @jax.jit
-    def run(xs):
-        def body(carry, x):
-            out = fn(x)
-            return carry + out, ()
-        total, _ = jax.lax.scan(body, jnp.float32(0), xs)
-        return total
+    """Per-iteration device time of fn with the relay's fixed dispatch
+    latency cancelled by scan-length differencing (delta_scan_time)."""
+    from pyrecode_tpu.profiling import delta_scan_time
 
-    r = run(xs)
-    jax.block_until_ready(r)   # compile + warm
-    t0 = time.perf_counter()
-    r = run(xs)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters
+    del iters
+    return delta_scan_time(lambda x: fn(x), xs)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=4096)
     ap.add_argument("--occupancy", type=float, default=0.01)
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=24)
     args = ap.parse_args()
 
     from pyrecode_tpu import native

@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--size", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--occupancy", type=float, default=0.01)
-    ap.add_argument("--scan", type=int, default=4)
+    ap.add_argument("--scan", type=int, default=12)
     args = ap.parse_args()
 
     from pyrecode_tpu import native
@@ -128,18 +128,9 @@ def main():
                 + jnp.sum(ad_bm.astype(jnp.uint32)).astype(jnp.int32)
                 + jnp.sum(hist_pk) + jnp.sum(counts)).astype(jnp.float32)
 
-    @jax.jit
-    def run(xs):
-        def step(carry, fr):
-            return carry + device_batch(fr), ()
-        total, _ = jax.lax.scan(step, jnp.float32(0), xs)
-        return total
+    from pyrecode_tpu.profiling import delta_scan_time
 
-    r = run(frames_all)
-    jax.block_until_ready(r)  # compile
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(frames_all))
-    dt_dev = (time.perf_counter() - t0) / args.scan
+    dt_dev = delta_scan_time(device_batch, frames_all)
     dev_gbps = raw_bytes / dt_dev / 1e9
     print(f"device chain (encode+pack+deflate both streams): "
           f"{dt_dev*1e3:.2f} ms/{B}-frame batch -> {dev_gbps:.2f} GB/s raw")

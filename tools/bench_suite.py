@@ -34,7 +34,7 @@ def _sparse(batch, h, w, density=0.01, seed=0):
                     rng.integers(1, 4096, (batch, h, w)), 0).astype(np.uint16)
 
 
-def bench_levels(size=512, batch=32, scan_len=4):
+def bench_levels(size=512, batch=32, scan_len=16):
     """Device encode throughput per reduction level."""
     import jax
     import jax.numpy as jnp
@@ -143,7 +143,7 @@ def bench_entropy_matrix(size=4096, density=0.01):
     return out
 
 
-def bench_decode(size=4096, batch=4, scan_len=4):
+def bench_decode(size=4096, batch=4, scan_len=12):
     import jax
     import jax.numpy as jnp
 
@@ -164,21 +164,13 @@ def bench_decode(size=4096, batch=4, scan_len=4):
     bitmaps, packeds = jax.jit(jax.vmap(enc))(frames_all)
     jax.block_until_ready((bitmaps, packeds))
 
-    @jax.jit
-    def run(bms, pks):
-        def body(carry, xs):
-            dense, ovf = decode_l1_pallas(xs[0], xs[1], size, size, 12, interpret=False)
-            return carry + jnp.sum(dense.astype(jnp.uint32)) + jnp.sum(ovf.astype(jnp.uint32)), None
-        tot, _ = jax.lax.scan(body, jnp.uint32(0), (bms, pks))
-        return tot
+    from pyrecode_tpu.profiling import delta_scan_time
 
-    float(run(bitmaps, packeds))
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(bitmaps, packeds))
-        best = min(best, time.perf_counter() - t0)
-    dt = best / scan_len
+    def body(xs):
+        dense, ovf = decode_l1_pallas(xs[0], xs[1], size, size, 12, interpret=False)
+        return dense, ovf.astype(jnp.uint32)
+
+    dt = delta_scan_time(body, (bitmaps, packeds))
     return [{"config": f"L1 decode (pallas) {size}^2",
              "value": round(batch * size * size * 2 / 1e9 / dt, 3), "unit": "GB/s"}]
 

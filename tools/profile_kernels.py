@@ -22,26 +22,12 @@ import numpy as np
 
 
 def scan_time(body_fn, frames_all, *args, outer=3):
-    """Median time per scan step of body_fn(frames) -> scalar-reducible pytree."""
+    """Per-scan-step device time of body_fn(frames) -> scalar-reducible
+    pytree, with the relay's fixed dispatch latency cancelled by
+    scan-length differencing (profiling.delta_scan_time)."""
+    from pyrecode_tpu.profiling import delta_scan_time
 
-    @jax.jit
-    def run(frames_all, *args):
-        def body(carry, frames):
-            out = body_fn(frames, *args)
-            leaves = jax.tree_util.tree_leaves(out)
-            chk = sum(jnp.sum(leaf.astype(jnp.uint32)) for leaf in leaves)
-            return carry + chk, None
-
-        total, _ = jax.lax.scan(body, jnp.uint32(0), frames_all)
-        return total
-
-    float(run(frames_all, *args))  # compile
-    best = float("inf")
-    for _ in range(outer):
-        t0 = time.perf_counter()
-        float(run(frames_all, *args))
-        best = min(best, time.perf_counter() - t0)
-    return best / frames_all.shape[0]
+    return delta_scan_time(body_fn, frames_all, *args, outer=outer)
 
 
 def main():
