@@ -287,8 +287,8 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
     lengths = np.asarray(lengths, dtype=np.int32)
     assert npad % pdk.CH_A == 0 and npad % pdk.CH_B == 0
 
-    lut_idx, hist, adler = pdk.tokenize_pallas(streams, jnp.asarray(lengths),
-                                               interpret=interpret)
+    tok, hist, adler = pdk.tokenize_pallas(streams, jnp.asarray(lengths),
+                                           interpret=interpret)
     hist_np = np.asarray(hist)     # (B, 512) — small readback
     adler_np = np.asarray(adler)
 
@@ -305,7 +305,7 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
         from ..ops.pallas_encode import CAPACITY_BUCKETS
         while True:
             dense, dcounts, covf = pdk.compact_tokens(
-                lut_idx, tok_bound, bucket=bucket, interpret=interpret)
+                tok, tok_bound, bucket=bucket, interpret=interpret)
             if not bool(np.asarray(covf).any()) or \
                     bucket >= len(CAPACITY_BUCKETS) - 1:
                 break
@@ -313,7 +313,7 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
         # body-size bound: <= 21 bits per dense token, and never more than
         # the uncompacted worst case (the emitted bits are identical)
         out_bound_c = min(2 * npad, (tok_bound * pdk.MAX_TOKEN_BITS + 7) // 8)
-        lut_idx, npad, out_bound = dense, tok_bound, out_bound_c + 256
+        tok, npad, out_bound = dense, tok_bound, out_bound_c + 256
     else:
         out_bound = 2 * npad + 256
 
@@ -350,13 +350,13 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
     nw = pdk.window_rows_for(int(step_est * 1.3) + 8)
 
     body, totbits, ovf = pdk.assemble_pallas(
-        lut_idx, jnp.asarray(vluts), jnp.asarray(bluts),
+        tok, jnp.asarray(vluts), jnp.asarray(bluts),
         jnp.asarray(phases), jnp.asarray(partials), out_bound,
         nw=nw, interpret=interpret)
     if nw < pdk.WIN_ROWS_MAX and bool(np.asarray(ovf).any()):
         # a step's bits exceeded the narrow window — re-run at full width
         body, totbits, ovf = pdk.assemble_pallas(
-            lut_idx, jnp.asarray(vluts), jnp.asarray(bluts),
+            tok, jnp.asarray(vluts), jnp.asarray(bluts),
             jnp.asarray(phases), jnp.asarray(partials), out_bound,
             nw=pdk.WIN_ROWS_MAX, interpret=interpret)
     totbits_np = np.asarray(totbits)

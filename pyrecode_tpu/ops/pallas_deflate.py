@@ -215,7 +215,11 @@ def _build_tokenize_kernel(B, NPAD, interpret):
         lut = jnp.where(is_lit, x, jnp.where(is_match, 256 + take - 3,
                                              NO_TOKEN))
         lut = jnp.where(valid, lut, NO_TOKEN)
-        lut_ref[0, 0] = lut
+        # emit the INVERTED token stream tok = NO_TOKEN - lut (tokens ->
+        # [1, 512], covered/pad -> 0) as u16: half the HBM traffic of an
+        # i32 LUT, and both consumers want this form anyway (compaction
+        # treats nonzero as foreground; assembly un-inverts in-kernel)
+        lut_ref[0, 0] = (NO_TOKEN - lut).astype(jnp.uint16)
 
         c = jnp.zeros_like(take)
         for b_ in _LEN_BASE[1:]:
@@ -224,11 +228,14 @@ def _build_tokenize_kernel(B, NPAD, interpret):
         sym = jnp.where(valid, sym, SYM_NONE)
 
         # ---- histogram via radix-split NT matmul ----
+        # bf16 one-hots: 0/1 is exact in bf16 and the MXU runs bf16 inputs
+        # at full rate (f32 inputs take the 3-pass path); accumulation stays
+        # f32 via preferred_element_type, exact for counts <= 2^24
         sym_row = sym.reshape(1, CH_A)
         io32 = jax.lax.broadcasted_iota(jnp.int32, (32, CH_A), 0)
-        oh_lo = ((sym_row & 31) == io32).astype(jnp.float32)
+        oh_lo = ((sym_row & 31) == io32).astype(jnp.bfloat16)
         io16 = jax.lax.broadcasted_iota(jnp.int32, (16, CH_A), 0)
-        oh_hi = ((sym_row >> 5) == io16).astype(jnp.float32)
+        oh_hi = ((sym_row >> 5) == io16).astype(jnp.bfloat16)
         h2d = jax.lax.dot_general(oh_hi, oh_lo, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         hist_vref[...] = hist_vref[...] + h2d.astype(jnp.int32)
@@ -278,7 +285,7 @@ def _build_tokenize_kernel(B, NPAD, interpret):
             pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, n_chunks, ROWS_A, SUB_A), jnp.int32),
+            jax.ShapeDtypeStruct((B, n_chunks, ROWS_A, SUB_A), jnp.uint16),
             jax.ShapeDtypeStruct((B, 16, 32), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
@@ -299,18 +306,19 @@ def _tokenize_call(streams, lengths, interpret):
     B, NPAD = streams.shape
     call = _build_tokenize_kernel(B, NPAD, bool(interpret))
     s4 = streams.reshape(B, NPAD // CH_A, ROWS_A, SUB_A)
-    lut, hist, adA, adB = call(s4, s4, lengths.reshape(B, 1, 1).astype(jnp.int32))
+    tok, hist, adA, adB = call(s4, s4, lengths.reshape(B, 1, 1).astype(jnp.int32))
     adler = (adB[:, 0, 0].astype(jnp.uint32) << 16) | adA[:, 0, 0].astype(jnp.uint32)
-    return lut.reshape(B, NPAD), hist.reshape(B, 512), adler
+    return tok.reshape(B, NPAD), hist.reshape(B, 512), adler
 
 
 def tokenize_pallas(streams, lengths, interpret=None):
-    """Pass A: per-byte token LUT indices + symbol histogram + adler32.
+    """Pass A: per-byte inverted token stream + symbol histogram + adler32.
 
     ``streams`` (B, NPAD) u8 with NPAD a multiple of 4096; ``lengths`` (B,)
-    valid byte counts.  Returns (lut_idx (B, NPAD) i32, hist (B, 512) i32
-    [sym = 32*(i>>5)... row-major (sym>>5, sym&31), EOB not yet counted],
-    adler (B,) u32).
+    valid byte counts.  Returns (tok (B, NPAD) u16 where tok = NO_TOKEN -
+    lut_idx, i.e. tokens in [1, 512] and covered/pad bytes 0 — the form both
+    downstream passes consume directly; hist (B, 512) i32 [row-major
+    (sym>>5, sym&31), EOB not yet counted]; adler (B,) u32).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -322,20 +330,21 @@ def tokenize_pallas(streams, lengths, interpret=None):
 COMPACT_W = 128   # token-compaction sub-row window (capacity C1 per window)
 
 
-def compact_tokens(lut_idx, tok_bound: int, bucket: int = 0, interpret=None):
-    """Squeeze the NO_TOKEN slots out of a per-byte token-LUT stream.
+def compact_tokens(tok, tok_bound: int, bucket: int = 0, interpret=None):
+    """Squeeze the no-token slots out of a per-byte token stream.
 
-    In a sparse stream most bytes are covered by matches, so pass A's LUT
-    output is mostly NO_TOKEN — yet pass B pays per SLOT.  Compacting first
-    makes the assembly grid proportional to the true token count (a 3-5x
-    step reduction on 1%-occupancy bitmap streams).
+    In a sparse stream most bytes are covered by matches, so pass A's
+    output is mostly zero (no token) — yet pass B pays per SLOT.
+    Compacting first makes the assembly grid proportional to the true token
+    count (a 3-5x step reduction on 1%-occupancy bitmap streams).
 
-    Reuses the L1 encode kernel's hierarchical compaction (pallas_encode):
-    the stream is mapped to v = NO_TOKEN - lut (tokens -> [1, 512],
-    covered -> 0), compacted as "foreground values" over 128-lane sub-rows,
-    and mapped back (pad slots 0 -> NO_TOKEN, which assembles as 0 bits).
+    ``tok`` — (B, NPAD) u16 inverted token stream straight from
+    :func:`tokenize_pallas` (tokens in [1, 512], covered bytes 0), which is
+    exactly the "foreground values" form the L1 encode kernel's
+    hierarchical compaction consumes over 128-lane sub-rows; compacted
+    padding stays 0 = no token, which assembles as 0 bits.
 
-    Returns (dense_lut (B, tok_bound) i32, counts (B,) i32, overflow (B,)
+    Returns (dense_tok (B, tok_bound) u16, counts (B,) i32, overflow (B,)
     bool).  At the top bucket (C1 = 128 = the window size) overflow is
     impossible, so bucket escalation always terminates.
     """
@@ -343,15 +352,13 @@ def compact_tokens(lut_idx, tok_bound: int, bucket: int = 0, interpret=None):
 
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    B, NPAD = lut_idx.shape
-    v = (NO_TOKEN - lut_idx).astype(jnp.uint16)        # covered -> 0
+    B, NPAD = tok.shape
     rows = NPAD // COMPACT_W
-    frames = v.reshape(B, rows, COMPACT_W)
+    frames = tok.reshape(B, rows, COMPACT_W)
     thr = jnp.zeros((rows, COMPACT_W), jnp.uint16)
     _, comp, counts, ovf = encode_l1_pallas(
         frames, thr, out_size=tok_bound, bucket=bucket, interpret=interpret)
-    dense = NO_TOKEN - comp                            # pad 0 -> NO_TOKEN
-    return dense, counts, ovf
+    return comp, counts, ovf
 
 
 def compact_bucket_for(density: float) -> int:
@@ -397,18 +404,21 @@ def _build_assemble_kernel(B, NPAD, OUT, NW, interpret):
             tail_vref[...] = jnp.zeros_like(tail_vref)
             comp_ref[...] = jnp.zeros_like(comp_ref)
 
-        vlut = vlut_ref[0]     # (96, 32) f32: 3 byte planes
-        blut = blut_ref[0]
-        lut_row = lut_ref[0, 0].reshape(1, CH_B)   # (8, 256) -> (1, 2048)
+        # bf16 matmul inputs throughout: every operand here is either 0/1
+        # (one-hots) or a byte plane <= 255 — all exactly representable in
+        # bf16 — and bf16 runs the MXU at full rate (f32 takes the 3-pass
+        # path); accumulation stays exact f32 via preferred_element_type
+        vlut = vlut_ref[0].astype(jnp.bfloat16)    # (96, 32): 3 byte planes
+        blut = blut_ref[0].astype(jnp.bfloat16)
+        # un-invert the u16 token stream (tok = NO_TOKEN - lut, pad 0)
+        lut_row = NO_TOKEN - lut_ref[0, 0].astype(jnp.int32).reshape(1, CH_B)
 
         # ---- step-level LUT lookup + bit cumsum over all 2048 tokens ----
         io32w = jax.lax.broadcasted_iota(jnp.int32, (32, CH_B), 0)
         lo = lut_row & 31
         hi = lut_row >> 5
-        oh_lo = (lo == io32w).astype(jnp.float32)              # (32, 2048)
+        oh_lo = (lo == io32w).astype(jnp.bfloat16)             # (32, 2048)
         oh_hi = (hi == io32w).astype(jnp.float32)
-        # vlut rows are 3 stacked byte planes (MXU f32 matmuls are only
-        # exact for small ints); recombine in i32
         m1v = jnp.dot(vlut, oh_lo, preferred_element_type=jnp.float32)
         m1b = jnp.dot(blut, oh_lo, preferred_element_type=jnp.float32)
         val_all = jnp.int32(0)
@@ -436,15 +446,16 @@ def _build_assemble_kernel(B, NPAD, OUT, NW, interpret):
             t0 = off >> 3                        # first target byte, < WINB-3
             io128s = jax.lax.broadcasted_iota(jnp.int32, (128, CH_B), 0)
             io_nw = jax.lax.broadcasted_iota(jnp.int32, (NW, CH_B), 0)
-            oh_tl = ((t0 & 127) == io128s).astype(jnp.float32)  # (128, CH_B)
-            oh_th = ((t0 >> 7) == io_nw).astype(jnp.float32)    # (NW, CH_B)
+            oh_tl = ((t0 & 127) == io128s).astype(jnp.bfloat16)  # (128, CH_B)
+            oh_th = ((t0 >> 7) == io_nw).astype(jnp.bfloat16)    # (NW, CH_B)
             local = part_sref[0] * (io_w == 0).astype(jnp.int32)
             for k in range(4):
                 # byte plane k scatters at the k=0 target (one NT matmul);
                 # the merged row is then rolled right by k.  Disjoint bit
                 # ranges of adjacent tokens keep every byte sum <= 255, so
-                # the f32 accumulation is exact.
-                ck = ((sv >> (8 * k)) & 255).astype(jnp.float32)
+                # bf16 operands (bytes <= 255 are exact) with f32
+                # accumulation lose nothing.
+                ck = ((sv >> (8 * k)) & 255).astype(jnp.bfloat16)
                 o2 = jax.lax.dot_general(oh_th * ck, oh_tl,
                                          (((1,), (1,)), ((), ())),
                                          preferred_element_type=jnp.float32)
@@ -505,12 +516,12 @@ def _build_assemble_kernel(B, NPAD, OUT, NW, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("out_bound", "nw", "interpret"))
-def _assemble_call(lut_idx, vlut, blut, phase, partial, out_bound, nw,
+def _assemble_call(tok, vlut, blut, phase, partial, out_bound, nw,
                    interpret):
-    B, NPAD = lut_idx.shape
+    B, NPAD = tok.shape
     call = _build_assemble_kernel(B, NPAD, out_bound, nw, bool(interpret))
     comp, totbits, ovf = call(
-        lut_idx.reshape(B, NPAD // CH_B, 8, CH_B // 8), vlut, blut,
+        tok.reshape(B, NPAD // CH_B, 8, CH_B // 8), vlut, blut,
         phase.reshape(B, 1, 1).astype(jnp.int32),
         partial.reshape(B, 1, 1).astype(jnp.int32))
     body = comp[:, 0, :out_bound].astype(jnp.uint8)
@@ -528,10 +539,13 @@ def window_rows_for(step_bits_estimate: int) -> int:
     return WIN_ROWS_MAX
 
 
-def assemble_pallas(lut_idx, vlut, blut, phase, partial, out_bound,
+def assemble_pallas(tok, vlut, blut, phase, partial, out_bound,
                     nw=None, interpret=None):
     """Pass B: pack per-byte tokens into the deflate bitstream.
 
+    ``tok`` (B, NPAD) u16 — INVERTED token stream (tok = NO_TOKEN - lut_idx;
+    0 = no token) as produced by :func:`tokenize_pallas` /
+    :func:`compact_tokens`; the kernel un-inverts in place.
     ``vlut`` (B, 96, 32) f32 — token value LUT as 3 stacked byte planes,
     ``blut`` (B, 32, 32) f32 — bit counts; both laid out [idx >> 5, idx & 31]
     (idx 512 = no token -> (0, 0)).  ``phase`` (B,) is
@@ -548,5 +562,5 @@ def assemble_pallas(lut_idx, vlut, blut, phase, partial, out_bound,
     if nw is None:
         nw = WIN_ROWS_MAX
     out_bound = -(-out_bound // 128) * 128
-    return _assemble_call(lut_idx, vlut, blut, phase, partial, out_bound,
+    return _assemble_call(tok, vlut, blut, phase, partial, out_bound,
                           int(nw), bool(interpret))

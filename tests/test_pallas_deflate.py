@@ -64,8 +64,8 @@ def test_tokenize_outputs_match_numpy_reference():
     raws = _battery()
     npad = 4 * pdk.CH_A
     streams, lengths = _pack(raws, npad)
-    lut, hist, adler = pdk.tokenize_pallas(streams, lengths, interpret=True)
-    lut = np.asarray(lut)
+    tok, hist, adler = pdk.tokenize_pallas(streams, lengths, interpret=True)
+    lut = pdk.NO_TOKEN - np.asarray(tok).astype(np.int32)  # un-invert
     hist = np.asarray(hist)
     adler = np.asarray(adler)
     for i, raw in enumerate(raws):
@@ -107,11 +107,12 @@ def _assemble_inputs(raw):
     hb, hbits = native.dyn_header(llen)
     vlut, blut = dd.luts_as_radix(llen, lcode)
     npad = -(-max(x.size, 1) // pdk.CH_B) * pdk.CH_B
-    lut_pad = np.full((1, npad), pdk.NO_TOKEN, np.int32)
-    lut_pad[0, : x.size] = lut_idx
+    # assemble consumes the inverted u16 stream (pad 0 = no token)
+    tok_pad = np.zeros((1, npad), np.uint16)
+    tok_pad[0, : x.size] = (pdk.NO_TOKEN - lut_idx).astype(np.uint16)
     phase = np.array([hbits % 8], np.int32)
     partial = np.array([int(hb[-1]) if hbits % 8 else 0], np.int32)
-    return (jnp.asarray(lut_pad), jnp.asarray(vlut[None]),
+    return (jnp.asarray(tok_pad), jnp.asarray(vlut[None]),
             jnp.asarray(blut[None]), jnp.asarray(phase),
             jnp.asarray(partial), 2 * npad + 256)
 

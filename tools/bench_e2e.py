@@ -73,6 +73,8 @@ def main():
     n_pk = pk0.shape[1]
     npad_pk = -(-n_pk // pdk.CH_A) * pdk.CH_A
 
+    from pyrecode_tpu.codecs.dyndeflate import LEN_EXTRA
+
     def tables_for(stream_row, n):
         _, hist, _ = pdk.tokenize_pallas(stream_row, np.array([n], np.int32),
                                          interpret=False)
@@ -81,23 +83,29 @@ def main():
         llen, lcode = native.dyn_tables(lfreq)
         hb, hbits = native.dyn_header(llen)
         vl, bl = dd.luts_as_radix(llen, lcode)
-        return (jnp.asarray(np.broadcast_to(vl, (B, 96, 32)).copy()),
-                jnp.asarray(np.broadcast_to(bl, (B, 32, 32)).copy()),
-                jnp.full((B,), hbits % 8, jnp.int32),
-                jnp.full((B,), int(hb[-1]) if hbits % 8 else 0, jnp.int32))
+        # narrow scatter-window preset from exact body bits (same choice
+        # dyndeflate's host step makes per frame from the histogram)
+        f = np.asarray(hist)[0, :286].astype(np.int64)
+        sb = llen[:286].astype(np.int64).copy()
+        sb[257:286] += LEN_EXTRA[: 286 - 257].astype(np.int64) + 1
+        ntok = max(int(f.sum()), 1)
+        est = int((f * sb).sum()) * pdk.CH_B // ntok
+        nw = pdk.window_rows_for(int(est * 1.3) + 8)
+        return ((jnp.asarray(np.broadcast_to(vl, (B, 96, 32)).copy()),
+                 jnp.asarray(np.broadcast_to(bl, (B, 32, 32)).copy()),
+                 jnp.full((B,), hbits % 8, jnp.int32),
+                 jnp.full((B,), int(hb[-1]) if hbits % 8 else 0, jnp.int32)),
+                nw, ntok)
 
     bm_pad0 = jnp.pad(bm0[:1], ((0, 0), (0, npad_bm - n_bm)))
     pk_pad0 = jnp.pad(pk0[:1], ((0, 0), (0, npad_pk - n_pk)))
-    tab_bm = tables_for(bm_pad0, n_bm)
+    tab_bm, nw_bm, tok0 = tables_for(bm_pad0, n_bm)
     plen0 = int((int(np.asarray(cnt0)[0]) * 12 + 7) // 8)
-    tab_pk = tables_for(pk_pad0, plen0)
+    tab_pk, nw_pk, _ = tables_for(pk_pad0, plen0)
     out_pk = -(-(2 * npad_pk + 256) // 128) * 128
 
-    # bitmap stream: token-compact before assembly (production picks the
-    # bound from the tokenize histogram; here sized from frame 0 + margin)
-    lut0, hist0, _ = pdk.tokenize_pallas(bm_pad0, np.array([n_bm], np.int32),
-                                         interpret=False)
-    tok0 = int(np.asarray(hist0)[0, :286].sum())
+    # bitmap stream: token-compact before assembly — the production path
+    # (bounds sized from frame 0's histogram + margin)
     tok_bound = max(pdk.CH_B,
                     1 << int(np.ceil(np.log2(max(int(tok0 * 1.5), 1)))))
     cbkt = pdk.compact_bucket_for(tok0 / n_bm)
@@ -114,18 +122,23 @@ def main():
         lens_bm = jnp.full((B,), n_bm, jnp.int32)
         lens_pk = ((counts * 12 + 7) // 8).astype(jnp.int32)
 
-        lut_bm, hist_bm, ad_bm = pdk.tokenize_pallas(bm, lens_bm,
+        tok_bm, hist_bm, ad_bm = pdk.tokenize_pallas(bm, lens_bm,
                                                      interpret=False)
-        body_bm, bits_bm, _ = pdk.assemble_pallas(lut_bm, *tab_bm[:2],
+        dense_bm, dcnt, covf = pdk.compact_tokens(
+            tok_bm, tok_bound, bucket=cbkt, interpret=False)
+        body_bm, bits_bm, _ = pdk.assemble_pallas(dense_bm, *tab_bm[:2],
                                                   tab_bm[2], tab_bm[3],
-                                                  out_bm, interpret=False)
-        lut_pk, hist_pk, ad_pk = pdk.tokenize_pallas(pk, lens_pk,
+                                                  out_bm, nw=nw_bm,
+                                                  interpret=False)
+        tok_pk, hist_pk, ad_pk = pdk.tokenize_pallas(pk, lens_pk,
                                                      interpret=False)
-        body_pk, bits_pk, _ = pdk.assemble_pallas(lut_pk, *tab_pk[:2],
+        body_pk, bits_pk, _ = pdk.assemble_pallas(tok_pk, *tab_pk[:2],
                                                   tab_pk[2], tab_pk[3],
-                                                  out_pk, interpret=False)
+                                                  out_pk, nw=nw_pk,
+                                                  interpret=False)
         return (jnp.sum(bits_bm) + jnp.sum(bits_pk)
                 + jnp.sum(ad_bm.astype(jnp.uint32)).astype(jnp.int32)
+                + jnp.sum(covf.astype(jnp.int32))
                 + jnp.sum(hist_pk) + jnp.sum(counts)).astype(jnp.float32)
 
     from pyrecode_tpu.profiling import delta_scan_time
