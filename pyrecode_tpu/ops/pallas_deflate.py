@@ -8,7 +8,7 @@ encoder ``deflate_sparse_dyn``.
 
 Two passes with an O(alphabet)-only host step between them:
 
-**Pass A — tokenize** (grid step = 4096 stream bytes as an (8, 512) tile):
+**Pass A — tokenize** (grid step = 16384 stream bytes as an (8, 2048) tile):
   * run structure from two scans: run *start* via a prefix-max over change
     positions (in-row log-shift scan + an unrolled scalar chain across
     sublanes + a cross-chunk SMEM carry), run *end* via a suffix-min over the
@@ -56,8 +56,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_encode import _cumsum_lanes, _store_window
 
-CH_A = 4096          # pass-A bytes per grid step
-ROWS_A, SUB_A = 8, 512
+CH_A = 16384         # pass-A bytes per grid step ((8, 2048) tile: per-step
+ROWS_A, SUB_A = 8, 2048   # fixed costs amortize; scans grow only log-width)
 CH_B = 2048          # pass-B tokens per grid step
 MAX_TOKEN_BITS = 21  # lit code <= 15; match = len code 15 + extra 5 + dist 1
 # widest step-local byte window: 7 phase bits + CH_B * 21 bits, plus 3 spill
@@ -241,18 +241,20 @@ def _build_tokenize_kernel(B, NPAD, interpret):
         hist_vref[...] = hist_vref[...] + h2d.astype(jnp.int32)
 
         # ---- adler32 ----
-        # magnitudes bounded for i32: weights <= CH_A, row sums <= 512*255,
-        # products <= 5.4e8; per-row mod keeps the accumulator small
+        # i32 bounds: row sums are reduced mod 65521 before the weight
+        # multiply, so products stay <= CH_A * 65520 ~ 1.07e9 < 2^31; the
+        # j-weighted row sum is <= SUB_A^2/4 * 255 ~ 1.07e9 as well
         xm = jnp.where(valid, x, 0)
         L_chunk = jnp.clip(n - base, 0, CH_A)
         sx_r = jnp.sum(xm, axis=1, keepdims=True)          # (ROWS_A, 1)
-        sjx_r = jnp.sum(xm * lio, axis=1, keepdims=True)   # j within row
+        sjx_r = jnp.sum(xm * lio, axis=1, keepdims=True) % _ADLER_MOD
         a0 = adler_sref[0]
         b0 = adler_sref[1]
         badd = jnp.int32(0)
         s_all = jnp.int32(0)
         for r in range(ROWS_A):
-            term = (L_chunk - r * SUB_A) * sx_r[r, 0] - sjx_r[r, 0]
+            term = (L_chunk - r * SUB_A) * (sx_r[r, 0] % _ADLER_MOD) \
+                - sjx_r[r, 0]
             badd = (badd + term) % _ADLER_MOD
             s_all = s_all + sx_r[r, 0]
         b1 = (b0 + L_chunk * a0 % _ADLER_MOD + badd) % _ADLER_MOD

@@ -92,10 +92,40 @@ def _compact_chunk(m2, r2, S, SUB, C1, C2):
                    preferred_element_type=jnp.float32).astype(jnp.int32)
     chunk_cnt = jnp.sum(cnt1)
 
+    # ragged concat of the S runs.  A flat loop is S rolls of the full
+    # (1, C2) window — the kernel's dominant cost for large S.  Hierarchical
+    # variant: concat groups of g = sqrt(S) sub-rows inside narrow (1, g*C1)
+    # buffers (runs can't overflow them: group content <= g*C1), then concat
+    # the S/g group runs into (1, C2) — total roll traffic drops from
+    # S*C2 lanes to ~2*sqrt(S)*C2.
+    g = 1
+    while g * g < S:
+        g *= 2
     acc = jnp.zeros((1, C2), jnp.int32)
-    c1_pad = jnp.pad(c1, ((0, 0), (0, C2 - C1)))
-    for s in range(S):
-        acc = acc + pltpu.roll(c1_pad[s:s + 1, :], off1[s, 0], axis=1)
+    if 16 <= S and S % g == 0 and g * C1 < C2:
+        GW = g * C1
+        NG = S // g
+        # Mosaic can only lane-pad offset-free 2-D vectors (padding a sliced
+        # row fails with "offset mismatch on non-concat dimension"), so pads
+        # happen on whole matrices and rows are sliced afterwards.
+        c1g = jnp.pad(c1, ((0, 0), (0, GW - C1)))          # (S, GW)
+        gio = jax.lax.broadcasted_iota(jnp.int32, (NG, GW), 0)
+        gmat = jnp.zeros((NG, GW), jnp.int32)
+        for gi in range(NG):
+            base = off1[gi * g, 0]
+            gacc = jnp.zeros((1, GW), jnp.int32)
+            for s in range(gi * g, (gi + 1) * g):
+                gacc = gacc + pltpu.roll(c1g[s:s + 1, :],
+                                         off1[s, 0] - base, axis=1)
+            gmat = gmat + jnp.where(gio == gi, gacc, 0)
+        gpad = jnp.pad(gmat, ((0, 0), (0, C2 - GW)))       # (NG, C2)
+        for gi in range(NG):
+            acc = acc + pltpu.roll(gpad[gi:gi + 1, :], off1[gi * g, 0],
+                                   axis=1)
+    else:
+        c1_pad = jnp.pad(c1, ((0, 0), (0, C2 - C1)))
+        for s in range(S):
+            acc = acc + pltpu.roll(c1_pad[s:s + 1, :], off1[s, 0], axis=1)
     return acc, chunk_cnt, ovf1
 
 

@@ -21,11 +21,12 @@ pytestmark = pytest.mark.skipif(not native.available(),
 
 def _battery():
     rng = np.random.default_rng(7)
+    T = pdk.CH_A                             # pass-A tile size in bytes
     streams = [
         b"",
-        b"\x00" * 4096,                      # run == exactly one tile
-        b"\x00" * 4097,                      # run crosses the tile boundary
-        b"X" * 4090 + b"\x00" * 5000 + b"Y",  # long run straddling tiles
+        b"\x00" * T,                         # run == exactly one tile
+        b"\x00" * (T + 1),                   # run crosses the tile boundary
+        b"X" * (T - 6) + b"\x00" * 5000 + b"Y",  # long run straddling tiles
         b"A" + b"\x00" * 520 + b"B",
         b"\x07" * 261 + b"xy" + b"\x07" * 519,
         (rng.integers(0, 256, 9000)
@@ -35,7 +36,7 @@ def _battery():
     ]
     # runs ending exactly at every distance from a tile edge near take
     # boundaries
-    for off in (4094, 4095, 4096):
+    for off in (T - 2, T - 1, T):
         streams.append(b"Q" * off + b"\x00" * 259 + b"R" * 40)
     return streams
 

@@ -63,7 +63,11 @@ def main():
     # representative tables from frame 0's streams (production refreshes
     # them per frame between the two passes; the table build itself is timed
     # below and added to the budget)
-    bucket = 2
+    # capacity bucket like the production writer picks for this occupancy
+    # (bench.py uses the same rule); rank-match cost scales with C1, so
+    # oversizing the bucket is a real slowdown, not just wasted capacity
+    bucket = 0 if args.occupancy <= 0.012 else (1 if args.occupancy <= 0.025
+                                                else 2)
     out_size = 1 << (int(np.ceil(np.log2(n_px * args.occupancy * 2))))
     bm0, comp0, cnt0, _ = pallas_encode.encode_l1_pallas(
         frames_all[0], thr, out_size=out_size, bucket=bucket, interpret=False)

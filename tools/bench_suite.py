@@ -220,12 +220,42 @@ def bench_end_to_end(tmp_dir, size=512, n_frames=64, num_threads=4):
         assert np.array_equal(dense, data)
 
     gb = data.nbytes / 1e9
+    note = ("relay transfer-bound in this environment (~32 MB/s readback); "
+            "see 'end-to-end write (relay-independent)' for the co-located "
+            "number")
     return [
         {"config": f"end-to-end write+compress {size}^2 x{n_frames}",
-         "value": round(gb / t_write, 3), "unit": "GB/s"},
+         "value": round(gb / t_write, 4), "unit": "GB/s", "note": note},
         {"config": "end-to-end merge", "value": round(gb / t_merge, 3), "unit": "GB/s"},
-        {"config": "end-to-end bulk decode", "value": round(gb / t_read, 3), "unit": "GB/s"},
+        {"config": "end-to-end bulk decode", "value": round(gb / t_read, 4),
+         "unit": "GB/s", "note": note},
     ]
+
+
+def bench_subtool(script, config):
+    """Run a standalone bench tool and harvest its summary line.
+
+    bench_e2e prints one ``{"metric": ...}`` JSON line; bench_deflate prints
+    a ``device entropy total: X ms -> Y GB/s`` line.  Both share this
+    process's persistent compile cache.
+    """
+    import re
+    import subprocess
+
+    proc = subprocess.run([sys.executable, script], capture_output=True,
+                          text=True, timeout=3000)
+    if proc.returncode != 0:
+        print(f"{script} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
+        return []
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("{"):
+            d = json.loads(line)
+            return [{"config": config, "value": d["value"], "unit": d["unit"]}]
+        m = re.search(r"->\s*([0-9.]+)\s*GB/s", line)
+        if m:
+            return [{"config": config, "value": float(m.group(1)),
+                     "unit": "GB/s"}]
+    return []
 
 
 def main():
@@ -243,6 +273,11 @@ def main():
     results += bench_entropy_matrix(size=size_big)
     results += bench_decode(size=size_big, batch=2 if args.fast else 4)
     results += bench_end_to_end(".", size=512, n_frames=16 if args.fast else 64)
+    if not args.fast:
+        results += bench_subtool("tools/bench_e2e.py",
+                                 "end-to-end write (relay-independent) 4096^2")
+        results += bench_subtool("tools/bench_deflate.py",
+                                 "device entropy (TPU deflate) 4096^2 L1 bitmap")
 
     for r in results:
         print(json.dumps(r), file=sys.stderr)
