@@ -475,11 +475,14 @@ class ReCoDeWriter:
 
             with_values = self._reduction_level == 1
             B = batch.shape[0]
-            # small frames: encode the whole batch as one stacked superframe
-            # (one grid pass amortizes per-frame kernel overhead); per-frame
-            # value slices start at aligned offsets derived from the prepass
-            # counts
-            stack = (B > 1 and ny <= 1024
+            # tiny frames: encode the whole batch as one stacked superframe
+            # (one grid pass amortizes per-frame kernel overhead).  Measured
+            # crossover on v5e: stacked wins at 128^2 (9.7 vs 3.7 GB/s) but
+            # loses from 256^2 up (11.3 vs 16.5) — since the hierarchical
+            # concat cut the per-chunk cost, the plain batched grid is
+            # faster wherever a frame spans several grid steps.  Per-frame
+            # value slices start at aligned offsets from the prepass counts.
+            stack = (B > 1 and ny <= 128
                      and pallas_encode.supports(B * ny, nx, self._bit_depth)
                      and B * bucket <= (4 << 20))
             if stack:
