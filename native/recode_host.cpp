@@ -16,6 +16,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC recode_host.cpp -o librecode_host.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <utility>
@@ -391,15 +392,13 @@ int64_t deflate_sparse(const uint8_t *src, uint64_t n, uint8_t *out) {
 
 namespace {
 
-// canonical Huffman code lengths (<= limit) from symbol frequencies.
-// Heap merge; if the tree exceeds the depth limit, rebuild with
-// progressively flattened frequencies (freq >> shift, min 1) until it fits —
-// the tree construction itself then guarantees exact Kraft equality.
+// canonical Huffman code lengths (<= limit) from symbol frequencies via
+// boundary package-merge: optimal length-limited lengths in O(n * limit).
+// (The previous heap merge flattened frequencies and rebuilt the whole tree
+// until the depth fit, which on the skewed histograms of real bitmap streams
+// cost ~100x more and produced sub-optimal lengths.)  Deterministic: leaves
+// are ordered by (weight, symbol) and win ties against packages.
 void huff_lengths(const uint32_t *freq, int n, int limit, uint8_t *len) {
-    const int MAXN = 2 * 320;
-    uint32_t wt[MAXN];
-    int left[MAXN], right[MAXN], heap[MAXN];
-
     int live = 0;
     for (int i = 0; i < n; ++i) { len[i] = 0; if (freq[i]) ++live; }
     if (live == 0) return;
@@ -408,63 +407,68 @@ void huff_lengths(const uint32_t *freq, int n, int limit, uint8_t *len) {
         return;
     }
 
-    for (int shift = 0;; ++shift) {
-        int hn = 0, nodes = 0;
-        auto heap_push = [&](int idx) {
-            heap[hn++] = idx;
-            for (int i2 = hn - 1; i2 > 0;) {
-                int p = (i2 - 1) / 2;
-                if (wt[heap[p]] <= wt[heap[i2]]) break;
-                int t = heap[p]; heap[p] = heap[i2]; heap[i2] = t;
-                i2 = p;
-            }
-        };
-        auto heap_pop = [&]() {
-            int top = heap[0];
-            heap[0] = heap[--hn];
-            for (int i2 = 0;;) {
-                int l = 2 * i2 + 1, r = 2 * i2 + 2, sm = i2;
-                if (l < hn && wt[heap[l]] < wt[heap[sm]]) sm = l;
-                if (r < hn && wt[heap[r]] < wt[heap[sm]]) sm = r;
-                if (sm == i2) break;
-                int t = heap[sm]; heap[sm] = heap[i2]; heap[i2] = t;
-                i2 = sm;
-            }
-            return top;
-        };
+    int order[320];
+    int no = 0;
+    for (int i = 0; i < n; ++i) if (freq[i]) order[no++] = i;
+    std::sort(order, order + live, [&](int a, int b) {
+        return freq[a] != freq[b] ? freq[a] < freq[b] : a < b; });
 
-        for (int i = 0; i < n; ++i) {
-            if (!freq[i]) continue;
-            uint32_t f = freq[i] >> shift;
-            wt[nodes] = f ? f : 1;
-            left[nodes] = -1 - i;
-            heap_push(nodes);
-            ++nodes;
-        }
-        while (hn > 1) {
-            int a = heap_pop(), b = heap_pop();
-            wt[nodes] = wt[a] + wt[b];
-            left[nodes] = a;
-            right[nodes] = b;
-            heap_push(nodes);
-            ++nodes;
-        }
-        int stack[MAXN], depth[MAXN], sp = 0, maxd = 0;
-        stack[sp] = heap[0]; depth[heap[0]] = 0; ++sp;
-        while (sp) {
-            int v = stack[--sp];
-            if (left[v] < 0) {
-                int d = depth[v] ? depth[v] : 1;
-                if (d > maxd) maxd = d;
-                len[-1 - left[v]] = (uint8_t)d;
+    // forward: build the merged (leaves + packages-of-previous-level) list
+    // for each denomination level, keeping only weights and leaf flags; a
+    // level never needs more than 2*live items because only the 2*(live-1)
+    // cheapest are ever consumed
+    const int cap = 2 * live;
+    static thread_local std::vector<uint64_t> w;     // [level][item]
+    static thread_local std::vector<uint8_t> isleaf;
+    static thread_local std::vector<int> cnt;        // items per level
+    // resize, not assign: every slot below cnt[level] is written before it
+    // is read, so carrying stale bytes across calls is fine
+    if (w.size() < (size_t)limit * cap) {
+        w.resize((size_t)limit * cap);
+        isleaf.resize((size_t)limit * cap);
+    }
+    if (cnt.size() < (size_t)limit) cnt.resize(limit);
+
+    for (int k = 0; k < live; ++k) {
+        w[k] = freq[order[k]];
+        isleaf[k] = 1;
+    }
+    cnt[0] = live;
+    for (int level = 1; level < limit; ++level) {
+        const uint64_t *pw = &w[(size_t)(level - 1) * cap];
+        uint64_t *cw = &w[(size_t)level * cap];
+        uint8_t *cl = &isleaf[(size_t)level * cap];
+        const int npkg = cnt[level - 1] / 2;
+        int i = 0, j = 0, m = 0;
+        while (m < cap && (i < live || j < npkg)) {
+            const uint64_t pkw = (j < npkg)
+                ? pw[2 * j] + pw[2 * j + 1] : UINT64_MAX;
+            if (i < live && (uint64_t)freq[order[i]] <= pkw) {
+                cw[m] = freq[order[i]];
+                cl[m] = 1;
+                ++i;
             } else {
-                depth[left[v]] = depth[v] + 1;
-                depth[right[v]] = depth[v] + 1;
-                stack[sp++] = left[v];
-                stack[sp++] = right[v];
+                cw[m] = pkw;
+                cl[m] = 0;
+                ++j;
             }
+            ++m;
         }
-        if (maxd <= limit) return;
+        cnt[level] = m;
+    }
+
+    // backward: consume the 2*(live-1) cheapest items of the final level;
+    // at each level the c leaf-items among the first t are necessarily the
+    // c cheapest leaves overall (same sorted list at every level), so each
+    // adds one bit to the lengths of order[0..c); packages expand to the
+    // first 2*(t - c) items of the level below
+    int t = 2 * (live - 1);
+    for (int level = limit - 1; level >= 0 && t > 0; --level) {
+        const uint8_t *cl = &isleaf[(size_t)level * cap];
+        int c = 0;
+        for (int m = 0; m < t; ++m) c += cl[m];
+        for (int k = 0; k < c; ++k) ++len[order[k]];
+        t = 2 * (t - c);
     }
 }
 
@@ -577,12 +581,93 @@ void write_dyn_header(BitWriter &bw, const uint8_t *llen) {
 extern "C" {
 
 // Build canonical dynamic-Huffman tables from 286 literal/length frequencies.
-// (Exported so the TPU entropy path shares this exact construction — heap
+// (Exported so the TPU entropy path shares this exact construction —
 // tie-breaking included — making device streams byte-identical to
 // deflate_sparse_dyn's.)
 void dyn_tables(const uint32_t *lfreq, uint8_t *llen, uint16_t *lcode) {
     huff_lengths(lfreq, 286, 15, llen);
     huff_codes(llen, 286, lcode);
+}
+
+// (value, bit-count) token LUTs in the assembly kernel's radix layout:
+// planes f32[96*32] = 3 byte planes of each token's packed value laid out
+// [32*k + (idx>>5)][idx&31], bits f32[32*32].  Mirrors
+// codecs/dyndeflate.token_luts + luts_as_radix; this sits on the per-stream
+// host step of the device entropy path, where the numpy build costs ~100 us
+// of pure call overhead.
+void token_luts_radix(const uint8_t *llen, const uint16_t *lcode,
+                      float *planes, float *bits) {
+    uint32_t val[1024] = {0};
+    float bct[1024] = {0};
+    auto rev = [](uint32_t code, uint32_t nb) {
+        uint32_t r = 0;
+        for (uint32_t i = 0; i < nb; ++i)
+            r |= ((code >> i) & 1u) << (nb - 1 - i);
+        return r;
+    };
+    for (int v = 0; v < 256; ++v) {
+        val[v] = rev(lcode[v], llen[v]);
+        bct[v] = (float)llen[v];
+    }
+    for (uint32_t take = 3; take <= 258; ++take) {
+        uint32_t sym, eb, ev;
+        length_symbol(take, sym, eb, ev);
+        const uint32_t idx = 256 + take - 3;
+        // rev(length code) | extra value << len | implicit 1-bit distance 0
+        val[idx] = rev(lcode[sym], llen[sym]) | (ev << llen[sym]);
+        bct[idx] = (float)(llen[sym] + eb + 1);
+    }
+    for (int idx = 0; idx < 1024; ++idx) {
+        const int r = idx >> 5, c = idx & 31;
+        for (int k = 0; k < 3; ++k)
+            planes[(32 * k + r) * 32 + c] = (float)((val[idx] >> (8 * k)) & 255);
+        bits[r * 32 + c] = bct[idx];
+    }
+}
+
+// Combined per-stream host step of the device entropy path: dynamic tables +
+// zlib/dynamic-block header + radix token LUTs + end-of-block code + exact
+// body bit count, in ONE call (the Python path made three ctypes calls plus
+// numpy post-processing per stream, ~120 us of overhead at ~25 us of work).
+// lfreq_body: 286 literal/length frequencies WITHOUT the end-of-block count.
+// hdr capacity >= 512 bytes.  info i64[4] out: {header_bits, eob_val
+// (bit-reversed), eob_len, body_bits}.
+void entropy_host_tables(const uint32_t *lfreq_body, uint8_t *hdr,
+                         float *planes, float *bits, int64_t *info) {
+    uint32_t lfreq[286];
+    std::memcpy(lfreq, lfreq_body, sizeof(lfreq));
+    ++lfreq[256];  // end of block
+    uint8_t llen[286];
+    uint16_t lcode[286];
+    huff_lengths(lfreq, 286, 15, llen);
+    huff_codes(llen, 286, lcode);
+
+    BitWriter bw(hdr);
+    hdr[bw.pos++] = 0x78;
+    hdr[bw.pos++] = 0x01;
+    write_dyn_header(bw, llen);
+    info[0] = (int64_t)bw.pos * 8 + bw.fill;
+    if (bw.fill) hdr[bw.pos] = (uint8_t)bw.acc;
+
+    token_luts_radix(llen, lcode, planes, bits);
+
+    uint32_t eob = 0;
+    for (int i = 0; i < llen[256]; ++i)
+        eob |= ((lcode[256] >> i) & 1u) << (llen[256] - 1 - i);
+    info[1] = (int64_t)eob;
+    info[2] = (int64_t)llen[256];
+
+    // exact body bits: extra bits per length code are fixed, so the
+    // histogram determines the total (drives the scatter-window preset)
+    static const uint8_t lextra[] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2,
+                                     2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5,
+                                     0};
+    int64_t body = 0;
+    for (int i = 0; i < 257; ++i)
+        body += (int64_t)lfreq_body[i] * llen[i];
+    for (int i = 257; i < 286; ++i)
+        body += (int64_t)lfreq_body[i] * (llen[i] + lextra[i - 257] + 1);
+    info[3] = body;
 }
 
 // Serialize zlib header (2 bytes) + BFINAL/BTYPE + dynamic block header into

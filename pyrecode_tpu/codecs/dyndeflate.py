@@ -231,6 +231,11 @@ def luts_as_radix(llen: np.ndarray, lcode: np.ndarray
     through exactly and the kernel recombines them in int32.  Bit counts
     (<= 21) fit one exact (32, 32) plane.
     """
+    from pyrecode_tpu import native as _native
+
+    nat = _native.token_luts_radix(llen, lcode)
+    if nat is not None:
+        return nat
     val, bits = token_luts(llen, lcode)
     v = np.zeros(1024, np.uint32)
     b = np.zeros(1024, np.float32)
@@ -324,23 +329,30 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
     partials = np.zeros(B, np.int32)
     body_bits_exact = np.zeros(B, np.int64)
     for i in range(B):
-        lfreq = hist_np[i, :286].astype(np.uint32).copy()
-        lfreq[256] += 1  # end of block
-        llen, lcode = native.dyn_tables(lfreq)
-        hb, hbits = native.dyn_header(llen)
-        vluts[i], bluts[i] = luts_as_radix(llen, lcode)
+        lfreq_body = hist_np[i, :286].astype(np.uint32)
+        combined = native.entropy_host_tables(lfreq_body, vluts[i], bluts[i])
+        if combined is not None:
+            hb, hbits, eob_val, eob_len, body_bits = combined
+        else:  # no native lib: same construction in three steps
+            lfreq = lfreq_body.copy()
+            lfreq[256] += 1  # end of block
+            llen, lcode = native.dyn_tables(lfreq)
+            hb, hbits = native.dyn_header(llen)
+            vluts[i], bluts[i] = luts_as_radix(llen, lcode)
+            eob_val = int(bit_reverse(lcode[256:257], llen[256:257])[0])
+            eob_len = int(llen[256])
+            # exact body bits: extra bits per length code are fixed, so the
+            # histogram determines the total (used to pick the scatter window)
+            f = lfreq_body.astype(np.int64)
+            sym_bits = llen[:286].astype(np.int64).copy()
+            sym_bits[257:286] += LEN_EXTRA[: 286 - 257].astype(np.int64) + 1
+            body_bits = int((f * sym_bits).sum())
         hdrs.append(hb)
         hdr_bits.append(hbits)
-        eobs.append((int(bit_reverse(lcode[256:257], llen[256:257])[0]),
-                     int(llen[256])))
+        eobs.append((eob_val, eob_len))
         phases[i] = hbits % 8
         partials[i] = int(hb[-1]) if hbits % 8 else 0
-        # exact body bits: extra bits per length code are fixed, so the
-        # histogram determines the total (used to pick the scatter window)
-        f = hist_np[i, :286].astype(np.int64)
-        sym_bits = llen[:286].astype(np.int64).copy()
-        sym_bits[257:286] += LEN_EXTRA[: 286 - 257].astype(np.int64) + 1
-        body_bits_exact[i] = int((f * sym_bits).sum())
+        body_bits_exact[i] = body_bits
 
     # ---- scatter-window preset: expected bits in a full CH_B-token step ----
     slots_used = np.maximum(
