@@ -589,16 +589,18 @@ void dyn_tables(const uint32_t *lfreq, uint8_t *llen, uint16_t *lcode) {
     huff_codes(llen, 286, lcode);
 }
 
-// (value, bit-count) token LUTs in the assembly kernel's radix layout:
-// planes f32[96*32] = 3 byte planes of each token's packed value laid out
-// [32*k + (idx>>5)][idx&31], bits f32[32*32].  Mirrors
-// codecs/dyndeflate.token_luts + luts_as_radix; this sits on the per-stream
-// host step of the device entropy path, where the numpy build costs ~100 us
-// of pure call overhead.
+// (value, bit-count) token LUT in the assembly kernel's radix layout:
+// lut f32[48*32], rows 0..23 = each token's full packed value (values fit
+// 21 bits, exact in f32 — the kernel does the lookup matmul at
+// precision=HIGHEST, which reconstructs 24 mantissa bits), rows 24..47 =
+// bit counts; both laid out [idx>>5][idx&31] (idx <= 512 -> row <= 16).
+// Mirrors codecs/dyndeflate.token_luts + luts_as_radix; this sits on the
+// per-stream host step of the device entropy path, where the numpy build
+// costs ~100 us of pure call overhead.
 void token_luts_radix(const uint8_t *llen, const uint16_t *lcode,
-                      float *planes, float *bits) {
-    uint32_t val[1024] = {0};
-    float bct[1024] = {0};
+                      float *lut) {
+    uint32_t val[768] = {0};
+    float bct[768] = {0};
     auto rev = [](uint32_t code, uint32_t nb) {
         uint32_t r = 0;
         for (uint32_t i = 0; i < nb; ++i)
@@ -617,11 +619,9 @@ void token_luts_radix(const uint8_t *llen, const uint16_t *lcode,
         val[idx] = rev(lcode[sym], llen[sym]) | (ev << llen[sym]);
         bct[idx] = (float)(llen[sym] + eb + 1);
     }
-    for (int idx = 0; idx < 1024; ++idx) {
-        const int r = idx >> 5, c = idx & 31;
-        for (int k = 0; k < 3; ++k)
-            planes[(32 * k + r) * 32 + c] = (float)((val[idx] >> (8 * k)) & 255);
-        bits[r * 32 + c] = bct[idx];
+    for (int idx = 0; idx < 768; ++idx) {
+        lut[idx] = (float)val[idx];
+        lut[768 + idx] = bct[idx];
     }
 }
 
@@ -633,7 +633,7 @@ void token_luts_radix(const uint8_t *llen, const uint16_t *lcode,
 // hdr capacity >= 512 bytes.  info i64[4] out: {header_bits, eob_val
 // (bit-reversed), eob_len, body_bits}.
 void entropy_host_tables(const uint32_t *lfreq_body, uint8_t *hdr,
-                         float *planes, float *bits, int64_t *info) {
+                         float *lut, int64_t *info) {
     uint32_t lfreq[286];
     std::memcpy(lfreq, lfreq_body, sizeof(lfreq));
     ++lfreq[256];  // end of block
@@ -649,7 +649,7 @@ void entropy_host_tables(const uint32_t *lfreq_body, uint8_t *hdr,
     info[0] = (int64_t)bw.pos * 8 + bw.fill;
     if (bw.fill) hdr[bw.pos] = (uint8_t)bw.acc;
 
-    token_luts_radix(llen, lcode, planes, bits);
+    token_luts_radix(llen, lcode, lut);
 
     uint32_t eob = 0;
     for (int i = 0; i < llen[256]; ++i)

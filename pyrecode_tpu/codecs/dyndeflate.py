@@ -220,16 +220,14 @@ def finish_stream(hdr_bytes: np.ndarray, hdr_bits: int, body: np.ndarray,
     return stream + int(adler).to_bytes(4, "big")
 
 
-def luts_as_radix(llen: np.ndarray, lcode: np.ndarray
-                  ) -> Tuple[np.ndarray, np.ndarray]:
-    """Token LUTs padded to 1024 entries and laid out (idx>>5, idx&31) for
-    the assembly kernel's bilinear lookup.
+def luts_as_radix(llen: np.ndarray, lcode: np.ndarray) -> np.ndarray:
+    """Token (value, bit-count) LUT laid out (idx>>5, idx&31) for the
+    assembly kernel's bilinear lookup: one (48, 32) float32 array, rows
+    0..23 the full token values, rows 24..47 the bit counts.
 
-    Values (up to 21 bits) are split into three byte planes stacked along
-    the row axis — (96, 32) float32 — because the MXU's default f32 matmul
-    (bf16x3) is only exact for small integers; byte planes (<= 255) pass
-    through exactly and the kernel recombines them in int32.  Bit counts
-    (<= 21) fit one exact (32, 32) plane.
+    Values fit 21 bits, so they are exact f32; the kernel does the lookup
+    matmul at precision=HIGHEST (bf16x6 reconstructs full f32 precision),
+    verified exact on hardware by tools/probe_f32dot.py.
     """
     from pyrecode_tpu import native as _native
 
@@ -237,14 +235,10 @@ def luts_as_radix(llen: np.ndarray, lcode: np.ndarray
     if nat is not None:
         return nat
     val, bits = token_luts(llen, lcode)
-    v = np.zeros(1024, np.uint32)
-    b = np.zeros(1024, np.float32)
-    v[:LUT_SIZE] = val
-    b[:LUT_SIZE] = bits.astype(np.float32)
-    v2d = v.reshape(32, 32)
-    planes = np.concatenate([(v2d >> (8 * k)) & 0xFF for k in range(3)],
-                            axis=0).astype(np.float32)          # (96, 32)
-    return planes, b.reshape(32, 32)
+    lut = np.zeros((48, 32), np.float32)
+    lut.reshape(2, 768)[0, :LUT_SIZE] = val.astype(np.float32)
+    lut.reshape(2, 768)[1, :LUT_SIZE] = bits.astype(np.float32)
+    return lut
 
 
 def splice_eob(body: np.ndarray, total_bits: int, eob_val: int, eob_len: int
@@ -322,15 +316,14 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
     else:
         out_bound = 2 * npad + 256
 
-    vluts = np.zeros((B, 96, 32), np.float32)
-    bluts = np.zeros((B, 32, 32), np.float32)
+    luts = np.zeros((B, 48, 32), np.float32)
     hdrs, hdr_bits, eobs = [], [], []
     phases = np.zeros(B, np.int32)
     partials = np.zeros(B, np.int32)
     body_bits_exact = np.zeros(B, np.int64)
     for i in range(B):
         lfreq_body = hist_np[i, :286].astype(np.uint32)
-        combined = native.entropy_host_tables(lfreq_body, vluts[i], bluts[i])
+        combined = native.entropy_host_tables(lfreq_body, luts[i])
         if combined is not None:
             hb, hbits, eob_val, eob_len, body_bits = combined
         else:  # no native lib: same construction in three steps
@@ -338,7 +331,7 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
             lfreq[256] += 1  # end of block
             llen, lcode = native.dyn_tables(lfreq)
             hb, hbits = native.dyn_header(llen)
-            vluts[i], bluts[i] = luts_as_radix(llen, lcode)
+            luts[i] = luts_as_radix(llen, lcode)
             eob_val = int(bit_reverse(lcode[256:257], llen[256:257])[0])
             eob_len = int(llen[256])
             # exact body bits: extra bits per length code are fixed, so the
@@ -362,13 +355,13 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
     nw = pdk.window_rows_for(int(step_est * 1.3) + 8)
 
     body, totbits, ovf = pdk.assemble_pallas(
-        tok, jnp.asarray(vluts), jnp.asarray(bluts),
+        tok, jnp.asarray(luts),
         jnp.asarray(phases), jnp.asarray(partials), out_bound,
         nw=nw, interpret=interpret)
     if nw < pdk.WIN_ROWS_MAX and bool(np.asarray(ovf).any()):
         # a step's bits exceeded the narrow window — re-run at full width
         body, totbits, ovf = pdk.assemble_pallas(
-            tok, jnp.asarray(vluts), jnp.asarray(bluts),
+            tok, jnp.asarray(luts),
             jnp.asarray(phases), jnp.asarray(partials), out_bound,
             nw=pdk.WIN_ROWS_MAX, interpret=interpret)
     totbits_np = np.asarray(totbits)

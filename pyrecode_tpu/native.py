@@ -86,10 +86,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.dyn_header.argtypes = [u8p, u8p]
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.token_luts_radix.restype = None
-        lib.token_luts_radix.argtypes = [u8p, u16p2, f32p, f32p]
+        lib.token_luts_radix.argtypes = [u8p, u16p2, f32p]
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.entropy_host_tables.restype = None
-        lib.entropy_host_tables.argtypes = [u32p, u8p, f32p, f32p, i64p]
+        lib.entropy_host_tables.argtypes = [u32p, u8p, f32p, i64p]
         _lib = lib
         return _lib
 
@@ -267,39 +267,38 @@ def dyn_header(llen: np.ndarray) -> Tuple[np.ndarray, int]:
 
 
 def token_luts_radix(llen: np.ndarray, lcode: np.ndarray
-                     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    """Token (value, bit-count) LUTs in the assembly kernel's radix layout.
+                     ) -> Optional[np.ndarray]:
+    """Token (value, bit-count) LUT in the assembly kernel's radix layout.
 
     Native counterpart of ``codecs.dyndeflate.luts_as_radix`` (its numpy
     build costs ~100 us/stream of call overhead on the device-entropy hot
-    path).  Returns (planes (96, 32) f32, bits (32, 32) f32), or None when
-    the native library is unavailable (caller falls back to numpy).
+    path).  Returns a (48, 32) f32 LUT — rows 0..23 full token values
+    (exact in f32, <= 21 bits), rows 24..47 bit counts, both laid out
+    [idx >> 5, idx & 31] — or None when the native library is unavailable
+    (caller falls back to numpy).
     """
     lib = get_lib()
     if lib is None:
         return None
     lens = np.ascontiguousarray(llen, dtype=np.uint8)
     codes = np.ascontiguousarray(lcode, dtype=np.uint16)
-    planes = np.zeros((96, 32), dtype=np.float32)
-    bits = np.zeros((32, 32), dtype=np.float32)
+    lut = np.zeros((48, 32), dtype=np.float32)
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.token_luts_radix(_u8ptr(lens),
                          codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-                         planes.ctypes.data_as(f32p),
-                         bits.ctypes.data_as(f32p))
-    return planes, bits
+                         lut.ctypes.data_as(f32p))
+    return lut
 
 
-def entropy_host_tables(lfreq_body: np.ndarray, vlut_out: np.ndarray,
-                        blut_out: np.ndarray
+def entropy_host_tables(lfreq_body: np.ndarray, lut_out: np.ndarray
                         ) -> Optional[Tuple[np.ndarray, int, int, int, int]]:
     """Whole per-stream host step of the device entropy path in one call.
 
     ``lfreq_body`` — 286 literal/length frequencies (end-of-block NOT yet
-    counted; added inside).  Writes the radix LUTs into ``vlut_out``
-    (96, 32) f32 / ``blut_out`` (32, 32) f32 in place and returns (header
-    bytes, header_bits, eob_val, eob_len, body_bits); None when the native
-    library is unavailable.  Matches dyn_tables + dyn_header +
+    counted; added inside).  Writes the radix token LUT into ``lut_out``
+    ((48, 32) f32, see :func:`token_luts_radix`) in place and returns
+    (header bytes, header_bits, eob_val, eob_len, body_bits); None when the
+    native library is unavailable.  Matches dyn_tables + dyn_header +
     token_luts_radix done separately, with one ctypes round-trip instead of
     three.
     """
@@ -313,7 +312,7 @@ def entropy_host_tables(lfreq_body: np.ndarray, vlut_out: np.ndarray,
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.entropy_host_tables(
         freq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), _u8ptr(hdr),
-        vlut_out.ctypes.data_as(f32p), blut_out.ctypes.data_as(f32p),
+        lut_out.ctypes.data_as(f32p),
         info.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     bits = int(info[0])
     return (hdr[: (bits + 7) // 8], bits, int(info[1]), int(info[2]),

@@ -25,15 +25,18 @@ Two passes with an O(alphabet)-only host step between them:
 via the native library's own builders (bit-identical), and the per-token
 (value, bit-count) LUTs.
 
-**Pass B — assemble** (grid step = 2048 tokens, ONE step-level scatter):
-  * LUT lookup via a bilinear one-hot: M1 = LUT(32x32) @ onehot(lo) and a
-    masked sublane reduction against onehot(hi) — no gathers;
+**Pass B — assemble** (grid step = CH_B tokens, ONE step-level scatter):
+  * LUT lookup via a bilinear one-hot: M1 = LUT(48x32) @ onehot(lo) at
+    precision=HIGHEST (values <= 21 bits are exact f32) and two masked
+    sublane reductions against a 24-row onehot(hi) — no gathers;
   * bit offsets via lane cumsum with a carried bit phase; each token's
-    shifted value (<= 21+7 bits) contributes <= 4 bytes, scattered with ONE
-    NT matmul per byte plane k: A[(th, token)] = contrib * onehot(target>>7)
-    (43 x 2048) contracted with onehot(target&127) (128 x 2048) — disjoint
-    bit ranges make f32 sums exact (<= 255); the (43, 128) result merges to
-    a (1, 5504) byte row, plane k rolled right by k lanes;
+    shifted value (<= 21+7 bits) contributes <= 4 bytes; the 4 byte planes
+    A_k[(th, token)] = contrib_k * onehot(target>>7) are STACKED along the
+    M dimension (the MXU pads M to 128 rows, so a narrow window fits all 4
+    planes in ONE NT matmul) and contracted with onehot(target&127)
+    (128 x CH_B) — disjoint bit ranges make f32 sums exact (<= 255); each
+    plane's (NW, 128) slab merges to a (1, NW*128) byte row, plane k rolled
+    right by k lanes;
   * the merged row appends at the running output offset via the 128-aligned
     window store with VMEM tail carry shared with the L1 encode kernel
     (pallas_encode._store_window) — the variable-bit-width generalization of
@@ -58,16 +61,33 @@ from .pallas_encode import _cumsum_lanes, _store_window
 
 CH_A = 16384         # pass-A bytes per grid step ((8, 2048) tile: per-step
 ROWS_A, SUB_A = 8, 2048   # fixed costs amortize; scans grow only log-width)
-CH_B = 2048          # pass-B tokens per grid step
+CH_B = 4096          # pass-B tokens per grid step
 MAX_TOKEN_BITS = 21  # lit code <= 15; match = len code 15 + extra 5 + dist 1
-# widest step-local byte window: 7 phase bits + CH_B * 21 bits, plus 3 spill
-# bytes for the k-shifted planes, rounded to 128 lanes -> 43 rows
-WIN_ROWS_MAX = -(-((7 + CH_B * MAX_TOKEN_BITS) // 8 + 4) // 128) * 128 // 128
-# narrower presets: the scatter matmuls cost O(win_rows * CH_B), and real
-# streams average ~5-9 bits/token, far below the 21-bit worst case.  The
+
+
+def _rows_for_bits(total_bits: int) -> int:
+    """Scatter-window sublane rows covering ``total_bits`` step bits: 7 phase
+    bits + the bits themselves, plus 3 spill bytes for the k-shifted byte
+    planes, rounded up to 128-lane rows and then to a multiple of 8 (the
+    assemble kernel stacks byte planes along sublanes and slices the matmul
+    result at NW-row offsets, which must stay 8-aligned)."""
+    rows = -(-((7 + total_bits) // 8 + 4) // 128)
+    return -(-rows // 8) * 8
+
+
+# widest step-local byte window (21 bits per token = the worst case)
+WIN_ROWS_MAX = _rows_for_bits(CH_B * MAX_TOKEN_BITS)
+# narrower presets: the scatter matmuls cost O(ceil(4*win_rows/128) * CH_B)
+# (planes stack along the M dimension, which the MXU pads to 128), and real
+# streams average ~4-9 bits/token, far below the 21-bit worst case.  The
 # kernel flags any step whose bits exceed the window (caller re-runs wide),
-# so narrow windows are a speed heuristic, never a correctness bound.
-WIN_ROWS_PRESETS = (17, 26, WIN_ROWS_MAX)   # ~8.4 / 13 / 21 bits per token
+# so narrow windows are a speed heuristic, never a correctness bound.  The
+# first two presets keep 4*NW <= 128 = ONE stacked scatter matmul.
+WIN_ROWS_PRESETS = (_rows_for_bits(int(CH_B * 4.5)),    # ~4.5 bits/token
+                    _rows_for_bits(int(CH_B * 6.1)),    # ~6.1 bits/token
+                    _rows_for_bits(int(CH_B * 8.4)),    # ~8.4 bits/token
+                    _rows_for_bits(13 * CH_B),          # ~13 bits/token
+                    WIN_ROWS_MAX)
 WIN_B = WIN_ROWS_MAX * 128                  # widest window, for bounds
 
 _INF = 1 << 30
@@ -391,7 +411,7 @@ def _build_assemble_kernel(B, NPAD, OUT, NW, interpret):
     # token ends at sub_total bits, its k=3 plane byte at (sub_total-1)//8+3
     bit_cap = (WINB - 4) * 8
 
-    def kernel(lut_ref, vlut_ref, blut_ref, phase_ref, part_ref,
+    def kernel(lut_ref, lutab_ref, phase_ref, part_ref,
                comp_ref, totbits_ref, ovf_ref,
                off_sref, bit_sref, part_sref, tot_sref, tail_vref):
         h = pl.program_id(1)
@@ -406,29 +426,29 @@ def _build_assemble_kernel(B, NPAD, OUT, NW, interpret):
             tail_vref[...] = jnp.zeros_like(tail_vref)
             comp_ref[...] = jnp.zeros_like(comp_ref)
 
-        # bf16 matmul inputs throughout: every operand here is either 0/1
-        # (one-hots) or a byte plane <= 255 — all exactly representable in
-        # bf16 — and bf16 runs the MXU at full rate (f32 takes the 3-pass
-        # path); accumulation stays exact f32 via preferred_element_type
-        vlut = vlut_ref[0].astype(jnp.bfloat16)    # (96, 32): 3 byte planes
-        blut = blut_ref[0].astype(jnp.bfloat16)
+        # the combined (48, 32) f32 LUT: rows 0..23 full token values, rows
+        # 24..47 bit counts.  Values are <= 21 bits, exact in f32, and the
+        # lookup matmul runs at precision=HIGHEST (bf16x6 reconstructs full
+        # f32 precision — verified exact on hw by tools/probe_f32dot.py), so
+        # ONE matmul + TWO masked reductions replace the previous 3-byte-
+        # plane split (4 reductions over 128 sublanes + recombination).
+        lutab = lutab_ref[0]                       # (48, 32) f32
         # un-invert the u16 token stream (tok = NO_TOKEN - lut, pad 0)
         lut_row = NO_TOKEN - lut_ref[0, 0].astype(jnp.int32).reshape(1, CH_B)
 
         # ---- step-level LUT lookup + bit cumsum over all 2048 tokens ----
         io32w = jax.lax.broadcasted_iota(jnp.int32, (32, CH_B), 0)
+        io24w = jax.lax.broadcasted_iota(jnp.int32, (24, CH_B), 0)
         lo = lut_row & 31
-        hi = lut_row >> 5
-        oh_lo = (lo == io32w).astype(jnp.bfloat16)             # (32, 2048)
-        oh_hi = (hi == io32w).astype(jnp.float32)
-        m1v = jnp.dot(vlut, oh_lo, preferred_element_type=jnp.float32)
-        m1b = jnp.dot(blut, oh_lo, preferred_element_type=jnp.float32)
-        val_all = jnp.int32(0)
-        for k in range(3):
-            byte_k = jnp.sum(oh_hi * m1v[32 * k: 32 * (k + 1)], axis=0,
-                             keepdims=True).astype(jnp.int32)
-            val_all = val_all + (byte_k << (8 * k))
-        bits_all = jnp.sum(oh_hi * m1b, axis=0, keepdims=True).astype(jnp.int32)
+        hi = lut_row >> 5                          # <= 16 (NO_TOKEN = 512)
+        oh_lo = (lo == io32w).astype(jnp.float32)              # (32, 2048)
+        oh_hi = (hi == io24w).astype(jnp.float32)              # (24, 2048)
+        m1 = jnp.dot(lutab, oh_lo, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)      # (48, 2048)
+        val_all = jnp.sum(oh_hi * m1[0:24], axis=0,
+                          keepdims=True).astype(jnp.int32)
+        bits_all = jnp.sum(oh_hi * m1[24:48], axis=0,
+                           keepdims=True).astype(jnp.int32)
         gcs = _cumsum_lanes(bits_all, CH_B)                    # inclusive
         step_bits = gcs[0, CH_B - 1]
 
@@ -451,17 +471,30 @@ def _build_assemble_kernel(B, NPAD, OUT, NW, interpret):
             oh_tl = ((t0 & 127) == io128s).astype(jnp.bfloat16)  # (128, CH_B)
             oh_th = ((t0 >> 7) == io_nw).astype(jnp.bfloat16)    # (NW, CH_B)
             local = part_sref[0] * (io_w == 0).astype(jnp.int32)
-            for k in range(4):
-                # byte plane k scatters at the k=0 target (one NT matmul);
-                # the merged row is then rolled right by k.  Disjoint bit
-                # ranges of adjacent tokens keep every byte sum <= 255, so
-                # bf16 operands (bytes <= 255 are exact) with f32
-                # accumulation lose nothing.
-                ck = ((sv >> (8 * k)) & 255).astype(jnp.bfloat16)
-                o2 = jax.lax.dot_general(oh_th * ck, oh_tl,
+            # byte plane k scatters at the k=0 target; the merged row is then
+            # rolled right by k.  Disjoint bit ranges of adjacent tokens keep
+            # every byte sum <= 255, so bf16 operands (bytes <= 255 are
+            # exact) with f32 accumulation lose nothing.  The MXU pads the
+            # M dimension to 128 rows, so planes are STACKED along M into as
+            # few matmuls as fit (4 separate (NW, .) matmuls cost ~4x one
+            # (4*NW <= 128, .) matmul — the scatter is the kernel's dominant
+            # MXU term).
+            per = max(1, min(4, 128 // NW))      # planes per stacked matmul
+            rows = []
+            for g in range(0, 4, per):
+                blocks = []
+                for k in range(g, min(g + per, 4)):
+                    ck = ((sv >> (8 * k)) & 255).astype(jnp.bfloat16)
+                    blocks.append(oh_th * ck)
+                stacked = blocks[0] if len(blocks) == 1 else \
+                    jnp.concatenate(blocks, axis=0)
+                o2 = jax.lax.dot_general(stacked, oh_tl,
                                          (((1,), (1,)), ((), ())),
                                          preferred_element_type=jnp.float32)
-                row = o2.astype(jnp.int32).reshape(1, WINB)
+                for j in range(len(blocks)):
+                    rows.append(o2[j * NW: (j + 1) * NW]
+                                .astype(jnp.int32).reshape(1, WINB))
+            for k, row in enumerate(rows):
                 local = local + (row if k == 0
                                  else pltpu.roll(row, k, axis=1))
 
@@ -489,8 +522,7 @@ def _build_assemble_kernel(B, NPAD, OUT, NW, interpret):
         in_specs=[
             pl.BlockSpec((1, 1, 8, CH_B // 8), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 96, 32), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32, 32), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 48, 32), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
@@ -518,12 +550,12 @@ def _build_assemble_kernel(B, NPAD, OUT, NW, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("out_bound", "nw", "interpret"))
-def _assemble_call(tok, vlut, blut, phase, partial, out_bound, nw,
+def _assemble_call(tok, lutab, phase, partial, out_bound, nw,
                    interpret):
     B, NPAD = tok.shape
     call = _build_assemble_kernel(B, NPAD, out_bound, nw, bool(interpret))
     comp, totbits, ovf = call(
-        tok.reshape(B, NPAD // CH_B, 8, CH_B // 8), vlut, blut,
+        tok.reshape(B, NPAD // CH_B, 8, CH_B // 8), lutab,
         phase.reshape(B, 1, 1).astype(jnp.int32),
         partial.reshape(B, 1, 1).astype(jnp.int32))
     body = comp[:, 0, :out_bound].astype(jnp.uint8)
@@ -541,16 +573,17 @@ def window_rows_for(step_bits_estimate: int) -> int:
     return WIN_ROWS_MAX
 
 
-def assemble_pallas(tok, vlut, blut, phase, partial, out_bound,
+def assemble_pallas(tok, lutab, phase, partial, out_bound,
                     nw=None, interpret=None):
     """Pass B: pack per-byte tokens into the deflate bitstream.
 
     ``tok`` (B, NPAD) u16 — INVERTED token stream (tok = NO_TOKEN - lut_idx;
     0 = no token) as produced by :func:`tokenize_pallas` /
     :func:`compact_tokens`; the kernel un-inverts in place.
-    ``vlut`` (B, 96, 32) f32 — token value LUT as 3 stacked byte planes,
-    ``blut`` (B, 32, 32) f32 — bit counts; both laid out [idx >> 5, idx & 31]
-    (idx 512 = no token -> (0, 0)).  ``phase`` (B,) is
+    ``lutab`` (B, 48, 32) f32 — combined token LUT: rows 0..23 full values
+    (<= 21 bits, exact f32), rows 24..47 bit counts, both laid out
+    [idx >> 5, idx & 31] (idx 512 = no token -> (0, 0)); see
+    ``codecs.dyndeflate.luts_as_radix``.  ``phase`` (B,) is
     the header's trailing bit count (0..7) and ``partial`` its trailing
     partial-byte value.  ``nw`` — scatter-window sublane rows (default
     WIN_ROWS_MAX = always-sufficient; narrower presets from
@@ -564,5 +597,5 @@ def assemble_pallas(tok, vlut, blut, phase, partial, out_bound,
     if nw is None:
         nw = WIN_ROWS_MAX
     out_bound = -(-out_bound // 128) * 128
-    return _assemble_call(tok, vlut, blut, phase, partial, out_bound,
+    return _assemble_call(tok, lutab, phase, partial, out_bound,
                           int(nw), bool(interpret))

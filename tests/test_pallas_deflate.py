@@ -106,16 +106,15 @@ def _assemble_inputs(raw):
     lfreq = dd.histogram_np(sym)
     llen, lcode = native.dyn_tables(lfreq)
     hb, hbits = native.dyn_header(llen)
-    vlut, blut = dd.luts_as_radix(llen, lcode)
+    lutab = dd.luts_as_radix(llen, lcode)
     npad = -(-max(x.size, 1) // pdk.CH_B) * pdk.CH_B
     # assemble consumes the inverted u16 stream (pad 0 = no token)
     tok_pad = np.zeros((1, npad), np.uint16)
     tok_pad[0, : x.size] = (pdk.NO_TOKEN - lut_idx).astype(np.uint16)
     phase = np.array([hbits % 8], np.int32)
     partial = np.array([int(hb[-1]) if hbits % 8 else 0], np.int32)
-    return (jnp.asarray(tok_pad), jnp.asarray(vlut[None]),
-            jnp.asarray(blut[None]), jnp.asarray(phase),
-            jnp.asarray(partial), 2 * npad + 256)
+    return (jnp.asarray(tok_pad), jnp.asarray(lutab[None]),
+            jnp.asarray(phase), jnp.asarray(partial), 2 * npad + 256)
 
 
 def test_assemble_narrow_window_presets_match_wide():
@@ -126,10 +125,12 @@ def test_assemble_narrow_window_presets_match_wide():
     sparse = (rng.integers(0, 256, 6000)
               * (rng.random(6000) < 0.02)).astype(np.uint8).tobytes()
     # adversarial: 20k alternating 0/1 literals make bytes 128..255 rare
-    # (~10-bit codes), then a 3000-byte block of those rare literals packs
-    # one aligned 2048-token step at ~10 bits/token > the 8.4-bit preset
+    # (~10-bit codes), then a block of those rare literals long enough to
+    # fill at least one aligned CH_B-token step entirely at ~10 bits/token,
+    # which exceeds the narrowest (~4.5 bits/token) preset's capacity
+    n_rare = 2 * pdk.CH_B + 1024
     dense = (np.arange(20000, dtype=np.uint8) % 2).tobytes() + \
-        (128 + np.arange(3000, dtype=np.uint8) % 128).tobytes()
+        (128 + np.arange(n_rare, dtype=np.uint8) % 128).tobytes()
 
     for raw in (sparse, dense):
         args = _assemble_inputs(raw)

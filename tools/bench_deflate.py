@@ -80,18 +80,22 @@ def main():
     hist_np = np.asarray(hist)
     t0 = time.perf_counter()
     reps = 50
+    lutab = np.zeros((48, 32), np.float32)
     for _ in range(reps):
-        lfreq = hist_np[0, :286].astype(np.uint32).copy()
-        lfreq[256] += 1
-        llen, lcode = native.dyn_tables(lfreq)
-        hb, hbits = native.dyn_header(llen)
-        vl, bl = dd.luts_as_radix(llen, lcode)
+        # the pipeline's actual host step: one combined native call
+        combined = native.entropy_host_tables(
+            hist_np[0, :286].astype(np.uint32), lutab)
+        assert combined is not None, "native library required for bench"
+        hb, hbits = combined[0], combined[1]
     dt_h = (time.perf_counter() - t0) / reps
     print(f"host tables+header: {dt_h*1e6:.0f} us/stream")
+    # llen feeds the narrow-window estimate below (outside the timed loop)
+    lfreq = hist_np[0, :286].astype(np.uint32).copy()
+    lfreq[256] += 1
+    llen, lcode = native.dyn_tables(lfreq)
 
     # ---- pass B ----
-    vlut = jnp.asarray(vl[None])
-    blut = jnp.asarray(bl[None])
+    lutab_d = jnp.asarray(lutab[None])
     phase = jnp.asarray(np.array([hbits % 8], np.int32))
     partial = jnp.asarray(np.array([int(hb[-1]) if hbits % 8 else 0], np.int32))
     out_bound = -(-(2 * npad + 256) // 128) * 128
@@ -99,7 +103,7 @@ def main():
 
     def run_b(x):
         body, totbits, ovf = pdk.assemble_pallas(
-            x, vlut, blut, phase, partial, out_bound, interpret=False)
+            x, lutab_d, phase, partial, out_bound, interpret=False)
         return jnp.sum(totbits).astype(jnp.float32)
 
     dt_b = scan_time(run_b, lut_batch, args.iters)
@@ -133,7 +137,7 @@ def main():
 
     def run_bc(x):
         body, totbits, ovf = pdk.assemble_pallas(
-            x, vlut, blut, phase, partial, out_bound_c, interpret=False)
+            x, lutab_d, phase, partial, out_bound_c, interpret=False)
         return jnp.sum(totbits).astype(jnp.float32)
 
     dt_bc = scan_time(run_bc, dense_batch, args.iters)
@@ -154,13 +158,13 @@ def main():
 
     def run_bn(x):
         body, totbits, ovf = pdk.assemble_pallas(
-            x, vlut, blut, phase, partial, out_bound_c, nw=nw,
+            x, lutab_d, phase, partial, out_bound_c, nw=nw,
             interpret=False)
         return jnp.sum(totbits).astype(jnp.float32)
 
     dt_bn = dt_bc
     if nw < pdk.WIN_ROWS_MAX:
-        _, _, ovf_n = pdk.assemble_pallas(dense0, vlut, blut, phase, partial,
+        _, _, ovf_n = pdk.assemble_pallas(dense0, lutab_d, phase, partial,
                                           out_bound_c, nw=nw, interpret=False)
         assert not bool(np.asarray(ovf_n).any()), "narrow window overflowed"
         dt_bn = scan_time(run_bn, dense_batch, args.iters)

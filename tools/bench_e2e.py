@@ -86,7 +86,7 @@ def main():
         lfreq[256] += 1
         llen, lcode = native.dyn_tables(lfreq)
         hb, hbits = native.dyn_header(llen)
-        vl, bl = dd.luts_as_radix(llen, lcode)
+        lutab = dd.luts_as_radix(llen, lcode)
         # narrow scatter-window preset from exact body bits (same choice
         # dyndeflate's host step makes per frame from the histogram)
         f = np.asarray(hist)[0, :286].astype(np.int64)
@@ -95,8 +95,7 @@ def main():
         ntok = max(int(f.sum()), 1)
         est = int((f * sb).sum()) * pdk.CH_B // ntok
         nw = pdk.window_rows_for(int(est * 1.3) + 8)
-        return ((jnp.asarray(np.broadcast_to(vl, (B, 96, 32)).copy()),
-                 jnp.asarray(np.broadcast_to(bl, (B, 32, 32)).copy()),
+        return ((jnp.asarray(np.broadcast_to(lutab, (B, 48, 32)).copy()),
                  jnp.full((B,), hbits % 8, jnp.int32),
                  jnp.full((B,), int(hb[-1]) if hbits % 8 else 0, jnp.int32)),
                 nw, ntok)
@@ -130,14 +129,12 @@ def main():
                                                      interpret=False)
         dense_bm, dcnt, covf = pdk.compact_tokens(
             tok_bm, tok_bound, bucket=cbkt, interpret=False)
-        body_bm, bits_bm, _ = pdk.assemble_pallas(dense_bm, *tab_bm[:2],
-                                                  tab_bm[2], tab_bm[3],
+        body_bm, bits_bm, _ = pdk.assemble_pallas(dense_bm, *tab_bm,
                                                   out_bm, nw=nw_bm,
                                                   interpret=False)
         tok_pk, hist_pk, ad_pk = pdk.tokenize_pallas(pk, lens_pk,
                                                      interpret=False)
-        body_pk, bits_pk, _ = pdk.assemble_pallas(tok_pk, *tab_pk[:2],
-                                                  tab_pk[2], tab_pk[3],
+        body_pk, bits_pk, _ = pdk.assemble_pallas(tok_pk, *tab_pk,
                                                   out_pk, nw=nw_pk,
                                                   interpret=False)
         return (jnp.sum(bits_bm) + jnp.sum(bits_pk)
