@@ -255,7 +255,7 @@ def splice_eob(body: np.ndarray, total_bits: int, eob_val: int, eob_len: int
 
 
 def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
-                         compact=None):
+                         compact=None, hint_state=None):
     """Device entropy stage: deflate a batch of byte streams on the TPU.
 
     ``streams`` — (B, NPAD) u8 array (device or host; NPAD a multiple of
@@ -269,12 +269,18 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
     byte-identical to ``native.deflate_sparse``.  Returns a list of B zlib
     streams.
 
-    ``compact`` — insert the device token-compaction pass (A.5) so the
-    assembly grid covers only real tokens instead of every input slot.
-    Default (None) auto-enables it when the batch's token density is low
-    enough that it shrinks the assembly grid (sparse bitmap streams yes,
-    literal-dense pixel-value streams no).  Output bytes are identical
-    either way.
+    ``compact`` — shrink the assembly grid to real tokens instead of every
+    input slot.  Default (None) auto-enables it when the batch's token
+    density is low enough (sparse bitmap streams yes, literal-dense
+    pixel-value streams no).  Output bytes are identical either way.
+
+    ``hint_state`` — optional mutable dict carrying the observed token
+    density across calls (key ``"density"``).  With a hint, sparse batches
+    run the FUSED tokenize+compact kernel (one pass, the per-byte token
+    stream never leaves VMEM); without one, tokenize and compaction run as
+    two passes and the dict is seeded for the next call.  Capacity or bound
+    misses are detected by overflow flags and re-run exactly — the hint is
+    a speed heuristic, never a correctness input.
     """
     import jax.numpy as jnp
 
@@ -286,35 +292,82 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
     lengths = np.asarray(lengths, dtype=np.int32)
     assert npad % pdk.CH_A == 0 and npad % pdk.CH_B == 0
 
-    tok, hist, adler = pdk.tokenize_pallas(streams, jnp.asarray(lengths),
-                                           interpret=interpret)
-    hist_np = np.asarray(hist)     # (B, 512) — small readback
-    adler_np = np.asarray(adler)
+    hint = None if hint_state is None else hint_state.get("density")
+    max_len = max(int(lengths.max()), 1) if B else 1
+    tok = None
 
-    # ---- pass A.5: token compaction (see pallas_deflate.compact_tokens) ----
-    tok_counts = hist_np[:, :286].sum(axis=1).astype(np.int64)
-    tok_max = int(tok_counts.max()) if B else 0
-    # pow2 quantization bounds the number of distinct kernel shapes compiled
-    tok_bound = max(pdk.CH_B, 1 << int(np.ceil(np.log2(max(tok_max, 1)))))
-    if compact is None:
-        compact = tok_bound < npad
-    if compact and tok_bound < npad:
-        density = tok_max / max(int(lengths.max()), 1)
-        bucket = pdk.compact_bucket_for(density)
-        from ..ops.pallas_encode import CAPACITY_BUCKETS
-        while True:
-            dense, dcounts, covf = pdk.compact_tokens(
-                tok, tok_bound, bucket=bucket, interpret=interpret)
-            if not bool(np.asarray(covf).any()) or \
-                    bucket >= len(CAPACITY_BUCKETS) - 1:
+    # ---- fused pass A + A.5 (pallas_deflate.tokenize_compact_pallas) ----
+    # Gated OFF by default: the fused kernel is byte-exact, but its win
+    # depended on a butterfly left-pack whose Mosaic lowering diverges on
+    # real v5e hardware at high density (see _compact_chunk), and with the
+    # rank-match fallback its per-row capacities make it slower than the
+    # two-pass pipeline.  Re-enable (hint_state["fused"]=True or
+    # PYRECODE_FUSED_TOKENIZE=1) once the butterfly has a hardware fix.
+    import os as _os
+    fused_ok = bool(hint_state and hint_state.get("fused")) or \
+        _os.environ.get("PYRECODE_FUSED_TOKENIZE") == "1"
+    if fused_ok and compact is not False and B and hint is not None \
+            and hint < 0.5:
+        bucket = pdk.token_bucket_for(hint)
+        est = max(int(max_len * hint * 1.6), 1)
+        tok_bound = max(pdk.CH_B, 1 << (est - 1).bit_length())
+        for _ in range(len(pdk.TOKEN_BUCKETS) + 1):
+            if tok_bound >= npad:
+                break  # not worth compacting: fall through to dense path
+            dense, hist, adler, _, covf = pdk.tokenize_compact_pallas(
+                streams, jnp.asarray(lengths), bucket, tok_bound,
+                interpret=interpret)
+            hist_np = np.asarray(hist)
+            adler_np = np.asarray(adler)
+            tok_counts = hist_np[:, :286].sum(axis=1).astype(np.int64)
+            tok_max = int(tok_counts.max())
+            if not bool(np.asarray(covf).any()):
+                out_bound_c = min(2 * npad,
+                                  (tok_bound * pdk.MAX_TOKEN_BITS + 7) // 8)
+                tok, npad, out_bound = dense, tok_bound, out_bound_c + 256
                 break
-            bucket += 1
-        # body-size bound: <= 21 bits per dense token, and never more than
-        # the uncompacted worst case (the emitted bits are identical)
-        out_bound_c = min(2 * npad, (tok_bound * pdk.MAX_TOKEN_BITS + 7) // 8)
-        tok, npad, out_bound = dense, tok_bound, out_bound_c + 256
-    else:
-        out_bound = 2 * npad + 256
+            # the histogram is exact even on overflow: retry with the exact
+            # per-batch bound and the next row capacity up (the top bucket
+            # equals the row width and cannot overflow)
+            tok_bound = max(pdk.CH_B,
+                            1 << int(np.ceil(np.log2(max(tok_max, 1)))))
+            bucket = min(bucket + 1, len(pdk.TOKEN_BUCKETS) - 1)
+
+    # ---- two-pass fallback: tokenize, then compact if worthwhile ----
+    if tok is None:
+        tok, hist, adler = pdk.tokenize_pallas(streams, jnp.asarray(lengths),
+                                               interpret=interpret)
+        hist_np = np.asarray(hist)     # (B, 512) — small readback
+        adler_np = np.asarray(adler)
+        tok_counts = hist_np[:, :286].sum(axis=1).astype(np.int64)
+        tok_max = int(tok_counts.max()) if B else 0
+        # pow2 quantization bounds the number of distinct kernel shapes
+        tok_bound = max(pdk.CH_B, 1 << int(np.ceil(np.log2(max(tok_max, 1)))))
+        if compact is None:
+            compact = tok_bound < npad
+        if compact and tok_bound < npad:
+            density = tok_max / max_len
+            bucket = pdk.compact_bucket_for(density)
+            from ..ops.pallas_encode import CAPACITY_BUCKETS
+            while True:
+                dense, dcounts, covf = pdk.compact_tokens(
+                    tok, tok_bound, bucket=bucket, interpret=interpret)
+                if not bool(np.asarray(covf).any()) or \
+                        bucket >= len(CAPACITY_BUCKETS) - 1:
+                    break
+                bucket += 1
+            # body-size bound: <= 21 bits per dense token, and never more
+            # than the uncompacted worst case (emitted bits are identical)
+            out_bound_c = min(2 * npad,
+                              (tok_bound * pdk.MAX_TOKEN_BITS + 7) // 8)
+            tok, npad, out_bound = dense, tok_bound, out_bound_c + 256
+        else:
+            out_bound = 2 * npad + 256
+
+    if hint_state is not None and B:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dens = tok_counts / np.maximum(lengths.astype(np.int64), 1)
+        hint_state["density"] = float(dens.max())
 
     luts = np.zeros((B, 48, 32), np.float32)
     hdrs, hdr_bits, eobs = [], [], []

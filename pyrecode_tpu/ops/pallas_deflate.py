@@ -57,7 +57,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_encode import _cumsum_lanes, _store_window
+from .pallas_encode import _compact_chunk, _cumsum_lanes, _store_window
 
 CH_A = 16384         # pass-A bytes per grid step ((8, 2048) tile: per-step
 ROWS_A, SUB_A = 8, 2048   # fixed costs amortize; scans grow only log-width)
@@ -158,11 +158,29 @@ def _tile_stats(x_eff, gidx, n, carry_prev):
 
 
 @functools.lru_cache(maxsize=32)
-def _build_tokenize_kernel(B, NPAD, interpret):
-    n_chunks = NPAD // CH_A
+def _build_tokenize_kernel(B, NPAD, interpret, C1=0, OUT=0):
+    """Pass-A kernel builder.
 
-    def kernel(x_ref, xn_ref, len_ref, lut_ref, hist_ref, adA_ref, adB_ref,
-               prevb_sref, carrys_sref, adler_sref, hist_vref):
+    ``C1 == 0``: emit the full per-byte inverted token stream (dense mode).
+    ``C1 > 0``: FUSED tokenize+compact — never materialize the per-byte
+    stream; each (8, 2048) tile's tokens are packed left per row (butterfly,
+    capacity C1 per 2048-lane row), concatenated, and appended to a dense
+    i32 output of ``OUT`` slots via the shared window store.  Saves the
+    full-stream HBM round trip that the separate compaction pass paid.
+    """
+    n_chunks = NPAD // CH_A
+    compact = C1 > 0
+    C2 = ROWS_A * C1
+    WIN = C2 + 128
+
+    def kernel(x_ref, xn_ref, len_ref, *refs):
+        if compact:
+            (comp_ref, hist_ref, adA_ref, adB_ref, cnt_ref, covf_ref,
+             prevb_sref, carrys_sref, adler_sref, hist_vref,
+             off_sref, tail_vref) = refs
+        else:
+            (lut_ref, hist_ref, adA_ref, adB_ref,
+             prevb_sref, carrys_sref, adler_sref, hist_vref) = refs
         h = pl.program_id(1)
         n = len_ref[0, 0, 0]
 
@@ -173,6 +191,11 @@ def _build_tokenize_kernel(B, NPAD, interpret):
             adler_sref[0] = 1           # adler A
             adler_sref[1] = 0           # adler B
             hist_vref[...] = jnp.zeros_like(hist_vref)
+            if compact:
+                off_sref[0] = 0
+                covf_ref[0, 0, 0] = 0
+                tail_vref[...] = jnp.zeros_like(tail_vref)
+                comp_ref[...] = jnp.zeros_like(comp_ref)
 
         x = x_ref[0, 0].astype(jnp.int32)       # (ROWS_A, SUB_A)
         xn = xn_ref[0, 0].astype(jnp.int32)
@@ -235,11 +258,20 @@ def _build_tokenize_kernel(B, NPAD, interpret):
         lut = jnp.where(is_lit, x, jnp.where(is_match, 256 + take - 3,
                                              NO_TOKEN))
         lut = jnp.where(valid, lut, NO_TOKEN)
-        # emit the INVERTED token stream tok = NO_TOKEN - lut (tokens ->
-        # [1, 512], covered/pad -> 0) as u16: half the HBM traffic of an
-        # i32 LUT, and both consumers want this form anyway (compaction
-        # treats nonzero as foreground; assembly un-inverts in-kernel)
-        lut_ref[0, 0] = (NO_TOKEN - lut).astype(jnp.uint16)
+        # the INVERTED token stream tok = NO_TOKEN - lut (tokens -> [1, 512],
+        # covered/pad -> 0): the form both consumers want (compaction treats
+        # nonzero as foreground; assembly un-inverts in-kernel)
+        tok_inv = NO_TOKEN - lut
+        if compact:
+            m2 = (tok_inv != 0).astype(jnp.int32)
+            acc, ccnt, ovf1 = _compact_chunk(m2, tok_inv, ROWS_A, SUB_A,
+                                             C1, C2)
+            ovf_s = _store_window(comp_ref, tail_vref, off_sref, acc, ccnt,
+                                  OUT, WIN, C2)
+            covf_ref[0, 0, 0] |= jnp.int32(ovf1 | ovf_s)
+        else:
+            # u16: half the HBM traffic of an i32 stream
+            lut_ref[0, 0] = tok_inv.astype(jnp.uint16)
 
         c = jnp.zeros_like(take)
         for b_ in _LEN_BASE[1:]:
@@ -287,6 +319,51 @@ def _build_tokenize_kernel(B, NPAD, interpret):
             hist_ref[0] = hist_vref[...]
             adA_ref[0, 0, 0] = adler_sref[0]
             adB_ref[0, 0, 0] = adler_sref[1]
+            if compact:
+                cnt_ref[0, 0, 0] = off_sref[0]
+
+    smem11 = pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
+                          memory_space=pltpu.SMEM)
+    if compact:
+        out_specs = [
+            pl.BlockSpec((1, 1, OUT + WIN), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, 32), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            smem11, smem11, smem11, smem11,
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, 1, OUT + WIN), jnp.int32),
+            jax.ShapeDtypeStruct((B, 16, 32), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ]
+        scratch = [pltpu.SMEM((1,), jnp.int32),
+                   pltpu.SMEM((1,), jnp.int32),
+                   pltpu.SMEM((2,), jnp.int32),
+                   pltpu.VMEM((16, 32), jnp.int32),
+                   pltpu.SMEM((1,), jnp.int32),
+                   pltpu.VMEM((1, WIN), jnp.int32)]
+    else:
+        out_specs = [
+            pl.BlockSpec((1, 1, ROWS_A, SUB_A), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, 32), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            smem11, smem11,
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, n_chunks, ROWS_A, SUB_A), jnp.uint16),
+            jax.ShapeDtypeStruct((B, 16, 32), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ]
+        scratch = [pltpu.SMEM((1,), jnp.int32),
+                   pltpu.SMEM((1,), jnp.int32),
+                   pltpu.SMEM((2,), jnp.int32),
+                   pltpu.VMEM((16, 32), jnp.int32)]
 
     call = pl.pallas_call(
         kernel,
@@ -299,23 +376,9 @@ def _build_tokenize_kernel(B, NPAD, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, ROWS_A, SUB_A), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, 32), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, n_chunks, ROWS_A, SUB_A), jnp.uint16),
-            jax.ShapeDtypeStruct((B, 16, 32), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
-                        pltpu.SMEM((1,), jnp.int32),
-                        pltpu.SMEM((2,), jnp.int32),
-                        pltpu.VMEM((16, 32), jnp.int32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=bool(interpret),
@@ -331,6 +394,61 @@ def _tokenize_call(streams, lengths, interpret):
     tok, hist, adA, adB = call(s4, s4, lengths.reshape(B, 1, 1).astype(jnp.int32))
     adler = (adB[:, 0, 0].astype(jnp.uint32) << 16) | adA[:, 0, 0].astype(jnp.uint32)
     return tok.reshape(B, NPAD), hist.reshape(B, 512), adler
+
+
+@functools.partial(jax.jit, static_argnames=("c1", "out_bound", "interpret"))
+def _tokenize_compact_call(streams, lengths, c1, out_bound, interpret):
+    B, NPAD = streams.shape
+    call = _build_tokenize_kernel(B, NPAD, bool(interpret), C1=c1,
+                                  OUT=out_bound)
+    s4 = streams.reshape(B, NPAD // CH_A, ROWS_A, SUB_A)
+    comp, hist, adA, adB, cnt, covf = call(
+        s4, s4, lengths.reshape(B, 1, 1).astype(jnp.int32))
+    adler = (adB[:, 0, 0].astype(jnp.uint32) << 16) | adA[:, 0, 0].astype(jnp.uint32)
+    return (comp[:, 0, :out_bound], hist.reshape(B, 512), adler,
+            cnt[:, 0, 0], covf[:, 0, 0] != 0)
+
+
+# capacity ladder for the fused tokenize+compact pass: max tokens per
+# 2048-lane tile row; the top rung equals the row width, where overflow is
+# impossible (escalation always terminates)
+TOKEN_BUCKETS = (256, 512, 1024, SUB_A)
+
+
+def token_bucket_for(density: float) -> int:
+    """First fused-compact bucket for an expected token density (tokens per
+    stream byte): mean per 2048-lane row + 5 sigma + 30% burst margin."""
+    lam = SUB_A * min(max(density, 0.0), 1.0)
+    need = 1.3 * (lam + 5.0 * max(lam, 1.0) ** 0.5)
+    for b, c1 in enumerate(TOKEN_BUCKETS):
+        if c1 >= need:
+            return b
+    return len(TOKEN_BUCKETS) - 1
+
+
+def tokenize_compact_pallas(streams, lengths, bucket: int, out_bound: int,
+                            interpret=None):
+    """Fused pass A + A.5: tokenize and compact in one kernel.
+
+    Like :func:`tokenize_pallas` followed by :func:`compact_tokens`, but the
+    per-byte token stream never leaves VMEM — each tile's tokens are packed
+    left per 2048-lane row (butterfly, capacity ``TOKEN_BUCKETS[bucket]``),
+    concatenated and appended to a dense i32 stream of ``out_bound`` slots
+    (multiple of CH_B; the assembly kernel consumes i32 directly).
+
+    Returns (dense_tok (B, out_bound) i32 [inverted tokens, pad 0], hist
+    (B, 512) i32, adler (B,) u32, counts (B,) i32, overflow (B,) bool).
+    Overflow = a tile row exceeded the capacity bucket OR a stream's token
+    count exceeded ``out_bound``; the caller re-runs with the exact bound
+    from ``hist`` and a bigger bucket (histogram/adler stay valid either
+    way).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    assert out_bound % CH_B == 0
+    return _tokenize_compact_call(streams, lengths,
+                                  int(TOKEN_BUCKETS[bucket]), int(out_bound),
+                                  bool(interpret))
 
 
 def tokenize_pallas(streams, lengths, interpret=None):

@@ -10,9 +10,9 @@ The compaction is the part XLA cannot do fast (its scatter lowers to a
 serial loop — measured 520 ms vs this kernel's ~10 ms for a 4 x 4096^2
 batch, tools/profile_kernels.py).  The design:
 
-* level 1: per 512-px sub-row, compute in-row ranks with a log-shift cumsum,
-  then stably pack foreground values left by butterfly routing (log2(SUB)
-  conditional-shift stages; see _compact_chunk) and keep the first C1 lanes;
+* level 1: per 512-px sub-row, compute in-row ranks with a log-shift cumsum
+  and select the j-th foreground value for j < C1 by rank-match reduction
+  (C1 vectorized passes over the chunk);
 * level 2: concatenate the S per-sub-row runs with S dynamic lane-rotates
   (``pltpu.roll`` with traced shift), using an exclusive count cumsum
   computed as a strictly-lower-triangular f32 matmul (exact: counts < 2^24);
@@ -72,27 +72,23 @@ def _compact_chunk(m2, r2, S, SUB, C1, C2):
     cnt1 = csum[:, SUB - 1:SUB]               # (S, 1)
     ovf1 = jnp.max(cnt1) > C1
 
-    # in-row stable compaction by butterfly routing: element at lane i must
-    # move LEFT by d = i - rank (its count of background lanes to the left),
-    # which is non-decreasing along the row, so shifting the elements whose
-    # remaining distance has bit k set, for k = 1, 2, 4, ... (LSB first), is
-    # collision-free (two foreground lanes i < j satisfy j - i >= d_j - d_i
-    # + 1, while a collision at stage k would need j - i = (d_j mod 2k) -
-    # (d_i mod 2k) = d_j - d_i (mod 2k) — i.e. 1 = 0 mod 2k).  Distance
-    # travels with the value packed in bits 16+ (values < 2^16); movers sit
-    # at lanes >= their remaining distance, so the rotate never wraps data.
-    # log2(SUB) stages over the chunk, vs C1/2 rank-match reduction passes
-    # before (2-10x fewer at the C1 = 32..128 buckets).
-    lio = jax.lax.broadcasted_iota(jnp.int32, (S, SUB), 1)
+    # rank-match selection, two slots per reduction pass: ranks 2j and 2j+1
+    # select disjoint lanes, so one row-sum carries both values in the low and
+    # high 16-bit halves (values < 2^16, no carries between halves).
+    # NOTE a butterfly-routing variant (log-shift stable left-pack, ~C1/2 /
+    # log2(SUB) times fewer passes) is mathematically collision-free and
+    # passes interpret-mode + numpy fuzzing, but DIVERGES on real v5e
+    # hardware at high foreground density (tokens summed pairwise; see git
+    # history dec5970) — do not reintroduce it without a hardware fuzz gate.
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (1, C1), 1)
+    c1 = jnp.zeros((S, C1), jnp.int32)
     fg = m2 > 0
-    carry = jnp.where(fg, ((lio - rank1) << 16) | (r2 & 0xFFFF), 0)
-    k = 1
-    while k < SUB:
-        moving = ((carry >> 16) & k) > 0
-        mv = jnp.where(moving, carry - (k << 16), 0)
-        carry = jnp.where(moving, 0, carry) + pltpu.roll(mv, SUB - k, axis=1)
-        k *= 2
-    c1 = carry[:, :C1]   # all distance bits consumed: lanes hold pure values
+    for j in range(0, C1, 2):
+        pair = jnp.where((rank1 == j) & fg, r2, 0) \
+            + jnp.where((rank1 == j + 1) & fg, r2 << 16, 0)
+        colsum = jnp.sum(pair, axis=1, keepdims=True)
+        c1 = c1 + (colsum & 0xFFFF) * (jrow == j) \
+            + ((colsum >> 16) & 0xFFFF) * (jrow == j + 1)
 
     r_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
     c_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)

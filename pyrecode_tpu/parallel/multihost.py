@@ -99,3 +99,46 @@ def gather_ordered_blocks(bitmap, packed, counts, bit_depth: int,
 def replicate_threshold(threshold, mesh: Mesh):
     """Place the dark/calibration threshold replicated on every device."""
     return jax.device_put(threshold, NamedSharding(mesh, P()))
+
+
+def make_entropy_steps(mesh: Mesh, out_bound: int):
+    """shard_map'd device-entropy kernels over the 'data' mesh axis.
+
+    Returns ``(tokenize, assemble)``: each device runs the deflate pass-A
+    tokenizer and pass-B bitstream assembly (ops/pallas_deflate.py) on its
+    own shard of streams; the O(alphabet) Huffman-table construction between
+    the two passes is per-stream host work (codecs/dyndeflate pipeline).
+    Mirrors the reference's per-process entropy stage
+    (recode_writer.py:497-550) with frames data-parallel over chips.
+
+    ``tokenize(streams (B, NPAD) u8, lengths (B,) i32)`` ->
+    (tok (B, NPAD) u16, hist (B, 512) i32, adler (B,) u32), all sharded.
+    ``assemble(tok, luts (B, 48, 32) f32, phases (B,), partials (B,))`` ->
+    (body (B, out_bound') u8, total_bits (B,), overflow (B,)).
+    """
+    from ..ops import pallas_deflate as pdk
+
+    interp = jax.devices()[0].platform != "tpu"
+
+    def _tok(streams, lengths):
+        return pdk.tokenize_pallas(streams, lengths, interpret=interp)
+
+    tokenize = jax.jit(jax.shard_map(
+        _tok, mesh=mesh,
+        in_specs=(P("data", None), P("data")),
+        out_specs=(P("data", None), P("data", None), P("data")),
+        check_vma=False,
+    ))
+
+    def _asm(tok, luts, phases, partials):
+        return pdk.assemble_pallas(tok, luts, phases, partials, out_bound,
+                                   interpret=interp)
+
+    assemble = jax.jit(jax.shard_map(
+        _asm, mesh=mesh,
+        in_specs=(P("data", None), P("data", None, None), P("data"),
+                  P("data")),
+        out_specs=(P("data", None), P("data"), P("data")),
+        check_vma=False,
+    ))
+    return tokenize, assemble

@@ -163,6 +163,9 @@ class ReCoDeWriter:
                     and jax.devices()[0].platform == "tpu")
             except Exception:
                 self._device_entropy = False
+        # observed token densities per stream kind: lets deflate_batch_device
+        # run the fused tokenize+compact kernel from the second batch on
+        self._entropy_hints = {"bm": {}, "px": {}}
         import threading
         from concurrent.futures import ThreadPoolExecutor
 
@@ -589,7 +592,8 @@ class ReCoDeWriter:
         stt = datetime.now()
         cbm = dyndeflate.deflate_batch_device(
             bm, np.full(B, n_bm, np.int32),
-            raw_cb=lambda i: np.asarray(bitmap[i]).tobytes())
+            raw_cb=lambda i: np.asarray(bitmap[i]).tobytes(),
+            hint_state=self._entropy_hints["bm"])
         t_bm = datetime.now() - stt
 
         if packed is None:
@@ -602,7 +606,8 @@ class ReCoDeWriter:
         stt = datetime.now()
         cpx = dyndeflate.deflate_batch_device(
             px, plens.astype(np.int32),
-            raw_cb=lambda i: np.asarray(packed[i, :int(plens[i])]).tobytes())
+            raw_cb=lambda i: np.asarray(packed[i, :int(plens[i])]).tobytes(),
+            hint_state=self._entropy_hints["px"])
         t_px = datetime.now() - stt
         return ([(cbm[i], cpx[i], int(plens[i])) for i in range(B)],
                 t_bm, t_px)

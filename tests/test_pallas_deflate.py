@@ -211,3 +211,61 @@ def test_writer_device_entropy_roundtrip(tmp_path):
         fd = reader.get_next_frame()
         assert np.array_equal(fd[i]["data"].todense(), data[i]), i
     reader.close()
+
+
+def test_fused_tokenize_compact_matches_two_pass():
+    """tokenize_compact_pallas must produce the same dense token stream,
+    histogram and adler as tokenize_pallas + compact_tokens, across
+    capacities that do and do not overflow."""
+    rng = np.random.default_rng(31)
+    raws = [
+        (rng.integers(0, 256, 3 * pdk.CH_A)
+         * (rng.random(3 * pdk.CH_A) < 0.02)).astype(np.uint8).tobytes(),
+        (rng.integers(0, 256, 20000)
+         * (rng.random(20000) < 0.25)).astype(np.uint8).tobytes(),
+        b"\x00" * 5000 + bytes(rng.integers(0, 256, 2048).astype(np.uint8)),
+    ]
+    npad = 3 * pdk.CH_A
+    streams, lengths = _pack(raws, npad)
+    tok, hist_ref, adler_ref = pdk.tokenize_pallas(streams, lengths,
+                                                   interpret=True)
+    tok_bound = 2 * pdk.CH_B
+    dense_ref, counts_ref, _ = pdk.compact_tokens(tok, tok_bound, bucket=2,
+                                                  interpret=True)
+    # bucket 1 fits all three streams; bucket 0 must overflow the dense one.
+    # (higher buckets are interpret-prohibitive: rank-match traces C1/2
+    # passes)
+    for bucket in (0, 1):
+        dense, hist, adler, counts, ovf = pdk.tokenize_compact_pallas(
+            streams, lengths, bucket, tok_bound, interpret=True)
+        # histogram and adler are exact regardless of capacity overflow
+        assert np.array_equal(np.asarray(hist), np.asarray(hist_ref)), bucket
+        assert np.array_equal(np.asarray(adler), np.asarray(adler_ref))
+        if not bool(np.asarray(ovf).any()):
+            assert np.array_equal(np.asarray(counts), np.asarray(counts_ref))
+            assert np.array_equal(np.asarray(dense).astype(np.uint16),
+                                  np.asarray(dense_ref)), bucket
+    # the dense literal block forces > 256 tokens in one 2048-lane row:
+    # the smallest bucket must flag overflow
+    _, _, _, _, ovf0 = pdk.tokenize_compact_pallas(
+        streams, lengths, 0, tok_bound, interpret=True)
+    assert bool(np.asarray(ovf0)[2])
+
+
+def test_hint_state_drives_fused_path_and_stays_byte_identical():
+    """Two successive deflate_batch_device calls with a shared hint_state:
+    the first (two-pass) seeds the density, the second runs the fused
+    kernel; both must match the native encoder byte-for-byte."""
+    rng = np.random.default_rng(77)
+    hint: dict = {"fused": True}  # opt in (off by default, see dyndeflate)
+    for round_ in range(2):
+        raws = [(rng.integers(0, 256, 2 * pdk.CH_A)
+                 * (rng.random(2 * pdk.CH_A) < 0.03)).astype(np.uint8).tobytes()
+                for _ in range(2)]
+        streams, lengths = _pack(raws, 2 * pdk.CH_A)
+        outs = dd.deflate_batch_device(streams, lengths,
+                                       raw_cb=lambda i: raws[i],
+                                       interpret=True, hint_state=hint)
+        for i, (raw, got) in enumerate(zip(raws, outs)):
+            assert got == native.deflate_sparse(raw), (round_, i)
+        assert 0 < hint["density"] < 0.2

@@ -43,3 +43,60 @@ def test_shard_map_pallas_encode_and_gather():
         enc = oracle.reduce_frame(frames[i], np.zeros(frames.shape[1:], np.uint16), 1, 12)
         assert blocks[i][0] == enc["packed_binary_map"], i
         assert blocks[i][1] == enc["packed_pixvals"], i
+
+
+def test_shard_map_entropy_steps_match_native():
+    """Device-entropy tokenize+assemble shard_map'd over 8 devices, host
+    tables between: each stream's finished zlib bytes must equal the native
+    encoder's."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pyrecode_tpu import native
+    from pyrecode_tpu.codecs import dyndeflate as dd
+    from pyrecode_tpu.ops import pallas_deflate as pdk
+    from pyrecode_tpu.parallel.multihost import make_entropy_steps
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    mesh = make_codec_mesh(8, 1)
+    npad = pdk.CH_A
+    rng = np.random.default_rng(13)
+    raws, streams = [], np.zeros((8, npad), np.uint8)
+    lengths = np.zeros(8, np.int32)
+    for i in range(8):
+        n = npad - 3 - 100 * i
+        raw = (rng.integers(0, 256, n)
+               * (rng.random(n) < 0.04)).astype(np.uint8).tobytes()
+        raws.append(raw)
+        streams[i, :n] = np.frombuffer(raw, np.uint8)
+        lengths[i] = n
+    out_bound = 2 * npad + 256
+    tokenize, assemble = make_entropy_steps(mesh, out_bound)
+    st = jax.device_put(streams, NamedSharding(mesh, P("data", None)))
+    ln = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+    tok, hist, adler = tokenize(st, ln)
+    hist_np, adler_np = np.asarray(hist), np.asarray(adler)
+    luts = np.zeros((8, 48, 32), np.float32)
+    metas = []
+    for i in range(8):
+        hb, hbits, ev, el, _ = native.entropy_host_tables(
+            hist_np[i, :286].astype(np.uint32), luts[i])
+        metas.append((hb, hbits, ev, el))
+    phases = np.asarray([m[1] % 8 for m in metas], np.int32)
+    partials = np.asarray([int(m[0][-1]) if m[1] % 8 else 0 for m in metas],
+                          np.int32)
+    body, totbits, ovf = assemble(
+        tok, jax.device_put(luts, NamedSharding(mesh, P("data", None, None))),
+        jax.device_put(phases, NamedSharding(mesh, P("data"))),
+        jax.device_put(partials, NamedSharding(mesh, P("data"))))
+    assert not bool(np.asarray(ovf).any())
+    body_np, tot_np = np.asarray(body), np.asarray(totbits)
+    for i in range(8):
+        hb, hbits, ev, el = metas[i]
+        spliced, bits2 = dd.splice_eob(body_np[i], int(tot_np[i]), ev, el)
+        stream = dd.finish_stream(hb, hbits, spliced, bits2,
+                                  int(adler_np[i]), len(raws[i]),
+                                  raw=raws[i])
+        assert stream == native.deflate_sparse(raws[i]), i
