@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Hardware byte-identity gate: run after ANY kernel change, BEFORE
+benchmarking or committing.
+
+Interpret-mode tests compile through a different path than real Mosaic
+lowering; this suite caught a real miscompile (the butterfly left-pack of
+git dec5970 summed token pairs at high density on v5e while interpret and
+numpy agreed).  Every check here compares device bytes against the
+numpy oracle / native encoder on the REAL chip, across densities chosen to
+stress capacity buckets and carry chains.
+
+Usage: python tools/verify_hw.py          (~2-4 min incl. cached compiles)
+Exit code 0 = all identical; prints per-check status.
+"""
+
+from __future__ import annotations
+
+import sys
+import zlib
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from pyrecode_tpu import native, oracle
+    from pyrecode_tpu.codecs import dyndeflate as dd
+    from pyrecode_tpu.ops import pallas_deflate as pdk
+    from pyrecode_tpu.ops.encode import encode_frames_auto
+    from pyrecode_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
+    platform = jax.devices()[0].platform
+    print(f"platform: {platform}")
+    if platform != "tpu":
+        print("NOT ON TPU — this gate only means something on hardware")
+        return 2
+
+    failures = 0
+
+    def check(name, ok):
+        nonlocal failures
+        print(f"{name}: {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            failures += 1
+
+    rng = np.random.default_rng(20260817)
+
+    # ---- L1/L2/L4 encode vs oracle across densities (stresses every
+    # capacity bucket and the compaction/concat carries) ----
+    for dens in (0.002, 0.01, 0.05, 0.15):
+        H = W = 512
+        frames = np.where(rng.random((4, H, W)) < dens,
+                          rng.integers(1, 4096, (4, H, W)), 0).astype(np.uint16)
+        thr = np.zeros((H, W), np.uint16)
+        for level in (1, 2, 4):
+            res = encode_frames_auto(jnp.asarray(frames), jnp.asarray(thr),
+                                     level, 12, 1 << 18)
+            ok = True
+            for i in range(frames.shape[0]):
+                enc = oracle.reduce_frame(frames[i], thr, level, 12)
+                bm = np.asarray(res.bitmap)[i].tobytes()
+                ok &= bm == enc["packed_binary_map"]
+                if enc["packed_pixvals"] is not None:
+                    pv = enc["packed_pixvals"]
+                    ok &= np.asarray(res.packed)[i][: len(pv)].tobytes() == pv
+            check(f"encode L{level} dens={dens} vs oracle", ok)
+
+    # ---- device deflate vs native encoder (sparse, dense-token,
+    # literal-dense and run-boundary streams) ----
+    NPAD = 1 << 19
+    raws = []
+    for dens in (0.01, 0.25, 0.6):
+        n = NPAD - 11
+        raws.append((rng.integers(0, 256, n)
+                     * (rng.random(n) < dens)).astype(np.uint8).tobytes())
+    raws.append(bytes(rng.integers(0, 256, NPAD - 5).astype(np.uint8)))
+    raws.append(b"Q" * (pdk.CH_A - 1) + b"\x00" * 600 + b"R" * 40)
+    streams = np.zeros((len(raws), NPAD), np.uint8)
+    lengths = np.zeros(len(raws), np.int32)
+    for i, r in enumerate(raws):
+        streams[i, : len(r)] = np.frombuffer(r, np.uint8)
+        lengths[i] = len(r)
+    outs = dd.deflate_batch_device(streams, lengths,
+                                   raw_cb=lambda i: raws[i], interpret=False)
+    for i, (raw, got) in enumerate(zip(raws, outs)):
+        ident = bytes(got) == native.deflate_sparse(raw)
+        rt = zlib.decompress(bytes(got)) == raw
+        check(f"device deflate stream {i} (n={len(raw)})", ident and rt)
+
+    # ---- fused tokenize+compact vs two-pass (gated feature; still must be
+    # hardware-identical whenever enabled) ----
+    tok, hist, _ = pdk.tokenize_pallas(jnp.asarray(streams[:1]),
+                                       jnp.asarray(lengths[:1]),
+                                       interpret=False)
+    tok_max = int(np.asarray(hist)[0, :286].sum())
+    tok_bound = max(pdk.CH_B, 1 << int(np.ceil(np.log2(max(tok_max, 1)))))
+    if tok_bound < NPAD:
+        dense0, _, _ = pdk.compact_tokens(tok, tok_bound, bucket=2,
+                                          interpret=False)
+        dense_f, _, _, _, ovf_f = pdk.tokenize_compact_pallas(
+            jnp.asarray(streams[:1]), jnp.asarray(lengths[:1]),
+            len(pdk.TOKEN_BUCKETS) - 1, tok_bound, interpret=False)
+        ok = (not bool(np.asarray(ovf_f).any())
+              and np.array_equal(np.asarray(dense_f).astype(np.uint16),
+                                 np.asarray(dense0)))
+        check("fused tokenize+compact vs two-pass", ok)
+
+    # ---- L1 decode vs dense reconstruction ----
+    from pyrecode_tpu import ops
+
+    H = W = 512
+    frames = np.where(rng.random((4, H, W)) < 0.02,
+                      rng.integers(1, 4096, (4, H, W)), 0).astype(np.uint16)
+    thr = np.zeros((H, W), np.uint16)
+    res = encode_frames_auto(jnp.asarray(frames), jnp.asarray(thr), 1, 12,
+                             1 << 16)
+    dense = ops.decode_l1_frames(res.bitmap, res.packed, H, W, 12,
+                                 out_dtype=np.uint16)
+    check("pallas L1 decode vs input", np.array_equal(np.asarray(dense),
+                                                      frames))
+
+    print("ALL OK" if failures == 0 else f"{failures} FAILURES")
+    return 0 if failures == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
