@@ -336,19 +336,42 @@ class ReCoDeReader:
         count = min(count, int(self._header["nz"]) - start)
 
         bitmaps = np.zeros((count, self._structures.binary_image_sz_bytes), dtype=np.uint8)
-        pixval_blobs = []
+        raw_blobs = []
         for i in range(count):
             z = start + i
             self._fp.seek(self._frame_data_start_position + int(self._seek_table[z, 1]), 0)
             raw = self._read_raw_blobs(self._frame_metadata[z], read_data=True)
-            bm = raw["binary_map"]
-            pv = raw.get("pixvals")
-            if mode == 1:
-                bm = self._codec.decompress(bm)
-                if pv is not None:
-                    pv = self._codec.decompress(pv)
-            bitmaps[i] = np.frombuffer(bm, dtype=np.uint8)
-            pixval_blobs.append(pv)
+            raw_blobs.append((raw["binary_map"], raw.get("pixvals")))
+        pixval_blobs = []
+        # schemes whose decompress is a stateless module function (zstd and
+        # blosc hold per-codec context objects that are not thread-safe)
+        pool_safe = int(self._header["compression_scheme"]) in (0, 2, 3, 4, 5)
+        if mode == 1 and count > 1 and pool_safe:
+            # the entropy decode dominates bulk reads and the codecs release
+            # the GIL: fan the per-frame decompression over threads (the
+            # reference decompresses serially, recode_reader.py:379-462)
+            from concurrent.futures import ThreadPoolExecutor
+            import os as _os
+
+            def _inflate(blob_pair):
+                bm, pv = blob_pair
+                return (self._codec.decompress(bm),
+                        self._codec.decompress(pv) if pv is not None else None)
+
+            with ThreadPoolExecutor(
+                    max_workers=min(count, max(_os.cpu_count() // 2, 1))) as ex:
+                inflated = list(ex.map(_inflate, raw_blobs))
+            for i, (bm, pv) in enumerate(inflated):
+                bitmaps[i] = np.frombuffer(bm, dtype=np.uint8)
+                pixval_blobs.append(pv)
+        else:
+            for i, (bm, pv) in enumerate(raw_blobs):
+                if mode == 1:
+                    bm = self._codec.decompress(bm)
+                    if pv is not None:
+                        pv = self._codec.decompress(pv)
+                bitmaps[i] = np.frombuffer(bm, dtype=np.uint8)
+                pixval_blobs.append(pv)
 
         if level != 1 or not use_tpu:
             out = np.zeros((count, ny, nx), dtype=self._numpy_dtype)
