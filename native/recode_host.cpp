@@ -785,3 +785,296 @@ int64_t deflate_sparse_dyn(const uint8_t *src, uint64_t n, uint8_t *out,
 }
 
 }  // extern "C"
+
+// ===================== TPU-rANS host codec (scheme 12) =====================
+// Byte-for-byte the format of codecs/rans.py (the numpy reference): the
+// same LZ run tokenizer as deflate_sparse_dyn, 12-bit quantized order-0
+// frequencies, W interleaved rANS states (byte renormalization,
+// x in [2^23, 2^31)), body stored in EMIT order (decoder walks backward).
+
+static const uint32_t RANS_L12 = 1u << 23;
+static const uint32_t RANS_M12 = 1u << 12;
+static const int RANS_NSYM = 286;
+
+static const uint16_t RANS_LEN_BASE[29] = {
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35, 43,
+    51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258};
+static const uint8_t RANS_LEN_EXTRA[29] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+    4, 4, 4, 4, 5, 5, 5, 5, 0};
+
+// quantize counts to sum exactly 4096; mirrors codecs/rans.quantize_freqs
+// (largest-remainder in float64 with stable index tie-break, then steal
+// from the first maximum) so host and numpy encoders are byte-identical.
+static void rans_quantize(const uint64_t *counts, uint16_t *q) {
+    uint64_t n = 0;
+    for (int s = 0; s < RANS_NSYM; ++s) n += counts[s];
+    if (n == 0) {
+        for (int s = 0; s < RANS_NSYM; ++s) q[s] = 0;
+        q[0] = (uint16_t)RANS_M12;
+        return;
+    }
+    double rema[RANS_NSYM];
+    int64_t qi[RANS_NSYM];
+    int64_t sum = 0;
+    for (int s = 0; s < RANS_NSYM; ++s) {
+        const double ideal = (double)counts[s] * (double)RANS_M12 / (double)n;
+        int64_t v = (int64_t)ideal;  // floor for non-negative
+        rema[s] = ideal - (double)v;
+        if (counts[s] > 0 && v == 0) v = 1;
+        if (counts[s] == 0) rema[s] = -1.0;
+        qi[s] = v;
+        sum += v;
+    }
+    int64_t diff = (int64_t)RANS_M12 - sum;
+    if (diff > 0) {
+        int order[RANS_NSYM];
+        for (int s = 0; s < RANS_NSYM; ++s) order[s] = s;
+        std::sort(order, order + RANS_NSYM, [&](int a, int b) {
+            return rema[a] != rema[b] ? rema[a] > rema[b] : a < b; });
+        for (int k = 0; k < diff; ++k) ++qi[order[k]];
+    } else {
+        for (int64_t k = 0; k < -diff; ++k) {
+            int best = 0;
+            int64_t bv = -1;
+            for (int s = 0; s < RANS_NSYM; ++s) {
+                const int64_t cand = qi[s] > 1 ? qi[s] : -1;
+                if (cand > bv) { bv = cand; best = s; }
+            }
+            --qi[best];
+        }
+    }
+    for (int s = 0; s < RANS_NSYM; ++s) q[s] = (uint16_t)qi[s];
+}
+
+static void rans_adler(const uint8_t *src, uint64_t n, uint8_t *out4) {
+    const uint32_t MOD = 65521;
+    uint32_t a = 1, b = 0;
+    for (uint64_t k = 0; k < n; ++k) {
+        a += src[k];
+        if (a >= MOD) a -= MOD;
+        b += a;
+        if (b >= MOD) b -= MOD;
+    }
+    const uint32_t adler = (b << 16) | a;
+    out4[0] = (uint8_t)(adler >> 24);
+    out4[1] = (uint8_t)(adler >> 16);
+    out4[2] = (uint8_t)(adler >> 8);
+    out4[3] = (uint8_t)adler;
+}
+
+extern "C" {
+
+// TPU-rANS compress.  tokens: scratch of n+16 u32 (sym | ev<<10 | eb<<15).
+// out capacity >= n + 64 + 4*nways + 2*286.  Returns stream length.
+int64_t rans_compress(const uint8_t *src, uint64_t n, uint8_t *out,
+                      uint32_t *tokens, uint32_t nways) {
+    // ---- tokenize (identical run structure to deflate_sparse_dyn) ----
+    uint64_t ntok = 0;
+    uint64_t counts[RANS_NSYM] = {0};
+    uint64_t i = 0;
+    while (i < n) {
+        const uint8_t v = src[i];
+        uint64_t j = i + 1;
+        while (j < n && src[j] == v) ++j;
+        uint64_t run = j - i;
+        if (run >= 4) {
+            tokens[ntok++] = v;
+            ++counts[v];
+            uint64_t left = run - 1;
+            while (left >= 3) {
+                uint32_t take = left > 258 ? 258 : (uint32_t)left;
+                if (left - take == 1 || left - take == 2) take -= 3;
+                uint32_t sym, eb, ev;
+                length_symbol(take, sym, eb, ev);
+                tokens[ntok++] = sym | (ev << 10) | (eb << 15);
+                ++counts[sym];
+                left -= take;
+            }
+            while (left--) { tokens[ntok++] = v; ++counts[v]; }
+        } else {
+            while (run--) { tokens[ntok++] = v; ++counts[v]; }
+        }
+        i = j;
+    }
+    while (nways > 8 && nways > ntok) nways >>= 1;
+    uint32_t lg = 0;
+    while ((1u << lg) < nways) ++lg;
+
+    uint16_t freq[RANS_NSYM];
+    rans_quantize(counts, freq);
+    uint32_t cum[RANS_NSYM + 1] = {0};
+    for (int s = 0; s < RANS_NSYM; ++s) cum[s + 1] = cum[s] + freq[s];
+
+    // ---- header ----
+    uint64_t p = 0;
+    out[p++] = 0xA5;
+    out[p++] = 1;
+    out[p++] = (uint8_t)lg;
+    out[p++] = 0;
+    auto put32 = [&](uint64_t v) {
+        out[p++] = (uint8_t)v; out[p++] = (uint8_t)(v >> 8);
+        out[p++] = (uint8_t)(v >> 16); out[p++] = (uint8_t)(v >> 24);
+    };
+    put32(n);
+    put32(ntok);
+    const uint64_t body_len_pos = p;
+    put32(0);                       // body_bytes, patched below
+    const uint64_t xbits_len_pos = p;
+    put32(0);                       // xbits_bytes, patched below
+    uint8_t used_bm[(RANS_NSYM + 7) / 8] = {0};
+    for (int s = 0; s < RANS_NSYM; ++s)
+        if (freq[s]) used_bm[s >> 3] |= (uint8_t)(1u << (s & 7));
+    std::memcpy(out + p, used_bm, sizeof(used_bm));
+    p += sizeof(used_bm);
+    for (int s = 0; s < RANS_NSYM; ++s)
+        if (freq[s]) { out[p++] = (uint8_t)freq[s];
+                       out[p++] = (uint8_t)(freq[s] >> 8); }
+    const uint64_t states_pos = p;
+    p += 4ull * nways;
+
+    // ---- interleaved rANS encode: token order (row desc, lane desc)
+    // within rows of nways == plain descending token index ----
+    static thread_local std::vector<uint32_t> xs;
+    xs.assign(nways, RANS_L12);
+    const uint64_t body_pos = p;
+    for (uint64_t k = ntok; k-- > 0;) {
+        const uint32_t lane = (uint32_t)(k & (nways - 1));
+        const uint32_t sym = tokens[k] & 1023;
+        const uint32_t f = freq[sym];
+        uint32_t x = xs[lane];
+        const uint32_t xmax = f << 19;   // ((L >> 12) << 8) * f
+        while (x >= xmax) { out[p++] = (uint8_t)x; x >>= 8; }
+        xs[lane] = ((x / f) << 12) + (x % f) + cum[sym];
+    }
+    const uint64_t body_bytes = p - body_pos;
+    for (uint32_t w = 0; w < nways; ++w) {
+        out[states_pos + 4 * w] = (uint8_t)xs[w];
+        out[states_pos + 4 * w + 1] = (uint8_t)(xs[w] >> 8);
+        out[states_pos + 4 * w + 2] = (uint8_t)(xs[w] >> 16);
+        out[states_pos + 4 * w + 3] = (uint8_t)(xs[w] >> 24);
+    }
+
+    // ---- extra bits, LSB-first in token order ----
+    const uint64_t xb_pos = p;
+    uint32_t acc = 0;
+    int fill = 0;
+    for (uint64_t k = 0; k < ntok; ++k) {
+        const uint32_t eb = tokens[k] >> 15;
+        if (!eb) continue;
+        acc |= ((tokens[k] >> 10) & 31) << fill;
+        fill += (int)eb;
+        while (fill >= 8) { out[p++] = (uint8_t)acc; acc >>= 8; fill -= 8; }
+    }
+    if (fill) out[p++] = (uint8_t)acc;
+    const uint64_t xbits_bytes = p - xb_pos;
+
+    auto patch32 = [&](uint64_t pos, uint64_t v) {
+        out[pos] = (uint8_t)v; out[pos + 1] = (uint8_t)(v >> 8);
+        out[pos + 2] = (uint8_t)(v >> 16); out[pos + 3] = (uint8_t)(v >> 24);
+    };
+    patch32(body_len_pos, body_bytes);
+    patch32(xbits_len_pos, xbits_bytes);
+    rans_adler(src, n, out + p);
+    p += 4;
+
+    if (p >= n + 20 + 1) {          // stored fallback (matches rans.py)
+        p = 0;
+        out[p++] = 0xA5; out[p++] = 1; out[p++] = 0; out[p++] = 1;
+        put32(n); put32(0); put32(n); put32(0);
+        std::memmove(out + p, src, n);
+        p += n;
+        rans_adler(src, n, out + p);
+        p += 4;
+    }
+    return (int64_t)p;
+}
+
+// TPU-rANS decompress.  Returns original length, or -1 on corruption /
+// capacity overflow.
+int64_t rans_decompress(const uint8_t *src, uint64_t len, uint8_t *out,
+                        uint64_t cap) {
+    if (len < 20 || src[0] != 0xA5 || src[1] != 1) return -1;
+    const uint32_t nways = 1u << src[2];
+    const uint32_t flags = src[3];
+    auto get32 = [&](uint64_t pos) {
+        return (uint64_t)src[pos] | ((uint64_t)src[pos + 1] << 8) |
+               ((uint64_t)src[pos + 2] << 16) | ((uint64_t)src[pos + 3] << 24);
+    };
+    const uint64_t n = get32(4);
+    const uint64_t m = get32(8);
+    const uint64_t body_bytes = get32(12);
+    const uint64_t xbits_bytes = get32(16);
+    uint64_t p = 20;
+    if (n > cap) return -1;
+    if (flags & 1) {
+        if (p + n + 4 > len) return -1;
+        std::memcpy(out, src + p, n);
+        return (int64_t)n;
+    }
+    uint16_t freq[RANS_NSYM] = {0};
+    const uint8_t *bm = src + p;
+    p += (RANS_NSYM + 7) / 8;
+    for (int s = 0; s < RANS_NSYM; ++s)
+        if (bm[s >> 3] & (1u << (s & 7))) {
+            freq[s] = (uint16_t)(src[p] | (src[p + 1] << 8));
+            p += 2;
+        }
+    uint32_t cum[RANS_NSYM + 1] = {0};
+    for (int s = 0; s < RANS_NSYM; ++s) cum[s + 1] = cum[s] + freq[s];
+    if (cum[RANS_NSYM] != RANS_M12) return -1;
+    static thread_local std::vector<uint16_t> slot2sym;
+    slot2sym.resize(RANS_M12);
+    for (int s = 0; s < RANS_NSYM; ++s)
+        for (uint32_t t = cum[s]; t < cum[s + 1]; ++t)
+            slot2sym[t] = (uint16_t)s;
+
+    static thread_local std::vector<uint32_t> xs;
+    xs.resize(nways);
+    for (uint32_t w = 0; w < nways; ++w)
+        xs[w] = (uint32_t)get32(p + 4ull * w);
+    p += 4ull * nways;
+    const uint8_t *body = src + p;
+    p += body_bytes;
+    const uint8_t *xbits = src + p;
+    p += xbits_bytes;
+    if (p + 4 > len) return -1;
+
+    int64_t bpos = (int64_t)body_bytes - 1;   // emit order: read backward
+    uint64_t xb_bit = 0;
+    uint64_t o = 0;
+    for (uint64_t k = 0; k < m; ++k) {
+        const uint32_t lane = (uint32_t)(k & (nways - 1));
+        uint32_t x = xs[lane];
+        const uint32_t slot = x & (RANS_M12 - 1);
+        const uint32_t sym = slot2sym[slot];
+        x = freq[sym] * (x >> 12) + slot - cum[sym];
+        while (x < RANS_L12) {
+            if (bpos < 0) return -1;
+            x = (x << 8) | body[bpos--];
+        }
+        xs[lane] = x;
+        if (sym < 256) {
+            if (o >= n) return -1;
+            out[o++] = (uint8_t)sym;
+        } else {
+            const uint32_t c = sym - 257;
+            if (c >= 29) return -1;
+            uint32_t take = RANS_LEN_BASE[c];
+            const uint32_t eb = RANS_LEN_EXTRA[c];
+            if (eb) {
+                uint32_t ev = 0;
+                for (uint32_t b = 0; b < eb; ++b, ++xb_bit)
+                    ev |= (uint32_t)((xbits[xb_bit >> 3] >> (xb_bit & 7)) & 1)
+                          << b;
+                take += ev;
+            }
+            if (o == 0 || o + take > n) return -1;
+            std::memset(out + o, out[o - 1], take);
+            o += take;
+        }
+    }
+    return o == (uint64_t)n ? (int64_t)n : -1;
+}
+
+}  // extern "C"

@@ -5,6 +5,8 @@ Scheme code map (reference recode_compressors.py:4-5, 82-120):
     0  zlib          1  zstandard      2  lz4 (frame)    3  snappy
     4  bz2           5  lzma           6  blosc+zlib     7  blosc+zstd
     8  blosc+lz4     9  blosc+snappy   10 blosclz        11 blosc+lz4hc
+    12 tpu-rans      (pyrecode-tpu extension: interleaved rANS whose encode
+                      AND decode run as device kernels; codecs/rans.py)
 
 Blosc variants use BITSHUFFLE, matching the reference.  zstd compresses
 through a reusable context created with ``write_content_size=False``
@@ -78,12 +80,12 @@ def uses_fallback(scheme: int) -> bool:
 _SCHEME_NAMES = {
     0: "zlib", 1: "zstandard", 2: "lz4", 3: "snappy", 4: "bzip", 5: "lzma",
     6: "blosc_zlib", 7: "blosc_zstd", 8: "blosc_lz4", 9: "blosc_snappy",
-    10: "blosclz", 11: "blosc_lz4hc",
+    10: "blosclz", 11: "blosc_lz4hc", 12: "tpu_rans",
 }
 
 _SCHEME_LIBS = {
     0: "zlib", 1: "zstandard", 2: "lz4", 3: "snappy", 4: "bz2", 5: "lzma",
-    **{code: "blosc" for code in range(6, 12)},
+    **{code: "blosc" for code in range(6, 12)}, 12: "zlib",  # rans: stdlib only
 }
 
 _BLOSC_CNAMES = {6: "zlib", 7: "zstd", 8: "lz4", 9: "snappy", 10: "blosclz", 11: "lz4hc"}
@@ -98,7 +100,7 @@ def is_available(scheme: int) -> bool:
 
 
 def available_schemes() -> list:
-    return [code for code in range(12) if is_available(code)]
+    return [code for code in range(13) if is_available(code)]
 
 
 @dataclass
@@ -121,6 +123,11 @@ def get_codec(scheme: int, level: int = 1) -> Codec:
 
     if scheme == 0:
         return Codec(0, "zlib", lambda d: zlib.compress(d, level), zlib.decompress)
+    if scheme == 12:
+        from .. import native as _native
+
+        return Codec(12, "tpu_rans", _native.rans_compress,
+                     _native.rans_decompress)
     if scheme == 1:
         cctx = _zstd.ZstdCompressor(level=level, write_content_size=False)
         dctx = _zstd.ZstdDecompressor()

@@ -1,0 +1,491 @@
+"""TPU-rANS: interleaved range-ANS entropy codec (scheme 12).
+
+The zstd-class member of the entropy matrix (SURVEY.md §7 step 5: "TPU-native
+LZ+Huffman/ANS kernels for the deflate/zstd class").  Where the deflate
+backend (scheme 0 path, codecs/dyndeflate.py) emits byte-exact zlib with a
+bit-serial-hostile Huffman stage that device-encodes but must host-decode,
+rANS is symmetric: W interleaved decoder states advance in lockstep, so BOTH
+encode and decode vectorize over VPU lanes.  This module is the numpy
+reference implementation (the oracle for the Pallas kernels in
+ops/pallas_rans.py) plus the container glue.
+
+Format (little-endian), scheme code 12 — a pyrecode-tpu extension; the
+reference's scheme table stops at 11 (recode_compressors.py:103-118) and its
+reader rejects unknown codes, exactly as it does for any codec library it
+lacks:
+
+    u8   magic   0xA5
+    u8   version 1
+    u8   log2_nways         (W = 1 << log2_nways interleaved states)
+    u8   flags              bit0: stored (raw bytes follow, no coding)
+    u32  n_bytes            original length
+    u32  n_tokens           LZ token count m
+    u32  body_bytes         rANS byte-stream length
+    u32  xbits_bytes        extra-bits stream length
+    u8   used[36]           bitmap of used symbols (LSB-first)
+    u16  freq[n_used]       12-bit quantized frequencies of used symbols
+    u32  state[W]           final encoder states (decoder initial states)
+    body                    rANS bytes in EMIT order (the encoder appends
+                            forward; the decoder reads from the END
+                            backward) — lets the device encoder use the
+                            same forward window-append as every other
+                            kernel here
+    xbits                   bit-packed extra bits, LSB-first, token order
+    u32  adler32            of the original bytes (big-endian, zlib-style)
+
+LZ layer: the SAME per-byte run tokenizer as the deflate path
+(codecs/dyndeflate.tokenize_bytes_np and its Pallas twin) — symbols 0..255
+literals, 256..284 length codes with 0..5 extra bits, all matches at
+distance 1, so no distance field is coded at all (deflate spends >=1 bit on
+it).  Token i belongs to interleave lane i % W; the encoder walks tokens
+last-to-first emitting renormalization bytes backward (descending lane order
+within a step), the decoder walks first-to-last consuming them forward —
+the classic interleaved rANS construction (Duda 2013; Giesen's ryg_rans).
+
+rANS parameters: M = 4096 (12-bit quantization), byte renormalization,
+state in [2^23, 2^31).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List, Tuple
+
+import numpy as np
+
+from .dyndeflate import LEN_BASE, LEN_EXTRA, NO_TOKEN, tokenize_bytes_np
+
+MAGIC = 0xA5
+VERSION = 1
+SCHEME_CODE = 12
+PROB_BITS = 12
+M = 1 << PROB_BITS
+RANS_L = 1 << 23              # state lower bound
+NWAYS_DEFAULT = 512
+N_SYM = 286                   # 0..255 literals, 256 unused (EOB slot kept
+#                               for table parity with deflate), 257..284 len
+
+_HDR_FIXED = 4 + 4 * 4        # magic..xbits_bytes
+
+
+def quantize_freqs(counts: np.ndarray, total: int = M) -> np.ndarray:
+    """Quantize symbol counts to sum exactly ``total``, every used symbol
+    >= 1 (deterministic: largest-remainder with stable ordering, then steal
+    from the largest entries)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    n = counts.sum()
+    if n == 0:
+        q = np.zeros(counts.size, np.int64)
+        q[0] = total
+        return q.astype(np.uint16)
+    ideal = counts * total / n
+    q = np.floor(ideal).astype(np.int64)
+    q[(counts > 0) & (q == 0)] = 1
+    diff = total - q.sum()
+    if diff > 0:
+        rema = ideal - np.floor(ideal)
+        rema[counts == 0] = -1.0
+        order = np.lexsort((np.arange(counts.size), -rema))
+        q[order[:diff]] += 1
+    elif diff < 0:
+        for _ in range(-diff):
+            cand = np.where(q > 1, q, -1)
+            q[int(cand.argmax())] -= 1
+    assert q.sum() == total and (q[counts > 0] >= 1).all()
+    return q.astype(np.uint16)
+
+
+def _token_syms_and_extras(lut_idx: np.ndarray):
+    """Token stream -> (symbols, extra_values, extra_bit_counts)."""
+    tok = lut_idx[lut_idx != NO_TOKEN]
+    is_lit = tok < 256
+    take = np.where(is_lit, 0, tok - 256 + 3)
+    c = (np.searchsorted(LEN_BASE, take, side="right") - 1).astype(np.int64)
+    syms = np.where(is_lit, tok, 257 + c)
+    eb = np.where(is_lit, 0, LEN_EXTRA[np.clip(c, 0, 28)])
+    ev = np.where(is_lit, 0, take - LEN_BASE[np.clip(c, 0, 28)])
+    return syms.astype(np.int64), ev.astype(np.int64), eb.astype(np.int64)
+
+
+def _pack_bits(values: np.ndarray, nbits: np.ndarray) -> bytes:
+    """LSB-first variable-width bit packing (token order)."""
+    total = int(nbits.sum())
+    if total == 0:
+        return b""
+    out = np.zeros((total + 7) // 8, np.uint8)
+    offs = np.concatenate([[0], np.cumsum(nbits)[:-1]]) if nbits.size else \
+        np.zeros(0, np.int64)
+    sv = values.astype(np.uint64) << (offs % 8).astype(np.uint64)
+    tgt = offs // 8
+    for k in range(3):
+        contrib = ((sv >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.uint8)
+        t = np.minimum(tgt + k, max(out.size - 1, 0))
+        np.add.at(out, t, contrib)
+    return out.tobytes()
+
+
+def _unpack_bits(blob: bytes, nbits: np.ndarray) -> np.ndarray:
+    data = np.frombuffer(blob, np.uint8)
+    out = np.zeros(nbits.size, np.int64)
+    if data.size == 0:
+        return out
+    offs = np.concatenate([[0], np.cumsum(nbits)[:-1]]) if nbits.size else \
+        np.zeros(0, np.int64)
+    for k in range(3):
+        idx = np.minimum(offs // 8 + k, max(data.size - 1, 0))
+        out |= data[idx].astype(np.int64) << (8 * k)
+    out >>= offs % 8
+    return out & ((1 << nbits) - 1)
+
+
+def rans_encode_interleaved(syms: np.ndarray, freq: np.ndarray,
+                            nways: int) -> Tuple[bytes, np.ndarray]:
+    """Interleaved rANS encode (numpy reference).
+
+    Token i belongs to lane i % nways.  Tokens are processed last-to-first;
+    within one position, renormalization bytes are emitted in DESCENDING
+    lane order.  Returns (body bytes in EMIT order — the decoder walks them
+    backward — and final states u32[nways] = the decoder's initial states).
+    """
+    freq = np.asarray(freq, np.int64)
+    cum = np.zeros(N_SYM + 1, np.int64)
+    cum[1:] = np.cumsum(freq)
+    m = syms.size
+    x = np.full(nways, RANS_L, np.int64)
+    emitted: List[int] = []   # emit order; the final buffer is its reverse
+    # process whole interleave rows from the last; lanes within a row step
+    # together (vector-friendly), bytes within a row in descending lane order
+    x_max_mul = (RANS_L >> PROB_BITS) << 8   # per unit freq
+    start = (m - 1) - ((m - 1) % nways) if m else 0
+    for row in range(start, -1, -nways):
+        for lane in range(min(nways - 1, m - 1 - row), -1, -1):
+            i = row + lane
+            s = int(syms[i])
+            f = int(freq[s])
+            xm = x_max_mul * f
+            while x[lane] >= xm:
+                emitted.append(int(x[lane] & 0xFF))
+                x[lane] >>= 8
+            x[lane] = ((x[lane] // f) << PROB_BITS) + (x[lane] % f) + cum[s]
+    return bytes(emitted), x.astype(np.uint32)
+
+
+def rans_decode_interleaved(body: bytes, states: np.ndarray, m: int,
+                            freq: np.ndarray, nways: int) -> np.ndarray:
+    """Inverse of :func:`rans_encode_interleaved` -> symbols i64[m]."""
+    freq = np.asarray(freq, np.int64)
+    cum = np.zeros(N_SYM + 1, np.int64)
+    cum[1:] = np.cumsum(freq)
+    slot2sym = np.repeat(np.arange(N_SYM), freq).astype(np.int64)
+    data = np.frombuffer(body, np.uint8)
+    x = np.asarray(states, np.int64).copy()
+    pos = data.size - 1          # body is in emit order: read backward
+    out = np.zeros(m, np.int64)
+    for row in range(0, m, nways):
+        for lane in range(min(nways, m - row)):
+            slot = x[lane] & (M - 1)
+            s = slot2sym[slot]
+            out[row + lane] = s
+            x[lane] = freq[s] * (x[lane] >> PROB_BITS) + slot - cum[s]
+            while x[lane] < RANS_L:
+                x[lane] = (x[lane] << 8) | int(data[pos])
+                pos -= 1
+    return out
+
+
+def _syms_to_tokens(syms: np.ndarray, extras: np.ndarray) -> np.ndarray:
+    """(symbol, extra value) -> byte-stream reconstruction tokens
+    (value, run_take): literals (v, 1); matches (copy-prev, take)."""
+    is_lit = syms < 256
+    c = np.where(is_lit, 0, syms - 257)
+    take = np.where(is_lit, 1, LEN_BASE[np.clip(c, 0, 28)] + extras)
+    return take.astype(np.int64)
+
+
+def compress(data: bytes, nways: int = NWAYS_DEFAULT) -> bytes:
+    """Compress ``data`` into a TPU-rANS stream (numpy reference path)."""
+    raw = np.frombuffer(bytes(data), np.uint8)
+    n = raw.size
+    lut_idx, _ = tokenize_bytes_np(raw)
+    syms, ev, eb = _token_syms_and_extras(lut_idx)
+    m = syms.size
+    # small streams: fewer interleave lanes (4 B of final state per lane)
+    while nways > 8 and nways > m:
+        nways //= 2
+    counts = np.bincount(syms, minlength=N_SYM)
+    freq = quantize_freqs(counts)
+    body, states = rans_encode_interleaved(syms, freq, nways)
+    xbits = _pack_bits(ev, eb)
+    adler = zlib.adler32(bytes(data))
+
+    hdr = bytearray()
+    hdr += bytes([MAGIC, VERSION, int(np.log2(nways)), 0])
+    hdr += int(n).to_bytes(4, "little")
+    hdr += int(m).to_bytes(4, "little")
+    hdr += len(body).to_bytes(4, "little")
+    hdr += len(xbits).to_bytes(4, "little")
+    used = freq > 0
+    hdr += np.packbits(used, bitorder="little").tobytes()
+    hdr += freq[used].astype("<u2").tobytes()
+    hdr += states.astype("<u4").tobytes()
+    stream = bytes(hdr) + body + xbits + adler.to_bytes(4, "big")
+    if len(stream) >= n + _HDR_FIXED + 1:
+        # stored fallback: header with flags bit0 + raw bytes + adler
+        hdr2 = bytes([MAGIC, VERSION, 0, 1]) + int(n).to_bytes(4, "little") \
+            + (0).to_bytes(4, "little") + int(n).to_bytes(4, "little") \
+            + (0).to_bytes(4, "little")
+        return hdr2 + bytes(data) + adler.to_bytes(4, "big")
+    return stream
+
+
+def decompress(stream: bytes) -> bytes:
+    """Decompress a TPU-rANS stream (numpy reference path)."""
+    if len(stream) < _HDR_FIXED or stream[0] != MAGIC:
+        raise ValueError("not a TPU-rANS stream")
+    if stream[1] != VERSION:
+        raise ValueError(f"unsupported TPU-rANS version {stream[1]}")
+    nways = 1 << stream[2]
+    flags = stream[3]
+    n = int.from_bytes(stream[4:8], "little")
+    m = int.from_bytes(stream[8:12], "little")
+    body_bytes = int.from_bytes(stream[12:16], "little")
+    xbits_bytes = int.from_bytes(stream[16:20], "little")
+    p = _HDR_FIXED
+    if flags & 1:
+        raw = stream[p: p + n]
+        adler = int.from_bytes(stream[p + n: p + n + 4], "big")
+        if zlib.adler32(raw) != adler:
+            raise ValueError("TPU-rANS adler mismatch")
+        return raw
+    used = np.unpackbits(
+        np.frombuffer(stream[p: p + (N_SYM + 7) // 8], np.uint8),
+        bitorder="little")[:N_SYM].astype(bool)
+    p += (N_SYM + 7) // 8
+    n_used = int(used.sum())
+    freq = np.zeros(N_SYM, np.int64)
+    freq[used] = np.frombuffer(stream[p: p + 2 * n_used], "<u2")
+    p += 2 * n_used
+    states = np.frombuffer(stream[p: p + 4 * nways], "<u4")
+    p += 4 * nways
+    body = stream[p: p + body_bytes]
+    p += body_bytes
+    xbits = stream[p: p + xbits_bytes]
+    p += xbits_bytes
+    adler = int.from_bytes(stream[p: p + 4], "big")
+
+    syms = rans_decode_interleaved(body, states, m, freq, nways)
+    eb = np.where(syms < 256, 0,
+                  LEN_EXTRA[np.clip(syms - 257, 0, 28)]).astype(np.int64)
+    ev = _unpack_bits(xbits, eb)
+    takes = _syms_to_tokens(syms, ev)
+
+    # reconstruct: literal emits its byte; a match copies the previous byte
+    # `take` times (all matches are distance 1)
+    ends = np.cumsum(takes)
+    out = np.zeros(n, np.uint8)
+    starts = ends - takes
+    lit_mask = syms < 256
+    out[starts[lit_mask]] = syms[lit_mask].astype(np.uint8)
+    # match tokens replicate the byte before their start: since the
+    # tokenizer guarantees a run's leading literal precedes its matches,
+    # filling forward over match spans reproduces the bytes exactly
+    fill = np.zeros(n + 1, np.int64)
+    mm = ~lit_mask
+    fill[starts[mm]] += 1
+    fill[ends[mm]] -= 1
+    inside = np.cumsum(fill[:-1]) > 0
+    idx = np.arange(n)
+    last_lit = np.maximum.accumulate(np.where(~inside, idx, -1))
+    out = np.where(inside, out[np.maximum(last_lit, 0)], out).astype(np.uint8)
+    raw = out.tobytes()
+    if zlib.adler32(raw) != adler or ends.size and int(ends[-1]) != n:
+        raise ValueError("TPU-rANS stream corrupt (adler mismatch)")
+    return raw
+
+
+# ------------------------------------------------------- device pipelines
+
+
+def _finish_stream(n, m, nways, freq, states, body, xbits, adler) -> bytes:
+    hdr = bytearray()
+    hdr += bytes([MAGIC, VERSION, int(np.log2(nways)), 0])
+    hdr += int(n).to_bytes(4, "little")
+    hdr += int(m).to_bytes(4, "little")
+    hdr += len(body).to_bytes(4, "little")
+    hdr += len(xbits).to_bytes(4, "little")
+    used = freq > 0
+    hdr += np.packbits(used, bitorder="little").tobytes()
+    hdr += freq[used].astype("<u2").tobytes()
+    hdr += np.asarray(states).astype("<u4").tobytes()
+    return bytes(hdr) + body + xbits + int(adler).to_bytes(4, "big")
+
+
+def rans_batch_device(streams, lengths, raw_cb=None, interpret=None):
+    """Device scheme-12 encode of a batch of byte streams.
+
+    Tokenization/histogram/adler (shared pass A), token compaction, the
+    interleaved-rANS coding AND the extra-bits packing all run on device;
+    the host contributes only O(alphabet) frequency quantization and
+    header assembly.  Output is byte-identical to ``codecs.rans.compress``
+    / ``native.rans_compress`` at nways = W_LANES (streams small enough
+    that those pick fewer lanes still DECODE identically here — the format
+    records nways — but this encoder always uses W_LANES).
+
+    ``streams`` (B, NPAD) u8, NPAD % CH_A == 0; ``lengths`` (B,) i32.
+    Returns a list of B scheme-12 streams.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import pallas_deflate as pdk
+    from ..ops import pallas_rans as prk
+
+    streams = jnp.asarray(streams, dtype=jnp.uint8)
+    B, npad = streams.shape
+    lengths = np.asarray(lengths, dtype=np.int32)
+
+    tok, hist, adler = pdk.tokenize_pallas(streams, jnp.asarray(lengths),
+                                           interpret=interpret)
+    hist_np = np.asarray(hist)
+    adler_np = np.asarray(adler)
+    tok_counts = hist_np[:, :286].sum(axis=1).astype(np.int64)
+    tok_max = int(tok_counts.max()) if B else 0
+    # the rANS kernel consumes DENSE tokens (slot i = token i), so the
+    # compaction pass is mandatory here — unlike the deflate assemble,
+    # which tolerates interspersed no-token slots
+    tok_bound = max(prk.CH_R, 1 << int(np.ceil(np.log2(max(tok_max, 1)))))
+    tok_bound = min(tok_bound, -(-npad // prk.CH_R) * prk.CH_R)
+    from ..ops.pallas_encode import CAPACITY_BUCKETS
+
+    density = tok_max / max(int(lengths.max()), 1)
+    bucket = pdk.compact_bucket_for(density)
+    while True:
+        dense, _, covf = pdk.compact_tokens(tok, tok_bound, bucket=bucket,
+                                            interpret=interpret)
+        if not bool(np.asarray(covf).any()) or \
+                bucket >= len(CAPACITY_BUCKETS) - 1:
+            break
+        bucket += 1
+
+    # host O(alphabet): quantized tables + the two radix LUTs
+    freqs = np.zeros((B, N_SYM), np.uint16)
+    eluts = np.zeros((B, 96, 32), np.float32)
+    xluts = np.zeros((B, 48, 32), np.float32)
+    for i in range(B):
+        freqs[i] = quantize_freqs(hist_np[i, :286].astype(np.int64))
+        from ..ops.pallas_rans import encode_luts_radix
+
+        full = encode_luts_radix(freqs[i])
+        eluts[i] = full
+        # xbits LUT for assemble_pallas: values = ev(idx), bits = eb(idx)
+        xluts[i, 0:24] = full[72:96]     # ev
+        xluts[i, 24:48] = full[48:72]    # eb
+
+    # rANS body bound: <= 2 bytes/token + per-lane flush margin
+    out_bound = min(2 * npad, 2 * tok_bound) + 4096
+    body, states, cnts = prk.rans_encode_pallas(
+        dense, jnp.asarray(eluts), tok_counts.astype(np.int32), out_bound,
+        interpret=interpret)
+
+    # extra-bits stream: the deflate assemble kernel with the (ev, eb) LUT
+    xb_bound = (5 * tok_bound + 7) // 8 + 256
+    zeros = jnp.zeros((B,), jnp.int32)
+    xbody, xbits_tot, xovf = pdk.assemble_pallas(
+        dense, jnp.asarray(xluts), zeros, zeros, xb_bound,
+        nw=pdk.window_rows_for(5 * pdk.CH_B + 8), interpret=interpret)
+    assert not bool(np.asarray(xovf).any())
+
+    body_np_cnt = np.asarray(cnts)
+    xbits_np = np.asarray(xbits_tot)
+    states_np = np.asarray(states)
+    results = []
+    for i in range(B):
+        n = int(lengths[i])
+        bc = int(body_np_cnt[i])
+        body_i = np.asarray(body[i, :bc]).astype(np.uint8).tobytes()
+        xb = int(xbits_np[i])
+        xbits_i = np.asarray(
+            xbody[i, : (xb + 7) // 8]).astype(np.uint8).tobytes()
+        stream = _finish_stream(n, int(tok_counts[i]), prk.W_LANES,
+                                freqs[i], states_np[i], body_i, xbits_i,
+                                int(adler_np[i]))
+        if len(stream) >= n + _HDR_FIXED + 1:
+            raw = raw_cb(i) if raw_cb is not None else \
+                np.asarray(streams[i, :n]).tobytes()
+            hdr2 = bytes([MAGIC, VERSION, 0, 1]) + int(n).to_bytes(4, "little") \
+                + (0).to_bytes(4, "little") + int(n).to_bytes(4, "little") \
+                + (0).to_bytes(4, "little")
+            stream = hdr2 + raw + int(adler_np[i]).to_bytes(4, "big")
+        results.append(stream)
+    return results
+
+
+def rans_decompress_device(stream: bytes, interpret=None) -> bytes:
+    """Decode one scheme-12 stream with the device symbol kernel.
+
+    The per-symbol rANS math runs on device (ops/pallas_rans.py); the host
+    does header parsing, extra-bit unpacking and the final literal/run byte
+    reconstruction (memset-class).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import pallas_rans as prk
+
+    if len(stream) < _HDR_FIXED or stream[0] != MAGIC:
+        raise ValueError("not a TPU-rANS stream")
+    nways = 1 << stream[2]
+    flags = stream[3]
+    n = int.from_bytes(stream[4:8], "little")
+    m = int.from_bytes(stream[8:12], "little")
+    body_bytes = int.from_bytes(stream[12:16], "little")
+    xbits_bytes = int.from_bytes(stream[16:20], "little")
+    p = _HDR_FIXED
+    if flags & 1 or nways != prk.W_LANES:
+        # stored block, or a lane count the kernel isn't built for
+        return decompress(stream)
+    used = np.unpackbits(
+        np.frombuffer(stream[p: p + (N_SYM + 7) // 8], np.uint8),
+        bitorder="little")[:N_SYM].astype(bool)
+    p += (N_SYM + 7) // 8
+    n_used = int(used.sum())
+    freq = np.zeros(N_SYM, np.int64)
+    freq[used] = np.frombuffer(stream[p: p + 2 * n_used], "<u2")
+    p += 2 * n_used
+    states = np.frombuffer(stream[p: p + 4 * nways], "<u4").astype(np.int64)
+    p += 4 * nways
+    body = stream[p: p + body_bytes]
+    p += body_bytes
+    xbits = stream[p: p + xbits_bytes]
+    p += xbits_bytes
+    adler = int.from_bytes(stream[p: p + 4], "big")
+
+    body_rev = np.frombuffer(body, np.uint8)[::-1].copy()
+    bw = -(-max(body_rev.size, 4) // 512) * 512
+    body_pad = np.zeros((1, bw), np.uint8)
+    body_pad[0, : body_rev.size] = body_rev
+    npad = -(-max(m, 1) // prk.CH_R) * prk.CH_R
+    tab = prk.decode_tables_radix(freq)[None]
+    syms = np.asarray(prk.rans_decode_pallas(
+        jnp.asarray(body_pad), jnp.asarray(states.astype(np.int32))[None],
+        np.array([m], np.int32), npad, tab, interpret=interpret))[0, :m]
+
+    eb = np.where(syms < 256, 0,
+                  LEN_EXTRA[np.clip(syms - 257, 0, 28)]).astype(np.int64)
+    ev = _unpack_bits(xbits, eb)
+    takes = _syms_to_tokens(syms, ev)
+    ends = np.cumsum(takes)
+    out = np.zeros(n, np.uint8)
+    starts = ends - takes
+    lit_mask = syms < 256
+    out[starts[lit_mask]] = syms[lit_mask].astype(np.uint8)
+    fill = np.zeros(n + 1, np.int64)
+    mm = ~lit_mask
+    fill[starts[mm]] += 1
+    fill[ends[mm]] -= 1
+    inside = np.cumsum(fill[:-1]) > 0
+    idx = np.arange(n)
+    last_lit = np.maximum.accumulate(np.where(~inside, idx, -1))
+    out = np.where(inside, out[np.maximum(last_lit, 0)], out).astype(np.uint8)
+    raw = out.tobytes()
+    if zlib.adler32(raw) != adler or (ends.size and int(ends[-1]) != n):
+        raise ValueError("TPU-rANS stream corrupt (adler mismatch)")
+    return raw

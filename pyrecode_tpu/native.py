@@ -90,6 +90,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.entropy_host_tables.restype = None
         lib.entropy_host_tables.argtypes = [u32p, u8p, f32p, i64p]
+        lib.rans_compress.restype = ctypes.c_int64
+        lib.rans_compress.argtypes = [u8p, ctypes.c_uint64, u8p, u32p,
+                                      ctypes.c_uint32]
+        lib.rans_decompress.restype = ctypes.c_int64
+        lib.rans_decompress.argtypes = [u8p, ctypes.c_uint64, u8p,
+                                        ctypes.c_uint64]
         _lib = lib
         return _lib
 
@@ -228,6 +234,46 @@ def deflate_sparse(data) -> bytes:
         _u8ptr(src), ctypes.c_uint64(src.size), _u8ptr(out),
         tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return out[:n].tobytes()
+
+
+def rans_compress(data, nways: int = 512) -> bytes:
+    """TPU-rANS (scheme 12) encode; byte-identical to
+    ``codecs.rans.compress`` (the numpy reference).  Falls back to the numpy
+    path when the native library is unavailable."""
+    lib = get_lib()
+    buf = bytes(data)
+    if lib is None:
+        from .codecs import rans as _rans
+
+        return _rans.compress(buf, nways=nways)
+    src = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8))
+    out = np.empty(len(buf) + 4096 + 4 * nways, dtype=np.uint8)
+    tokens = np.empty(len(buf) + 16, dtype=np.uint32)
+    n = lib.rans_compress(
+        _u8ptr(src), ctypes.c_uint64(src.size), _u8ptr(out),
+        tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_uint32(nways))
+    return out[:n].tobytes()
+
+
+def rans_decompress(stream) -> bytes:
+    """TPU-rANS (scheme 12) decode (native; numpy fallback)."""
+    lib = get_lib()
+    buf = bytes(stream)
+    if lib is None:
+        from .codecs import rans as _rans
+
+        return _rans.decompress(buf)
+    if len(buf) < 8 or buf[0] != 0xA5:
+        raise ValueError("not a TPU-rANS stream")
+    n = int.from_bytes(buf[4:8], "little")
+    src = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8))
+    out = np.empty(max(n, 1), dtype=np.uint8)
+    got = lib.rans_decompress(_u8ptr(src), ctypes.c_uint64(src.size),
+                              _u8ptr(out), ctypes.c_uint64(out.size))
+    if got < 0:
+        raise ValueError("TPU-rANS stream corrupt")
+    return out[:got].tobytes()
 
 
 def dyn_tables(lfreq: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,455 @@
+"""Pallas TPU kernels for the interleaved-rANS entropy stage (scheme 12).
+
+Device side of codecs/rans.py — the zstd-class entropy backend.  Unlike the
+deflate bitstream (pallas_deflate.py), rANS is symmetric: W interleaved
+states advance one symbol per lane per row, so the per-symbol math
+vectorizes for BOTH encode and decode.  W = 1024 lanes (the format's
+log2_nways=10), one (1, 1024) state vector.
+
+**Encode** (grid step = ROWS_R rows = ROWS_R * 1024 tokens, walked from the
+stream's END backwards, matching the format's emit order):
+  * per-token (freq, cum, eb, ev) via the bilinear radix LUT lookup at
+    precision=HIGHEST (the assemble kernel's construction; all values
+    <= 4096 are exact f32);
+  * renormalization: at most 2 bytes per symbol (x < 2^31, threshold
+    f<<19); bytes scatter into a row-local window via ONE stacked one-hot
+    matmul (positions = descending-lane suffix-sum of emit counts, low byte
+    first per lane) and append through the shared 128-aligned window store;
+  * the state update x' = (x//f << 12) + x%f + cum needs an EXACT 31-bit /
+    12-bit division: three 12-bit digit steps, each a f32-reciprocal
+    estimate with +-3 integer fixups (all intermediates < 2^24, exact f32).
+
+**Decode** (same grid, walked forward): slot = x & 4095 -> (sym, freq, cum)
+via a radix lookup over the 4096-slot tables; x' = f*(x>>12) + slot - cum;
+renormalization consumes 0..2 bytes per lane, gathered from a backward
+window of the body with ONE stacked one-hot matmul (the scatter transposed).
+The decoder emits the SYMBOL stream + per-token take lengths; the
+final byte reconstruction (literal scatter + run fill) happens on host
+(memset-class work) or via codecs/rans._syms_to_tokens.
+
+Token indices use the INVERTED convention of the deflate kernels
+(tok = 512 - idx... see pallas_deflate.NO_TOKEN): pad slots are 0 and
+assemble-compatible, so tokenize_pallas / compact_tokens feed this kernel
+unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_encode import _cumsum_lanes, _store_window
+from .pallas_deflate import NO_TOKEN
+
+W_LANES = 1024          # interleaved rANS states (format log2_nways = 10)
+ROWS_R = 8              # rows (of W_LANES tokens) per grid step
+CH_R = ROWS_R * W_LANES
+RANS_L = 1 << 23
+PROB_BITS = 12
+M_TOT = 1 << PROB_BITS
+# per-row emit window: <= 2 bytes per lane + 128-lane alignment spill
+EMIT_WIN = 2 * W_LANES + 128
+
+
+def _exact_div(x, f, f_f32):
+    """Exact (x // f, x % f) for 0 <= x < 2^31, 1 <= f <= 4096.
+
+    Three 12-bit digit steps of schoolbook long division; the per-digit
+    quotient estimate is f32 (all operands < 2^24, so the only error is the
+    reciprocal's), corrected by +-3 integer fixups.
+    """
+    rf = 1.0 / f_f32
+    d2 = x >> 24
+    d1 = (x >> 12) & (M_TOT - 1)
+    d0 = x & (M_TOT - 1)
+
+    def step(rem_in, d):
+        v = (rem_in << PROB_BITS) | d
+        q0 = (v.astype(jnp.float32) * rf).astype(jnp.int32)
+        rem = v - q0 * f
+        for _ in range(3):
+            over = rem >= f
+            q0 = q0 + over.astype(jnp.int32)
+            rem = rem - jnp.where(over, f, 0)
+        for _ in range(3):
+            under = rem < 0
+            q0 = q0 - under.astype(jnp.int32)
+            rem = rem + jnp.where(under, f, 0)
+        return q0, rem
+
+    q2, r2 = step(jnp.zeros_like(x), d2)
+    q1, r1 = step(r2, d1)
+    q0, r0 = step(r1, d0)
+    return (q2 << 24) + (q1 << PROB_BITS) + q0, r0
+
+
+@functools.lru_cache(maxsize=16)
+def _build_rans_encode_kernel(B, NPAD, OUT, interpret):
+    n_steps = NPAD // CH_R
+    WIN = EMIT_WIN + 128
+
+    def kernel(tok_ref, lut_ref, m_ref, body_ref, states_ref, cnt_ref,
+               x_vref, off_sref, tail_vref):
+        h = pl.program_id(1)
+
+        @pl.when(h == 0)
+        def _():
+            x_vref[...] = jnp.full((1, W_LANES), RANS_L, jnp.int32)
+            off_sref[0] = 0
+            tail_vref[...] = jnp.zeros_like(tail_vref)
+            body_ref[...] = jnp.zeros_like(body_ref)
+
+        m = m_ref[0, 0, 0]
+        # this step covers token rows [row0, row0 + ROWS_R) COUNTING FROM
+        # THE END: grid h=0 maps to the LAST block (see index_map)
+        blk = n_steps - 1 - h
+
+        # batched LUT lookup for the whole step: idx = NO_TOKEN - tok
+        tok = tok_ref[0, 0].astype(jnp.int32)          # (ROWS_R, W_LANES)
+        idx = NO_TOKEN - tok
+        io32 = jax.lax.broadcasted_iota(jnp.int32, (32, CH_R), 0)
+        io24 = jax.lax.broadcasted_iota(jnp.int32, (24, CH_R), 0)
+        row = idx.reshape(1, CH_R)
+        oh_lo = ((row & 31) == io32).astype(jnp.float32)
+        oh_hi = ((row >> 5) == io24).astype(jnp.float32)
+        lut = lut_ref[0]                                # (96, 32) f32
+        m1 = jnp.dot(lut, oh_lo, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)   # (96, CH_R)
+        # keep the per-token planes as (1, CH_R) rows; per-row views below
+        # are 128-aligned LANE slices (lane->sublane reshapes don't lower)
+        f_all = jnp.sum(oh_hi * m1[0:24], axis=0, keepdims=True)
+        c_all = jnp.sum(oh_hi * m1[24:48], axis=0, keepdims=True)
+        f_i = f_all.astype(jnp.int32)
+        c_i = c_all.astype(jnp.int32)
+
+        lio = jax.lax.broadcasted_iota(jnp.int32, (1, W_LANES), 1)
+
+        # rows inside the step, last first (token order is descending)
+        for r in range(ROWS_R - 1, -1, -1):
+            gidx0 = (blk * ROWS_R + r) * W_LANES       # first token of row
+            active = (gidx0 + lio) < m                 # (1, W_LANES)
+            sl = slice(r * W_LANES, (r + 1) * W_LANES)
+            f = jnp.where(active, f_i[:, sl], 1)
+            ff = f.astype(jnp.float32)
+            cum = jnp.where(active, c_i[:, sl], 0)
+            x = x_vref[...]
+
+            # ---- renormalization: emit while x >= f << 19 (max twice) ----
+            xmax = f << 19
+            e0 = active & (x >= xmax)
+            b0 = x & 255
+            x1 = jnp.where(e0, x >> 8, x)
+            e1 = e0 & (x1 >= xmax)
+            b1 = x1 & 255
+            x2 = jnp.where(e1, x1 >> 8, x1)
+            nb = e0.astype(jnp.int32) + e1.astype(jnp.int32)
+
+            # ---- emit order: descending lane, low byte first per lane ----
+            incl = _cumsum_lanes(nb, W_LANES)
+            total = incl[0, W_LANES - 1]
+            pos0 = total - incl                        # suffix-sum excl self
+            # scatter b0 at pos0, b1 at pos0+1 into the (1, EMIT_WIN) window
+            t_all = pos0
+            io128 = jax.lax.broadcasted_iota(jnp.int32, (128, W_LANES), 0)
+            nwrows = EMIT_WIN // 128
+            io_nw = jax.lax.broadcasted_iota(jnp.int32, (nwrows, W_LANES), 0)
+            oh_tl = ((t_all & 127) == io128).astype(jnp.bfloat16)
+            oh_th = ((t_all >> 7) == io_nw).astype(jnp.bfloat16)
+            blocks = [oh_th * jnp.where(e0, b0, 0).astype(jnp.bfloat16),
+                      oh_th * jnp.where(e1, b1, 0).astype(jnp.bfloat16)]
+            stacked = jnp.concatenate(blocks, axis=0)
+            o2 = jax.lax.dot_general(stacked, oh_tl,
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            row0 = o2[0:nwrows].astype(jnp.int32).reshape(1, nwrows * 128)
+            row1 = o2[nwrows: 2 * nwrows].astype(jnp.int32) \
+                .reshape(1, nwrows * 128)
+            local = row0 + pltpu.roll(row1, 1, axis=1)
+            _store_window(body_ref, tail_vref, off_sref, local, total,
+                          OUT, WIN, EMIT_WIN)
+
+            # ---- state update: x' = (x2//f << 12) + x2%f + cum ----
+            q, rem = _exact_div(x2, f, ff)
+            xn = (q << PROB_BITS) + rem + cum
+            x_vref[...] = jnp.where(active, xn, x)
+
+        @pl.when(h == n_steps - 1)
+        def _():
+            states_ref[0] = x_vref[...]
+            cnt_ref[0, 0, 0] = off_sref[0]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, n_steps),
+        in_specs=[
+            pl.BlockSpec((1, 1, ROWS_R, W_LANES),
+                         lambda b, h: (b, n_steps - 1 - h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 96, 32), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, OUT + WIN), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W_LANES), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, OUT + WIN), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, W_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, W_LANES), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.VMEM((1, WIN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=bool(interpret),
+    )
+    return call
+
+
+@functools.partial(jax.jit, static_argnames=("out_bound", "interpret"))
+def _rans_encode_call(tok, luts, m, out_bound, interpret):
+    B, NPAD = tok.shape
+    call = _build_rans_encode_kernel(B, NPAD, out_bound, bool(interpret))
+    body, states, cnt = call(
+        tok.reshape(B, NPAD // CH_R, ROWS_R, W_LANES), luts,
+        m.reshape(B, 1, 1).astype(jnp.int32))
+    return (body[:, 0, :out_bound], states[:, 0, :], cnt[:, 0, 0])
+
+
+def rans_encode_pallas(tok, luts, m, out_bound, interpret=None):
+    """Device interleaved-rANS encode of a dense token stream.
+
+    ``tok`` (B, NPAD) u16/i32 — INVERTED token stream (pallas_deflate
+    convention; pad 0), NPAD a multiple of ``CH_R``; tokens beyond ``m`` are
+    ignored.  ``luts`` (B, 96, 32) f32 — radix layout [idx>>5, idx&31] of
+    rows 0..23 freq[sym(idx)], 24..47 cum[sym(idx)], built by
+    ``codecs.rans.encode_luts_radix``.  ``m`` (B,) i32 true token counts.
+    Returns (body (B, out_bound) u8-in-i32 emit-order bytes, states (B,
+    W_LANES) i32 final states, counts (B,) i32 body byte counts).
+
+    The caller (codecs/rans.deflate-like pipeline) wraps body/states into
+    the scheme-12 container; extra bits pack via assemble_pallas with an
+    (ev, eb) LUT.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    out_bound = -(-out_bound // 128) * 128
+    return _rans_encode_call(tok, luts, jnp.asarray(m), int(out_bound),
+                             bool(interpret))
+
+
+def encode_luts_radix(freq: np.ndarray) -> np.ndarray:
+    """(96, 32) f32 radix LUT for :func:`rans_encode_pallas`: per token
+    index idx (pallas_deflate convention, 0..511; 512 = pad), rows 0..23 =
+    freq[sym(idx)], rows 24..47 = cum[sym(idx)], rows 48..71 = extra-bit
+    count eb(idx), rows 72..95 = extra value ev(idx).
+
+    Pad (idx 512) maps to freq 1 / cum 0 / eb 0 / ev 0 — harmless because
+    the kernel masks inactive lanes anyway.
+    """
+    from ..codecs.dyndeflate import LEN_BASE, LEN_EXTRA
+
+    freq = np.asarray(freq, np.int64)
+    cum = np.zeros(freq.size + 1, np.int64)
+    cum[1:] = np.cumsum(freq)
+    nidx = 768
+    f = np.ones(nidx, np.float32)
+    c = np.zeros(nidx, np.float32)
+    e = np.zeros(nidx, np.float32)
+    v = np.zeros(nidx, np.float32)
+    lit = np.arange(256)
+    f[:256] = freq[lit]
+    c[:256] = cum[lit]
+    take = np.arange(3, 259)
+    cc = (np.searchsorted(LEN_BASE, take, side="right") - 1)
+    sym = 257 + cc
+    f[256:512] = freq[sym]
+    c[256:512] = cum[sym]
+    e[256:512] = LEN_EXTRA[cc]
+    v[256:512] = take - LEN_BASE[cc]
+    out = np.zeros((96, 32), np.float32)
+    out[0:24] = f.reshape(24, 32)
+    out[24:48] = c.reshape(24, 32)
+    out[48:72] = e.reshape(24, 32)
+    out[72:96] = v.reshape(24, 32)
+    return out
+
+
+# ------------------------------------------------------------------- decode
+
+WINW = 768              # decode word window (u32 words = 3072 bytes >= the
+#                         worst-case per-row consumption 2*W + alignment)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret):
+    n_steps = NPAD // CH_R
+
+    def kernel(body_ref, tab_ref, st_ref, m_ref, syms_ref,
+               x_vref, cur_sref):
+        h = pl.program_id(1)
+
+        @pl.when(h == 0)
+        def _():
+            x_vref[...] = st_ref[0].astype(jnp.int32)
+            cur_sref[0] = 0          # bytes consumed (reversed-body coords)
+
+        m = m_ref[0, 0, 0]
+        tab = tab_ref[0]                                   # (96, 128) f32
+        lio = jax.lax.broadcasted_iota(jnp.int32, (1, W_LANES), 1)
+        io128 = jax.lax.broadcasted_iota(jnp.int32, (128, W_LANES), 0)
+        io32 = jax.lax.broadcasted_iota(jnp.int32, (32, W_LANES), 0)
+
+        for r in range(ROWS_R):
+            gidx0 = (h * ROWS_R + r) * W_LANES
+            active = (gidx0 + lio) < m
+
+            x = x_vref[...]
+            slot = x & (M_TOT - 1)
+            # ---- (sym, freq, slot - cum) by slot: bilinear radix lookup ----
+            oh_lo = ((slot & 127) == io128).astype(jnp.float32)
+            oh_hi = ((slot >> 7) == io32).astype(jnp.float32)
+            m1 = jnp.dot(tab, oh_lo, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # (96, W)
+            sym = jnp.sum(oh_hi * m1[0:32], axis=0,
+                          keepdims=True).astype(jnp.int32)
+            fs = jnp.sum(oh_hi * m1[32:64], axis=0,
+                         keepdims=True).astype(jnp.int32)
+            rem = jnp.sum(oh_hi * m1[64:96], axis=0,
+                          keepdims=True).astype(jnp.int32)
+            xp = fs * (x >> PROB_BITS) + rem
+
+            # ---- renormalization: nb depends on xp alone ----
+            # (fs >= 1 so xp >= x>>12 >= 2^11; two bytes always reach L)
+            nb = jnp.where(active,
+                           (xp < RANS_L).astype(jnp.int32)
+                           + (xp < (RANS_L >> 8)).astype(jnp.int32), 0)
+            incl = _cumsum_lanes(nb, W_LANES)
+            pos = cur_sref[0] + incl - nb       # first-byte position, bytes
+            total = incl[0, W_LANES - 1]
+
+            # ---- fetch: bilinear gather from an aligned word window ----
+            w0 = (cur_sref[0] >> 2) & ~127
+            win = body_ref[0, :, pl.ds(pl.multiple_of(w0, 128), WINW)]
+            win_i = win.astype(jnp.int32)       # (1, WINW) words
+
+            def fetch(p):
+                widx = (p >> 2) - w0            # in-window word, < WINW
+                bsel = p & 3
+                olo = ((widx & 127) == io128).astype(jnp.float32)
+                ohi = widx >> 7                 # < WINW/128 = 6
+                got = jnp.zeros((1, W_LANES), jnp.int32)
+                for j in range(WINW // 128):
+                    seg = win_i[:, 128 * j: 128 * (j + 1)]
+                    lo = (seg & 0xFFFF).astype(jnp.float32)
+                    hi = ((seg >> 16) & 0xFFFF).astype(jnp.float32)
+                    mlo = jnp.dot(lo, olo, preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+                    mhi = jnp.dot(hi, olo, preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+                    word = mlo.astype(jnp.int32) \
+                        + (mhi.astype(jnp.int32) << 16)
+                    got = got + jnp.where(ohi == j, word, 0)
+                return (got >> (8 * bsel)) & 255
+
+            b1 = fetch(pos)
+            b2 = fetch(pos + 1)
+            x1 = jnp.where(nb >= 1, (xp << 8) | b1, xp)
+            x2 = jnp.where(nb == 2, (x1 << 8) | b2, x1)
+            x_vref[...] = jnp.where(active, x2, x)
+            cur_sref[0] = cur_sref[0] + total
+
+            syms_ref[0, 0, r, :] = jnp.where(active, sym, 0)[0]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, n_steps),
+        in_specs=[
+            pl.BlockSpec((1, 1, BWORDS), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 96, 128), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W_LANES), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, ROWS_R, W_LANES), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_steps, ROWS_R, W_LANES), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, W_LANES), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=bool(interpret),
+    )
+    return call
+
+
+def rans_decode_pallas(body_rev, states, m, npad, tab, interpret=None):
+    """Device interleaved-rANS symbol decode.
+
+    ``body_rev`` (B, BW) u8 — the rANS byte stream REVERSED (so the kernel
+    reads forward), zero-padded to a multiple of 512 bytes; internally
+    packed 4 bytes per i32 word.  ``states`` (B, W_LANES) u32/i32 initial
+    states (the stream's ``state[W]`` field).  ``m`` (B,) i32 token counts.
+    ``npad`` — static token capacity (multiple of CH_R) >= max(m).
+    ``tab`` (B, 96, 128) f32 slot tables from :func:`decode_tables_radix`.
+    Returns syms (B, npad) i32 (pad rows 0).
+
+    The caller reconstructs bytes from symbols + the xbits stream
+    (codecs/rans decode path) — host memset-class work; the per-symbol rANS
+    math all runs here.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B, BW = body_rev.shape
+    assert BW % 4 == 0 and npad % CH_R == 0
+    # the kernel always reads full word windows, and the cursor can sit at
+    # the body's very end: pad every body by one full window
+    pad = 4 * (WINW + 128)
+    body_rev = jnp.pad(body_rev, ((0, 0), (0, pad)))
+    BW = BW + pad
+    words = jax.vmap(lambda v: jax.lax.bitcast_convert_type(
+        v.reshape(BW // 4, 4), jnp.int32).reshape(BW // 4))(body_rev)
+    call = _build_rans_decode_kernel(B, npad, BW // 4, bool(interpret))
+    syms = call(words.reshape(B, 1, BW // 4),
+                jnp.asarray(tab),
+                jnp.asarray(states).astype(jnp.int32).reshape(B, 1, W_LANES),
+                jnp.asarray(m).reshape(B, 1, 1).astype(jnp.int32))[0]
+    return syms.reshape(B, npad)
+
+
+def decode_tables_radix(freq: np.ndarray) -> np.ndarray:
+    """(96, 128) f32 slot tables for :func:`rans_decode_pallas`: for slot
+    0..4095 laid out [slot>>7 (32 rows), slot&127], rows 0..31 = symbol,
+    32..63 = freq[symbol], 64..95 = slot - cum[symbol] (the decode
+    remainder)."""
+    freq = np.asarray(freq, np.int64)
+    cum = np.zeros(freq.size + 1, np.int64)
+    cum[1:] = np.cumsum(freq)
+    slot2sym = np.repeat(np.arange(freq.size), freq)
+    assert slot2sym.size == M_TOT
+    fs = freq[slot2sym]
+    rem = np.arange(M_TOT) - cum[slot2sym]
+    out = np.zeros((96, 128), np.float32)
+    out[0:32] = slot2sym.reshape(32, 128)
+    out[32:64] = fs.reshape(32, 128)
+    out[64:96] = rem.reshape(32, 128)
+    return out

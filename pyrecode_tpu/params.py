@@ -200,7 +200,7 @@ class InputParams:
             return fail("L2 statistics must be 0, 1 or 2")
         if p["l4_centroiding"] not in (0, 1, 2, 3):
             return fail("L4 centroiding must be 0, 1, 2 or 3")
-        if p["compression_scheme"] not in range(12):
+        if p["compression_scheme"] not in range(13):
             return fail("Compression scheme must be an integer in [0, 11]")
         if not (0 <= int(p["compression_level"]) <= 22):
             return fail("Compression level can be from 0 - 22")

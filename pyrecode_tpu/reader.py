@@ -343,9 +343,11 @@ class ReCoDeReader:
             raw = self._read_raw_blobs(self._frame_metadata[z], read_data=True)
             raw_blobs.append((raw["binary_map"], raw.get("pixvals")))
         pixval_blobs = []
-        # schemes whose decompress is a stateless module function (zstd and
-        # blosc hold per-codec context objects that are not thread-safe)
-        pool_safe = int(self._header["compression_scheme"]) in (0, 2, 3, 4, 5)
+        # schemes whose decompress is stateless / thread-safe (zstd and
+        # blosc hold per-codec context objects that are not; the native
+        # rANS decoder uses thread_local scratch)
+        pool_safe = int(self._header["compression_scheme"]) in \
+            (0, 2, 3, 4, 5, 12)
         if mode == 1 and count > 1 and pool_safe:
             # the entropy decode dominates bulk reads and the codecs release
             # the GIL: fan the per-frame decompression over threads (the

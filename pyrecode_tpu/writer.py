@@ -73,12 +73,14 @@ class ReCoDeWriter:
         still a valid zlib stream that every inflate (incl. the reference)
         decodes, ~18% smaller than zlib level 1 on sparse detector streams
         and faster to produce.  Set False for byte-identical-to-zlib output.
-        ``device_entropy`` runs that same dynamic-Huffman deflate ON THE TPU
-        (ops/pallas_deflate.py): the reduced streams never come back to the
-        host raw — only the compressed bytes do.  Output is byte-identical to
-        the native encoder.  Default (None) enables it automatically on a
-        real TPU for scheme-0 mode-1 L1/L3 runs through the fused kernel
-        path; True forces it (tests use interpret mode); False disables.
+        ``device_entropy`` runs the entropy stage ON THE TPU: scheme 0 uses
+        the dynamic-Huffman deflate kernels (ops/pallas_deflate.py), scheme
+        12 the interleaved-rANS kernels (ops/pallas_rans.py); the reduced
+        streams never come back to the host raw — only the compressed bytes
+        do.  Output is byte-identical to the corresponding native host
+        encoder.  Default (None) enables it automatically on a real TPU for
+        scheme-0/12 mode-1 L1/L3 runs through the fused kernel path; True
+        forces it (tests use interpret mode); False disables.
         """
         self._init_params = InitParams(
             mode, output_directory, image_filename=image_filename,
@@ -139,6 +141,7 @@ class ReCoDeWriter:
         self._cap_bucket = 0  # pallas capacity bucket, escalated on overflow
 
         scheme = int(self._header["compression_scheme"])
+        self._scheme = scheme
         level = int(self._header["compression_level"])
         self._codec = codecs.get_codec(scheme, level) if self._rc_operation_mode == 1 else None
         if fast_deflate and scheme == 0 and self._codec is not None:
@@ -158,7 +161,8 @@ class ReCoDeWriter:
                 from . import native as _native
 
                 self._device_entropy = (
-                    use_tpu and scheme == 0 and self._rc_operation_mode == 1
+                    use_tpu and scheme in (0, 12)
+                    and self._rc_operation_mode == 1
                     and _native.available()
                     and jax.devices()[0].platform == "tpu")
             except Exception:
@@ -582,18 +586,26 @@ class ReCoDeWriter:
         """
         import jax.numpy as jnp
 
-        from .codecs import dyndeflate
+        from .codecs import dyndeflate, rans
         from .ops import pallas_deflate as pdk
+
+        if self._scheme == 12:
+            def deflate(streams, lens, raw_cb, hint_state):
+                return rans.rans_batch_device(streams, lens, raw_cb=raw_cb)
+        else:
+            def deflate(streams, lens, raw_cb, hint_state):
+                return dyndeflate.deflate_batch_device(
+                    streams, lens, raw_cb=raw_cb, hint_state=hint_state)
 
         B = bitmap.shape[0]
         n_bm = bitmap.shape[1]
         pad_bm = -(-n_bm // pdk.CH_A) * pdk.CH_A - n_bm
         bm = jnp.pad(bitmap, ((0, 0), (0, pad_bm))) if pad_bm else bitmap
         stt = datetime.now()
-        cbm = dyndeflate.deflate_batch_device(
+        cbm = deflate(
             bm, np.full(B, n_bm, np.int32),
-            raw_cb=lambda i: np.asarray(bitmap[i]).tobytes(),
-            hint_state=self._entropy_hints["bm"])
+            lambda i: np.asarray(bitmap[i]).tobytes(),
+            self._entropy_hints["bm"])
         t_bm = datetime.now() - stt
 
         if packed is None:
@@ -604,10 +616,10 @@ class ReCoDeWriter:
         pad_px = -(-n_px // pdk.CH_A) * pdk.CH_A - n_px
         px = jnp.pad(packed, ((0, 0), (0, pad_px))) if pad_px else packed
         stt = datetime.now()
-        cpx = dyndeflate.deflate_batch_device(
+        cpx = deflate(
             px, plens.astype(np.int32),
-            raw_cb=lambda i: np.asarray(packed[i, :int(plens[i])]).tobytes(),
-            hint_state=self._entropy_hints["px"])
+            lambda i: np.asarray(packed[i, :int(plens[i])]).tobytes(),
+            self._entropy_hints["px"])
         t_px = datetime.now() - stt
         return ([(cbm[i], cpx[i], int(plens[i])) for i in range(B)],
                 t_bm, t_px)

@@ -54,11 +54,12 @@ def test_all_available_schemes_roundtrip():
 
 
 def test_every_scheme_code_executes():
-    """All 12 scheme codes must round-trip (pure-python fallbacks serve
-    lz4/snappy/blosc when the C bindings are absent)."""
-    assert codecs.available_schemes() == list(range(12))
+    """All 12 reference scheme codes plus the tpu-rans extension (12) must
+    round-trip (pure-python fallbacks serve lz4/snappy/blosc when the C
+    bindings are absent)."""
+    assert codecs.available_schemes() == list(range(13))
     data = _blob(seed=11)
-    for scheme in range(12):
+    for scheme in range(13):
         codec = codecs.get_codec(scheme, 1)
         assert codec.decompress(codec.compress(data)) == data, scheme
 

