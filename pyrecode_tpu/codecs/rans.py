@@ -489,3 +489,97 @@ def rans_decompress_device(stream: bytes, interpret=None) -> bytes:
     if zlib.adler32(raw) != adler or (ends.size and int(ends[-1]) != n):
         raise ValueError("TPU-rANS stream corrupt (adler mismatch)")
     return raw
+
+
+def rans_decompress_device_batch(streams_in, interpret=None):
+    """Batched device symbol decode of scheme-12 streams (the reader's bulk
+    path): one kernel invocation decodes every frame's stream, padded to the
+    batch maxima.  Stored-block or non-W_LANES streams fall back per stream.
+    Returns a list of byte payloads."""
+    import jax.numpy as jnp
+
+    from ..ops import pallas_rans as prk
+
+    metas = []
+    for st in streams_in:
+        if len(st) < _HDR_FIXED or st[0] != MAGIC:
+            raise ValueError("not a TPU-rANS stream")
+        nways = 1 << st[2]
+        flags = st[3]
+        if flags & 1 or nways != prk.W_LANES:
+            metas.append(None)
+            continue
+        n = int.from_bytes(st[4:8], "little")
+        m = int.from_bytes(st[8:12], "little")
+        body_bytes = int.from_bytes(st[12:16], "little")
+        xbits_bytes = int.from_bytes(st[16:20], "little")
+        p = _HDR_FIXED
+        used = np.unpackbits(
+            np.frombuffer(st[p: p + (N_SYM + 7) // 8], np.uint8),
+            bitorder="little")[:N_SYM].astype(bool)
+        p += (N_SYM + 7) // 8
+        n_used = int(used.sum())
+        freq = np.zeros(N_SYM, np.int64)
+        freq[used] = np.frombuffer(st[p: p + 2 * n_used], "<u2")
+        p += 2 * n_used
+        states = np.frombuffer(st[p: p + 4 * nways], "<u4").astype(np.int64)
+        p += 4 * nways
+        body = st[p: p + body_bytes]
+        p += body_bytes
+        xbits = st[p: p + xbits_bytes]
+        p += xbits_bytes
+        adler = int.from_bytes(st[p: p + 4], "big")
+        metas.append((n, m, freq, states, body, xbits, adler))
+
+    idxs = [i for i, mt in enumerate(metas) if mt is not None]
+    outs: list = [None] * len(streams_in)
+    for i, mt in enumerate(metas):
+        if mt is None:
+            outs[i] = decompress(streams_in[i])
+    if idxs:
+        B = len(idxs)
+        m_max = max(metas[i][1] for i in idxs)
+        npad = -(-max(m_max, 1) // prk.CH_R) * prk.CH_R
+        bw = -(-max(max(len(metas[i][4]) for i in idxs), 4) // 512) * 512
+        bodies = np.zeros((B, bw), np.uint8)
+        states = np.zeros((B, prk.W_LANES), np.int64)
+        tabs = np.zeros((B, 96, 128), np.float32)
+        ms = np.zeros(B, np.int32)
+        for k, i in enumerate(idxs):
+            n, m, freq, st_, body, xb, adler = metas[i]
+            rev = np.frombuffer(body, np.uint8)[::-1]
+            bodies[k, : rev.size] = rev
+            states[k] = st_
+            tabs[k] = prk.decode_tables_radix(freq)
+            ms[k] = m
+        syms_all = np.asarray(prk.rans_decode_pallas(
+            jnp.asarray(bodies), jnp.asarray(states.astype(np.int32)),
+            ms, npad, jnp.asarray(tabs), interpret=interpret))
+        for k, i in enumerate(idxs):
+            n, m, freq, st_, body, xb, adler = metas[i]
+            syms = syms_all[k, :m]
+            eb = np.where(syms < 256, 0,
+                          LEN_EXTRA[np.clip(syms - 257, 0, 28)]
+                          ).astype(np.int64)
+            ev = _unpack_bits(xb, eb)
+            takes = _syms_to_tokens(syms, ev)
+            ends = np.cumsum(takes)
+            out = np.zeros(n, np.uint8)
+            starts = ends - takes
+            lit_mask = syms < 256
+            out[starts[lit_mask]] = syms[lit_mask].astype(np.uint8)
+            fill = np.zeros(n + 1, np.int64)
+            mm = ~lit_mask
+            fill[starts[mm]] += 1
+            fill[ends[mm]] -= 1
+            inside = np.cumsum(fill[:-1]) > 0
+            idx = np.arange(n)
+            last_lit = np.maximum.accumulate(np.where(~inside, idx, -1))
+            out = np.where(inside, out[np.maximum(last_lit, 0)],
+                           out).astype(np.uint8)
+            raw = out.tobytes()
+            if zlib.adler32(raw) != adler or (ends.size
+                                              and int(ends[-1]) != n):
+                raise ValueError("TPU-rANS stream corrupt (adler mismatch)")
+            outs[i] = raw
+    return outs

@@ -343,12 +343,35 @@ class ReCoDeReader:
             raw = self._read_raw_blobs(self._frame_metadata[z], read_data=True)
             raw_blobs.append((raw["binary_map"], raw.get("pixvals")))
         pixval_blobs = []
+        scheme = int(self._header["compression_scheme"])
+        # scheme 12 on a real TPU: batched DEVICE symbol decode (the rANS
+        # per-symbol math runs in ops/pallas_rans.py; one kernel invocation
+        # covers every frame's bitmap+pixval streams)
+        dev12 = mode == 1 and scheme == 12 and use_tpu
+        if dev12 and not getattr(self, "_force_device_codec", False):
+            try:
+                import jax
+
+                dev12 = jax.devices()[0].platform == "tpu"
+            except Exception:
+                dev12 = False
+        if dev12:
+            from .codecs import rans as _rans
+
+            flat = [b for pair in raw_blobs for b in pair if b is not None]
+            dec = _rans.rans_decompress_device_batch(flat)
+            it = iter(dec)
+            for i, (bm, pv) in enumerate(raw_blobs):
+                bitmaps[i] = np.frombuffer(next(it), dtype=np.uint8)
+                pixval_blobs.append(next(it) if pv is not None else None)
+            raw_blobs = []
         # schemes whose decompress is stateless / thread-safe (zstd and
         # blosc hold per-codec context objects that are not; the native
         # rANS decoder uses thread_local scratch)
-        pool_safe = int(self._header["compression_scheme"]) in \
-            (0, 2, 3, 4, 5, 12)
-        if mode == 1 and count > 1 and pool_safe:
+        pool_safe = scheme in (0, 2, 3, 4, 5, 12)
+        if raw_blobs == [] and dev12:
+            pass
+        elif mode == 1 and count > 1 and pool_safe:
             # the entropy decode dominates bulk reads and the codecs release
             # the GIL: fan the per-frame decompression over threads (the
             # reference decompresses serially, recode_reader.py:379-462)

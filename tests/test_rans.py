@@ -163,3 +163,39 @@ def test_writer_device_entropy_scheme12(tmp_path):
         fd = r.get_next_frame()
         assert np.array_equal(fd[i]["data"].todense(), data[i]), i
     r.close()
+
+
+def test_reader_bulk_device_decode_scheme12(tmp_path):
+    """read_frames_dense routes scheme-12 streams through the batched
+    device symbol decoder (interpret mode on CPU via _force_device_codec)."""
+    from pyrecode_tpu import InputParams
+    from pyrecode_tpu.reader import ReCoDeReader, merge_parts
+    from pyrecode_tpu.writer import ReCoDeWriter
+
+    rng = np.random.default_rng(8)
+    data = np.where(rng.random((5, 64, 64)) < 0.05,
+                    rng.integers(1, 4096, (5, 64, 64)), 0).astype(np.uint16)
+    dark = np.zeros((64, 64), np.uint16)
+    values = dict(
+        reduction_level=1, rc_operation_mode=1, calibration_threshold_epsilon=0,
+        target_bit_depth=12, source_bit_depth=12, num_cols=64, num_rows=64,
+        num_frames=5, frame_offset=0, num_calibration_frames=1,
+        calibration_frame_offset=0, keep_part_files=1, num_threads=1,
+        l2_statistics=0, l4_centroiding=0, compression_scheme=12,
+        compression_level=1, source_file_type=0, source_header_length=0,
+        keep_calibration_data=1, calibration_file_type=0,
+        source_data_type=0, target_data_type=0)
+    p = InputParams(values)
+    assert p.validate()
+    w = ReCoDeWriter("r12", dark_data=dark, output_directory=str(tmp_path),
+                     input_params=p, mode="batch", node_id=0, use_tpu=False)
+    w.start()
+    w.run(data)
+    w.close()
+    merged = merge_parts(str(tmp_path), "r12.rc1", 1)
+    r = ReCoDeReader(merged)
+    r.open()
+    r._force_device_codec = True      # device-decode path even off-TPU
+    dense = r.read_frames_dense(0, 5, use_tpu=True)
+    assert np.array_equal(dense, data)
+    r.close()
