@@ -978,7 +978,8 @@ int64_t rans_compress(const uint8_t *src, uint64_t n, uint8_t *out,
     rans_adler(src, n, out + p);
     p += 4;
 
-    if (p >= n + 20 + 1) {          // stored fallback (matches rans.py)
+    if (p > n + 24) {               // stored stream = n + 24 B; coded must
+                                    // be strictly smaller (matches rans.py)
         p = 0;
         out[p++] = 0xA5; out[p++] = 1; out[p++] = 0; out[p++] = 1;
         put32(n); put32(0); put32(n); put32(0);
@@ -994,12 +995,27 @@ int64_t rans_compress(const uint8_t *src, uint64_t n, uint8_t *out,
 // capacity overflow.
 int64_t rans_decompress(const uint8_t *src, uint64_t len, uint8_t *out,
                         uint64_t cap) {
+    // Every header-derived length is validated against the buffer BEFORE
+    // use: the reader feeds raw file bytes here, so corrupt or hostile
+    // input must fail with -1, never read out of bounds.
     if (len < 20 || src[0] != 0xA5 || src[1] != 1) return -1;
+    if (src[2] > 16) return -1;           // lane count (1u << 32 is UB)
     const uint32_t nways = 1u << src[2];
     const uint32_t flags = src[3];
     auto get32 = [&](uint64_t pos) {
         return (uint64_t)src[pos] | ((uint64_t)src[pos + 1] << 8) |
                ((uint64_t)src[pos + 2] << 16) | ((uint64_t)src[pos + 3] << 24);
+    };
+    const uint32_t MOD = 65521;
+    auto adler_of = [&](const uint8_t *buf, uint64_t nn) {
+        uint32_t a = 1, b = 0;
+        for (uint64_t k = 0; k < nn; ++k) {
+            a += buf[k];
+            if (a >= MOD) a -= MOD;
+            b += a;
+            if (b >= MOD) b -= MOD;
+        }
+        return (b << 16) | a;
     };
     const uint64_t n = get32(4);
     const uint64_t m = get32(8);
@@ -1010,11 +1026,21 @@ int64_t rans_decompress(const uint8_t *src, uint64_t len, uint8_t *out,
     if (flags & 1) {
         if (p + n + 4 > len) return -1;
         std::memcpy(out, src + p, n);
-        return (int64_t)n;
+        const uint32_t want = ((uint32_t)src[p + n] << 24) |
+                              ((uint32_t)src[p + n + 1] << 16) |
+                              ((uint32_t)src[p + n + 2] << 8) |
+                              (uint32_t)src[p + n + 3];
+        return adler_of(out, n) == want ? (int64_t)n : -1;
     }
+    if (p + (RANS_NSYM + 7) / 8 > len) return -1;
     uint16_t freq[RANS_NSYM] = {0};
     const uint8_t *bm = src + p;
     p += (RANS_NSYM + 7) / 8;
+    uint32_t n_used = 0;
+    for (int s = 0; s < RANS_NSYM; ++s)
+        if (bm[s >> 3] & (1u << (s & 7))) ++n_used;
+    if (p + 2ull * n_used + 4ull * nways + body_bytes + xbits_bytes + 4 > len)
+        return -1;
     for (int s = 0; s < RANS_NSYM; ++s)
         if (bm[s >> 3] & (1u << (s & 7))) {
             freq[s] = (uint16_t)(src[p] | (src[p + 1] << 8));
@@ -1063,6 +1089,7 @@ int64_t rans_decompress(const uint8_t *src, uint64_t len, uint8_t *out,
             uint32_t take = RANS_LEN_BASE[c];
             const uint32_t eb = RANS_LEN_EXTRA[c];
             if (eb) {
+                if ((xb_bit + eb + 7) / 8 > xbits_bytes) return -1;
                 uint32_t ev = 0;
                 for (uint32_t b = 0; b < eb; ++b, ++xb_bit)
                     ev |= (uint32_t)((xbits[xb_bit >> 3] >> (xb_bit & 7)) & 1)
@@ -1074,7 +1101,11 @@ int64_t rans_decompress(const uint8_t *src, uint64_t len, uint8_t *out,
             o += take;
         }
     }
-    return o == (uint64_t)n ? (int64_t)n : -1;
+    if (o != (uint64_t)n) return -1;
+    const uint32_t want = ((uint32_t)src[p] << 24) |
+                          ((uint32_t)src[p + 1] << 16) |
+                          ((uint32_t)src[p + 2] << 8) | (uint32_t)src[p + 3];
+    return adler_of(out, n) == want ? (int64_t)n : -1;
 }
 
 }  // extern "C"

@@ -188,6 +188,9 @@ def rans_decode_interleaved(body: bytes, states: np.ndarray, m: int,
             out[row + lane] = s
             x[lane] = freq[s] * (x[lane] >> PROB_BITS) + slot - cum[s]
             while x[lane] < RANS_L:
+                if pos < 0:
+                    raise ValueError("TPU-rANS stream corrupt (body "
+                                     "underflow)")
                 x[lane] = (x[lane] << 8) | int(data[pos])
                 pos -= 1
     return out
@@ -200,6 +203,136 @@ def _syms_to_tokens(syms: np.ndarray, extras: np.ndarray) -> np.ndarray:
     c = np.where(is_lit, 0, syms - 257)
     take = np.where(is_lit, 1, LEN_BASE[np.clip(c, 0, 28)] + extras)
     return take.astype(np.int64)
+
+
+def _finish_stream(n, m, nways, freq, states, body, xbits, adler) -> bytes:
+    """Assemble a coded scheme-12 stream from its parts (shared by the
+    numpy and device encoders)."""
+    hdr = bytearray()
+    hdr += bytes([MAGIC, VERSION, int(np.log2(nways)), 0])
+    hdr += int(n).to_bytes(4, "little")
+    hdr += int(m).to_bytes(4, "little")
+    hdr += len(body).to_bytes(4, "little")
+    hdr += len(xbits).to_bytes(4, "little")
+    freq = np.asarray(freq)
+    used = freq > 0
+    hdr += np.packbits(used, bitorder="little").tobytes()
+    hdr += freq[used].astype("<u2").tobytes()
+    hdr += np.asarray(states).astype("<u4").tobytes()
+    return bytes(hdr) + body + xbits + int(adler).to_bytes(4, "big")
+
+
+def _stored_stream(raw: bytes, adler: int) -> bytes:
+    """Stored-block fallback stream (flags bit0): header + raw + adler."""
+    n = len(raw)
+    hdr = bytes([MAGIC, VERSION, 0, 1]) + n.to_bytes(4, "little") \
+        + (0).to_bytes(4, "little") + n.to_bytes(4, "little") \
+        + (0).to_bytes(4, "little")
+    return hdr + raw + int(adler).to_bytes(4, "big")
+
+
+# a stored stream is n + _STORED_OVERHEAD bytes; the coded stream wins only
+# if strictly smaller
+_STORED_OVERHEAD = _HDR_FIXED + 4
+
+
+def _parse_header(stream: bytes) -> dict:
+    """Validated parse of a scheme-12 stream into its fields.
+
+    Every length is checked against the buffer before use and the frequency
+    table must sum to exactly M — corrupt or truncated input raises
+    ValueError instead of reading out of bounds (the native C++ decoder
+    applies the same checks)."""
+    if len(stream) < _HDR_FIXED or stream[0] != MAGIC:
+        raise ValueError("not a TPU-rANS stream")
+    if stream[1] != VERSION:
+        raise ValueError(f"unsupported TPU-rANS version {stream[1]}")
+    if stream[2] > 16:
+        raise ValueError("TPU-rANS stream corrupt (lane count)")
+    nways = 1 << stream[2]
+    flags = stream[3]
+    n = int.from_bytes(stream[4:8], "little")
+    m = int.from_bytes(stream[8:12], "little")
+    body_bytes = int.from_bytes(stream[12:16], "little")
+    xbits_bytes = int.from_bytes(stream[16:20], "little")
+    p = _HDR_FIXED
+    if flags & 1:
+        if p + n + 4 > len(stream):
+            raise ValueError("TPU-rANS stream truncated")
+        raw = stream[p: p + n]
+        adler = int.from_bytes(stream[p + n: p + n + 4], "big")
+        if zlib.adler32(raw) != adler:
+            raise ValueError("TPU-rANS stream corrupt (adler mismatch)")
+        return {"stored": raw}
+    bm_len = (N_SYM + 7) // 8
+    if p + bm_len > len(stream):
+        raise ValueError("TPU-rANS stream truncated")
+    used = np.unpackbits(
+        np.frombuffer(stream[p: p + bm_len], np.uint8),
+        bitorder="little")[:N_SYM].astype(bool)
+    p += bm_len
+    n_used = int(used.sum())
+    if p + 2 * n_used + 4 * nways + body_bytes + xbits_bytes + 4 > len(stream):
+        raise ValueError("TPU-rANS stream truncated")
+    freq = np.zeros(N_SYM, np.int64)
+    freq[used] = np.frombuffer(stream[p: p + 2 * n_used], "<u2")
+    p += 2 * n_used
+    if freq.sum() != M:
+        raise ValueError("TPU-rANS stream corrupt (frequency table)")
+    states = np.frombuffer(stream[p: p + 4 * nways], "<u4")
+    p += 4 * nways
+    body = stream[p: p + body_bytes]
+    p += body_bytes
+    xbits = stream[p: p + xbits_bytes]
+    p += xbits_bytes
+    adler = int.from_bytes(stream[p: p + 4], "big")
+    return {"nways": nways, "n": n, "m": m, "freq": freq, "states": states,
+            "body": body, "xbits": xbits, "adler": adler}
+
+
+def _reconstruct_bytes(syms: np.ndarray, xbits: bytes, n: int,
+                       adler: int) -> bytes:
+    """Symbols + extra-bit stream -> original bytes, adler-verified.
+
+    A literal emits its byte; a match copies the previous byte ``take``
+    times (all matches are distance 1).  Match tokens replicate the byte
+    before their start: the tokenizer guarantees a run's leading literal
+    precedes its matches, so filling forward over match spans reproduces
+    the bytes exactly."""
+    eb = np.where(syms < 256, 0,
+                  LEN_EXTRA[np.clip(syms - 257, 0, 28)]).astype(np.int64)
+    ev = _unpack_bits(xbits, eb)
+    takes = _syms_to_tokens(syms, ev)
+    ends = np.cumsum(takes)
+    if ends.size and int(ends[-1]) != n:
+        raise ValueError("TPU-rANS stream corrupt (length mismatch)")
+    out = np.zeros(n, np.uint8)
+    starts = ends - takes
+    lit_mask = syms < 256
+    out[starts[lit_mask]] = syms[lit_mask].astype(np.uint8)
+    fill = np.zeros(n + 1, np.int64)
+    mm = ~lit_mask
+    fill[starts[mm]] += 1
+    fill[ends[mm]] -= 1
+    inside = np.cumsum(fill[:-1]) > 0
+    idx = np.arange(n)
+    last_lit = np.maximum.accumulate(np.where(~inside, idx, -1))
+    out = np.where(inside, out[np.maximum(last_lit, 0)], out).astype(np.uint8)
+    raw = out.tobytes()
+    if zlib.adler32(raw) != adler:
+        raise ValueError("TPU-rANS stream corrupt (adler mismatch)")
+    return raw
+
+
+def _host_decompress(stream: bytes) -> bytes:
+    """Fast host decode: the native C++ decoder when available, else the
+    numpy reference (whose rANS loop is per-token Python — slow)."""
+    from .. import native
+
+    if native.available():
+        return native.rans_decompress(stream)
+    return decompress(stream)
+
 
 
 def compress(data: bytes, nways: int = NWAYS_DEFAULT) -> bytes:
@@ -218,106 +351,23 @@ def compress(data: bytes, nways: int = NWAYS_DEFAULT) -> bytes:
     xbits = _pack_bits(ev, eb)
     adler = zlib.adler32(bytes(data))
 
-    hdr = bytearray()
-    hdr += bytes([MAGIC, VERSION, int(np.log2(nways)), 0])
-    hdr += int(n).to_bytes(4, "little")
-    hdr += int(m).to_bytes(4, "little")
-    hdr += len(body).to_bytes(4, "little")
-    hdr += len(xbits).to_bytes(4, "little")
-    used = freq > 0
-    hdr += np.packbits(used, bitorder="little").tobytes()
-    hdr += freq[used].astype("<u2").tobytes()
-    hdr += states.astype("<u4").tobytes()
-    stream = bytes(hdr) + body + xbits + adler.to_bytes(4, "big")
-    if len(stream) >= n + _HDR_FIXED + 1:
-        # stored fallback: header with flags bit0 + raw bytes + adler
-        hdr2 = bytes([MAGIC, VERSION, 0, 1]) + int(n).to_bytes(4, "little") \
-            + (0).to_bytes(4, "little") + int(n).to_bytes(4, "little") \
-            + (0).to_bytes(4, "little")
-        return hdr2 + bytes(data) + adler.to_bytes(4, "big")
+    stream = _finish_stream(n, m, nways, freq, states, body, xbits, adler)
+    if len(stream) > n + _STORED_OVERHEAD:
+        return _stored_stream(bytes(data), adler)
     return stream
 
 
 def decompress(stream: bytes) -> bytes:
     """Decompress a TPU-rANS stream (numpy reference path)."""
-    if len(stream) < _HDR_FIXED or stream[0] != MAGIC:
-        raise ValueError("not a TPU-rANS stream")
-    if stream[1] != VERSION:
-        raise ValueError(f"unsupported TPU-rANS version {stream[1]}")
-    nways = 1 << stream[2]
-    flags = stream[3]
-    n = int.from_bytes(stream[4:8], "little")
-    m = int.from_bytes(stream[8:12], "little")
-    body_bytes = int.from_bytes(stream[12:16], "little")
-    xbits_bytes = int.from_bytes(stream[16:20], "little")
-    p = _HDR_FIXED
-    if flags & 1:
-        raw = stream[p: p + n]
-        adler = int.from_bytes(stream[p + n: p + n + 4], "big")
-        if zlib.adler32(raw) != adler:
-            raise ValueError("TPU-rANS adler mismatch")
-        return raw
-    used = np.unpackbits(
-        np.frombuffer(stream[p: p + (N_SYM + 7) // 8], np.uint8),
-        bitorder="little")[:N_SYM].astype(bool)
-    p += (N_SYM + 7) // 8
-    n_used = int(used.sum())
-    freq = np.zeros(N_SYM, np.int64)
-    freq[used] = np.frombuffer(stream[p: p + 2 * n_used], "<u2")
-    p += 2 * n_used
-    states = np.frombuffer(stream[p: p + 4 * nways], "<u4")
-    p += 4 * nways
-    body = stream[p: p + body_bytes]
-    p += body_bytes
-    xbits = stream[p: p + xbits_bytes]
-    p += xbits_bytes
-    adler = int.from_bytes(stream[p: p + 4], "big")
-
-    syms = rans_decode_interleaved(body, states, m, freq, nways)
-    eb = np.where(syms < 256, 0,
-                  LEN_EXTRA[np.clip(syms - 257, 0, 28)]).astype(np.int64)
-    ev = _unpack_bits(xbits, eb)
-    takes = _syms_to_tokens(syms, ev)
-
-    # reconstruct: literal emits its byte; a match copies the previous byte
-    # `take` times (all matches are distance 1)
-    ends = np.cumsum(takes)
-    out = np.zeros(n, np.uint8)
-    starts = ends - takes
-    lit_mask = syms < 256
-    out[starts[lit_mask]] = syms[lit_mask].astype(np.uint8)
-    # match tokens replicate the byte before their start: since the
-    # tokenizer guarantees a run's leading literal precedes its matches,
-    # filling forward over match spans reproduces the bytes exactly
-    fill = np.zeros(n + 1, np.int64)
-    mm = ~lit_mask
-    fill[starts[mm]] += 1
-    fill[ends[mm]] -= 1
-    inside = np.cumsum(fill[:-1]) > 0
-    idx = np.arange(n)
-    last_lit = np.maximum.accumulate(np.where(~inside, idx, -1))
-    out = np.where(inside, out[np.maximum(last_lit, 0)], out).astype(np.uint8)
-    raw = out.tobytes()
-    if zlib.adler32(raw) != adler or ends.size and int(ends[-1]) != n:
-        raise ValueError("TPU-rANS stream corrupt (adler mismatch)")
-    return raw
+    h = _parse_header(stream)
+    if "stored" in h:
+        return h["stored"]
+    syms = rans_decode_interleaved(h["body"], h["states"], h["m"], h["freq"],
+                                   h["nways"])
+    return _reconstruct_bytes(syms, h["xbits"], h["n"], h["adler"])
 
 
 # ------------------------------------------------------- device pipelines
-
-
-def _finish_stream(n, m, nways, freq, states, body, xbits, adler) -> bytes:
-    hdr = bytearray()
-    hdr += bytes([MAGIC, VERSION, int(np.log2(nways)), 0])
-    hdr += int(n).to_bytes(4, "little")
-    hdr += int(m).to_bytes(4, "little")
-    hdr += len(body).to_bytes(4, "little")
-    hdr += len(xbits).to_bytes(4, "little")
-    used = freq > 0
-    hdr += np.packbits(used, bitorder="little").tobytes()
-    hdr += freq[used].astype("<u2").tobytes()
-    hdr += np.asarray(states).astype("<u4").tobytes()
-    return bytes(hdr) + body + xbits + int(adler).to_bytes(4, "big")
 
 
 def rans_batch_device(streams, lengths, raw_cb=None, interpret=None):
@@ -408,13 +458,10 @@ def rans_batch_device(streams, lengths, raw_cb=None, interpret=None):
         stream = _finish_stream(n, int(tok_counts[i]), prk.W_LANES,
                                 freqs[i], states_np[i], body_i, xbits_i,
                                 int(adler_np[i]))
-        if len(stream) >= n + _HDR_FIXED + 1:
+        if len(stream) > n + _STORED_OVERHEAD:
             raw = raw_cb(i) if raw_cb is not None else \
                 np.asarray(streams[i, :n]).tobytes()
-            hdr2 = bytes([MAGIC, VERSION, 0, 1]) + int(n).to_bytes(4, "little") \
-                + (0).to_bytes(4, "little") + int(n).to_bytes(4, "little") \
-                + (0).to_bytes(4, "little")
-            stream = hdr2 + raw + int(adler_np[i]).to_bytes(4, "big")
+            stream = _stored_stream(raw, int(adler_np[i]))
         results.append(stream)
     return results
 
@@ -430,156 +477,70 @@ def rans_decompress_device(stream: bytes, interpret=None) -> bytes:
 
     from ..ops import pallas_rans as prk
 
-    if len(stream) < _HDR_FIXED or stream[0] != MAGIC:
-        raise ValueError("not a TPU-rANS stream")
-    nways = 1 << stream[2]
-    flags = stream[3]
-    n = int.from_bytes(stream[4:8], "little")
-    m = int.from_bytes(stream[8:12], "little")
-    body_bytes = int.from_bytes(stream[12:16], "little")
-    xbits_bytes = int.from_bytes(stream[16:20], "little")
-    p = _HDR_FIXED
-    if flags & 1 or nways != prk.W_LANES:
-        # stored block, or a lane count the kernel isn't built for
-        return decompress(stream)
-    used = np.unpackbits(
-        np.frombuffer(stream[p: p + (N_SYM + 7) // 8], np.uint8),
-        bitorder="little")[:N_SYM].astype(bool)
-    p += (N_SYM + 7) // 8
-    n_used = int(used.sum())
-    freq = np.zeros(N_SYM, np.int64)
-    freq[used] = np.frombuffer(stream[p: p + 2 * n_used], "<u2")
-    p += 2 * n_used
-    states = np.frombuffer(stream[p: p + 4 * nways], "<u4").astype(np.int64)
-    p += 4 * nways
-    body = stream[p: p + body_bytes]
-    p += body_bytes
-    xbits = stream[p: p + xbits_bytes]
-    p += xbits_bytes
-    adler = int.from_bytes(stream[p: p + 4], "big")
-
-    body_rev = np.frombuffer(body, np.uint8)[::-1].copy()
+    h = _parse_header(stream)
+    if "stored" in h:
+        return h["stored"]
+    if h["nways"] != prk.W_LANES:
+        # a lane count the kernel isn't built for: fast host decode
+        return _host_decompress(stream)
+    m = h["m"]
+    body_rev = np.frombuffer(h["body"], np.uint8)[::-1].copy()
     bw = -(-max(body_rev.size, 4) // 512) * 512
     body_pad = np.zeros((1, bw), np.uint8)
     body_pad[0, : body_rev.size] = body_rev
     npad = -(-max(m, 1) // prk.CH_R) * prk.CH_R
-    tab = prk.decode_tables_radix(freq)[None]
+    tab = prk.decode_tables_radix(h["freq"])[None]
     syms = np.asarray(prk.rans_decode_pallas(
-        jnp.asarray(body_pad), jnp.asarray(states.astype(np.int32))[None],
+        jnp.asarray(body_pad),
+        jnp.asarray(h["states"].astype(np.int64).astype(np.int32))[None],
         np.array([m], np.int32), npad, tab, interpret=interpret))[0, :m]
-
-    eb = np.where(syms < 256, 0,
-                  LEN_EXTRA[np.clip(syms - 257, 0, 28)]).astype(np.int64)
-    ev = _unpack_bits(xbits, eb)
-    takes = _syms_to_tokens(syms, ev)
-    ends = np.cumsum(takes)
-    out = np.zeros(n, np.uint8)
-    starts = ends - takes
-    lit_mask = syms < 256
-    out[starts[lit_mask]] = syms[lit_mask].astype(np.uint8)
-    fill = np.zeros(n + 1, np.int64)
-    mm = ~lit_mask
-    fill[starts[mm]] += 1
-    fill[ends[mm]] -= 1
-    inside = np.cumsum(fill[:-1]) > 0
-    idx = np.arange(n)
-    last_lit = np.maximum.accumulate(np.where(~inside, idx, -1))
-    out = np.where(inside, out[np.maximum(last_lit, 0)], out).astype(np.uint8)
-    raw = out.tobytes()
-    if zlib.adler32(raw) != adler or (ends.size and int(ends[-1]) != n):
-        raise ValueError("TPU-rANS stream corrupt (adler mismatch)")
-    return raw
+    return _reconstruct_bytes(syms, h["xbits"], h["n"], h["adler"])
 
 
 def rans_decompress_device_batch(streams_in, interpret=None):
     """Batched device symbol decode of scheme-12 streams (the reader's bulk
     path): one kernel invocation decodes every frame's stream, padded to the
-    batch maxima.  Stored-block or non-W_LANES streams fall back per stream.
-    Returns a list of byte payloads."""
+    batch maxima.  Stored-block or non-W_LANES streams fall back per stream
+    to the fast host decoder.  Returns a list of byte payloads."""
     import jax.numpy as jnp
 
     from ..ops import pallas_rans as prk
 
     metas = []
-    for st in streams_in:
-        if len(st) < _HDR_FIXED or st[0] != MAGIC:
-            raise ValueError("not a TPU-rANS stream")
-        nways = 1 << st[2]
-        flags = st[3]
-        if flags & 1 or nways != prk.W_LANES:
+    outs: list = [None] * len(streams_in)
+    for i, st in enumerate(streams_in):
+        h = _parse_header(st)
+        if "stored" in h:
+            outs[i] = h["stored"]
             metas.append(None)
-            continue
-        n = int.from_bytes(st[4:8], "little")
-        m = int.from_bytes(st[8:12], "little")
-        body_bytes = int.from_bytes(st[12:16], "little")
-        xbits_bytes = int.from_bytes(st[16:20], "little")
-        p = _HDR_FIXED
-        used = np.unpackbits(
-            np.frombuffer(st[p: p + (N_SYM + 7) // 8], np.uint8),
-            bitorder="little")[:N_SYM].astype(bool)
-        p += (N_SYM + 7) // 8
-        n_used = int(used.sum())
-        freq = np.zeros(N_SYM, np.int64)
-        freq[used] = np.frombuffer(st[p: p + 2 * n_used], "<u2")
-        p += 2 * n_used
-        states = np.frombuffer(st[p: p + 4 * nways], "<u4").astype(np.int64)
-        p += 4 * nways
-        body = st[p: p + body_bytes]
-        p += body_bytes
-        xbits = st[p: p + xbits_bytes]
-        p += xbits_bytes
-        adler = int.from_bytes(st[p: p + 4], "big")
-        metas.append((n, m, freq, states, body, xbits, adler))
+        elif h["nways"] != prk.W_LANES:
+            outs[i] = _host_decompress(st)
+            metas.append(None)
+        else:
+            metas.append(h)
 
     idxs = [i for i, mt in enumerate(metas) if mt is not None]
-    outs: list = [None] * len(streams_in)
-    for i, mt in enumerate(metas):
-        if mt is None:
-            outs[i] = decompress(streams_in[i])
     if idxs:
         B = len(idxs)
-        m_max = max(metas[i][1] for i in idxs)
+        m_max = max(metas[i]["m"] for i in idxs)
         npad = -(-max(m_max, 1) // prk.CH_R) * prk.CH_R
-        bw = -(-max(max(len(metas[i][4]) for i in idxs), 4) // 512) * 512
+        bw = -(-max(max(len(metas[i]["body"]) for i in idxs), 4) // 512) * 512
         bodies = np.zeros((B, bw), np.uint8)
         states = np.zeros((B, prk.W_LANES), np.int64)
         tabs = np.zeros((B, 96, 128), np.float32)
         ms = np.zeros(B, np.int32)
         for k, i in enumerate(idxs):
-            n, m, freq, st_, body, xb, adler = metas[i]
-            rev = np.frombuffer(body, np.uint8)[::-1]
+            h = metas[i]
+            rev = np.frombuffer(h["body"], np.uint8)[::-1]
             bodies[k, : rev.size] = rev
-            states[k] = st_
-            tabs[k] = prk.decode_tables_radix(freq)
-            ms[k] = m
+            states[k] = h["states"].astype(np.int64)
+            tabs[k] = prk.decode_tables_radix(h["freq"])
+            ms[k] = h["m"]
         syms_all = np.asarray(prk.rans_decode_pallas(
             jnp.asarray(bodies), jnp.asarray(states.astype(np.int32)),
             ms, npad, jnp.asarray(tabs), interpret=interpret))
         for k, i in enumerate(idxs):
-            n, m, freq, st_, body, xb, adler = metas[i]
-            syms = syms_all[k, :m]
-            eb = np.where(syms < 256, 0,
-                          LEN_EXTRA[np.clip(syms - 257, 0, 28)]
-                          ).astype(np.int64)
-            ev = _unpack_bits(xb, eb)
-            takes = _syms_to_tokens(syms, ev)
-            ends = np.cumsum(takes)
-            out = np.zeros(n, np.uint8)
-            starts = ends - takes
-            lit_mask = syms < 256
-            out[starts[lit_mask]] = syms[lit_mask].astype(np.uint8)
-            fill = np.zeros(n + 1, np.int64)
-            mm = ~lit_mask
-            fill[starts[mm]] += 1
-            fill[ends[mm]] -= 1
-            inside = np.cumsum(fill[:-1]) > 0
-            idx = np.arange(n)
-            last_lit = np.maximum.accumulate(np.where(~inside, idx, -1))
-            out = np.where(inside, out[np.maximum(last_lit, 0)],
-                           out).astype(np.uint8)
-            raw = out.tobytes()
-            if zlib.adler32(raw) != adler or (ends.size
-                                              and int(ends[-1]) != n):
-                raise ValueError("TPU-rANS stream corrupt (adler mismatch)")
-            outs[i] = raw
+            h = metas[i]
+            outs[i] = _reconstruct_bytes(syms_all[k, : h["m"]], h["xbits"],
+                                         h["n"], h["adler"])
     return outs

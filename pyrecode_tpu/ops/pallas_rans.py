@@ -445,7 +445,8 @@ def decode_tables_radix(freq: np.ndarray) -> np.ndarray:
     cum = np.zeros(freq.size + 1, np.int64)
     cum[1:] = np.cumsum(freq)
     slot2sym = np.repeat(np.arange(freq.size), freq)
-    assert slot2sym.size == M_TOT
+    if slot2sym.size != M_TOT:  # corrupt table (sum != 4096)
+        raise ValueError("TPU-rANS stream corrupt (frequency table)")
     fs = freq[slot2sym]
     rem = np.arange(M_TOT) - cum[slot2sym]
     out = np.zeros((96, 128), np.float32)

@@ -201,7 +201,7 @@ class InputParams:
         if p["l4_centroiding"] not in (0, 1, 2, 3):
             return fail("L4 centroiding must be 0, 1, 2 or 3")
         if p["compression_scheme"] not in range(13):
-            return fail("Compression scheme must be an integer in [0, 11]")
+            return fail("Compression scheme must be an integer in [0, 12]")
         if not (0 <= int(p["compression_level"]) <= 22):
             return fail("Compression level can be from 0 - 22")
         if p["keep_calibration_data"] not in (0, 1):

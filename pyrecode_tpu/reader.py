@@ -384,7 +384,9 @@ class ReCoDeReader:
                         self._codec.decompress(pv) if pv is not None else None)
 
             with ThreadPoolExecutor(
-                    max_workers=min(count, max(_os.cpu_count() // 2, 1))) as ex:
+                    max_workers=min(count,
+                                    max((_os.cpu_count() or 2) // 2,
+                                        1))) as ex:
                 inflated = list(ex.map(_inflate, raw_blobs))
             for i, (bm, pv) in enumerate(inflated):
                 bitmaps[i] = np.frombuffer(bm, dtype=np.uint8)

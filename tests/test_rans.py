@@ -199,3 +199,83 @@ def test_reader_bulk_device_decode_scheme12(tmp_path):
     dense = r.read_frames_dense(0, 5, use_tpu=True)
     assert np.array_equal(dense, data)
     r.close()
+
+
+def test_batched_device_decode_of_device_streams():
+    """The batched device-decode branch itself (W_LANES streams, mixed with
+    a stored-block stream) — the path TPU bulk reads of device-written
+    containers take."""
+    rng = np.random.default_rng(9)
+    NPAD = 16384
+    raws, streams = [], np.zeros((2, NPAD), np.uint8)
+    lengths = np.zeros(2, np.int32)
+    for i, dens in enumerate([0.03, 0.4]):
+        n = NPAD - 3 - i
+        raw = (rng.integers(0, 256, n)
+               * (rng.random(n) < dens)).astype(np.uint8).tobytes()
+        raws.append(raw)
+        streams[i, :n] = np.frombuffer(raw, np.uint8)
+        lengths[i] = n
+    devs = rans.rans_batch_device(streams, lengths,
+                                  raw_cb=lambda i: raws[i], interpret=True)
+    assert all(1 << d[2] == 1024 for d in devs)  # kernel lane count
+    stored_raw = bytes(rng.integers(0, 256, 500).astype(np.uint8))
+    stored = rans.compress(stored_raw)           # incompressible -> stored
+    assert stored[3] & 1
+    batch = [devs[0], stored, devs[1]]
+    outs = rans.rans_decompress_device_batch(batch, interpret=True)
+    assert outs[0] == raws[0] and outs[2] == raws[1]
+    assert outs[1] == stored_raw
+
+
+def test_corrupt_streams_rejected():
+    """Truncated or bit-flipped streams must raise/fail in every decoder —
+    never read out of bounds or return silently-wrong bytes."""
+    rng = np.random.default_rng(10)
+    raw = (rng.integers(0, 256, 20000)
+           * (rng.random(20000) < 0.05)).astype(np.uint8).tobytes()
+    good = rans.compress(raw)
+
+    def native_fails(blob):
+        if not native.available():
+            return True
+        try:
+            return native.rans_decompress(blob) != raw
+        except ValueError:
+            return True
+
+    def numpy_fails(blob):
+        try:
+            return rans.decompress(blob) != raw
+        except ValueError:
+            return True
+
+    cases = [
+        good[:10],                        # truncated header
+        good[:40],                        # truncated freq table
+        good[: len(good) // 2],           # truncated body
+        bytes([good[0], good[1], 31]) + good[3:],   # absurd lane count
+    ]
+    # bit flips through header/table/body/xbits
+    for off in (2, 5, 9, 25, 60, len(good) // 2, len(good) - 6):
+        cases.append(good[:off] + bytes([good[off] ^ 0x40])
+                     + good[off + 1:])
+    for i, blob in enumerate(cases):
+        assert numpy_fails(blob), ("numpy accepted corrupt stream", i)
+        assert native_fails(blob), ("native accepted corrupt stream", i)
+    # and the good stream still decodes everywhere
+    assert rans.decompress(good) == raw
+    if native.available():
+        assert native.rans_decompress(good) == raw
+
+
+def test_stored_fallback_never_inflates():
+    """The coded stream is only kept when strictly smaller than the stored
+    encoding (n + 24 bytes)."""
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 10, 300, 5000):
+        raw = bytes(rng.integers(0, 256, n).astype(np.uint8))
+        enc = rans.compress(raw)
+        assert len(enc) <= n + 24, (n, len(enc))
+        if native.available():
+            assert native.rans_compress(raw) == enc, n
