@@ -142,3 +142,44 @@ def make_entropy_steps(mesh: Mesh, out_bound: int):
         check_vma=False,
     ))
     return tokenize, assemble
+
+
+def make_rans_steps(mesh: Mesh, out_bound: int, npad_tok: int):
+    """shard_map'd scheme-12 rANS kernels over the 'data' mesh axis.
+
+    Returns ``(encode, decode)``: each device runs the interleaved-rANS
+    coder (ops/pallas_rans.py) on its own shard of dense token streams —
+    the codec whose DECODE also runs on device.
+
+    ``encode(dense (B, NP) u16/i32, eluts (B, 96, 32) f32, m (B,) i32)`` ->
+    (body (B, out_bound') i32-bytes, states (B, W_LANES), counts (B,)).
+    ``decode(body_rev (B, BW) u8, states (B, W_LANES) i32, m (B,) i32,
+    tabs (B, 96, 128) f32)`` -> syms (B, npad_tok) i32.
+    """
+    from ..ops import pallas_rans as prk
+
+    interp = jax.devices()[0].platform != "tpu"
+
+    def _enc(dense, eluts, m):
+        return prk.rans_encode_pallas(dense, eluts, m, out_bound,
+                                      interpret=interp)
+
+    encode = jax.jit(jax.shard_map(
+        _enc, mesh=mesh,
+        in_specs=(P("data", None), P("data", None, None), P("data")),
+        out_specs=(P("data", None), P("data", None), P("data")),
+        check_vma=False,
+    ))
+
+    def _dec(body_rev, states, m, tabs):
+        return prk.rans_decode_pallas(body_rev, states, m, npad_tok, tabs,
+                                      interpret=interp)
+
+    decode = jax.jit(jax.shard_map(
+        _dec, mesh=mesh,
+        in_specs=(P("data", None), P("data", None), P("data"),
+                  P("data", None, None)),
+        out_specs=P("data", None),
+        check_vma=False,
+    ))
+    return encode, decode
