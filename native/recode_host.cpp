@@ -933,6 +933,31 @@ int64_t rans_compress(const uint8_t *src, uint64_t n, uint8_t *out,
     const uint64_t states_pos = p;
     p += 4ull * nways;
 
+    // ---- per-symbol reciprocal tables: the encode becomes divide-free
+    // (alias of the classic rANS encoder symbol precomputation; exactly
+    // reproduces (x/f << 12) + x%f + cum, verified by the byte-identity
+    // fuzz against the numpy reference) ----
+    uint32_t rcp[RANS_NSYM], bias[RANS_NSYM], cmpl[RANS_NSYM];
+    uint32_t rshift[RANS_NSYM], xmaxs[RANS_NSYM];
+    for (int sidx = 0; sidx < RANS_NSYM; ++sidx) {
+        const uint32_t f = freq[sidx];
+        if (!f) continue;
+        xmaxs[sidx] = f << 19;
+        if (f < 2) {
+            rcp[sidx] = ~0u;
+            rshift[sidx] = 0;
+            bias[sidx] = cum[sidx] + RANS_M12 - 1;
+            cmpl[sidx] = RANS_M12 - 1;
+        } else {
+            uint32_t sh = 0;
+            while (f > (1u << sh)) ++sh;
+            rcp[sidx] = (uint32_t)(((1ull << (sh + 31)) + f - 1) / f);
+            rshift[sidx] = sh - 1;
+            bias[sidx] = cum[sidx];
+            cmpl[sidx] = ((uint32_t)1 << 12) - f;
+        }
+    }
+
     // ---- interleaved rANS encode: token order (row desc, lane desc)
     // within rows of nways == plain descending token index ----
     static thread_local std::vector<uint32_t> xs;
@@ -941,11 +966,12 @@ int64_t rans_compress(const uint8_t *src, uint64_t n, uint8_t *out,
     for (uint64_t k = ntok; k-- > 0;) {
         const uint32_t lane = (uint32_t)(k & (nways - 1));
         const uint32_t sym = tokens[k] & 1023;
-        const uint32_t f = freq[sym];
         uint32_t x = xs[lane];
-        const uint32_t xmax = f << 19;   // ((L >> 12) << 8) * f
+        const uint32_t xmax = xmaxs[sym];
         while (x >= xmax) { out[p++] = (uint8_t)x; x >>= 8; }
-        xs[lane] = ((x / f) << 12) + (x % f) + cum[sym];
+        const uint32_t q =
+            (uint32_t)(((uint64_t)x * rcp[sym]) >> 32) >> rshift[sym];
+        xs[lane] = x + bias[sym] + (q << 12) - q * (uint32_t)freq[sym];
     }
     const uint64_t body_bytes = p - body_pos;
     for (uint32_t w = 0; w < nways; ++w) {
