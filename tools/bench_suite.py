@@ -258,6 +258,27 @@ def bench_subtool(script, config):
     return []
 
 
+def bench_rans_subtool():
+    """Harvest both kernel lines (encode + symbol decode) of bench_rans."""
+    import re
+    import subprocess
+
+    proc = subprocess.run([sys.executable, "tools/bench_rans.py"],
+                          capture_output=True, text=True, timeout=3000)
+    if proc.returncode != 0:
+        print(f"bench_rans failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
+        return []
+    out = []
+    for line in proc.stdout.splitlines():
+        m = re.search(r"device rANS (encode|decode):.*->\s*([0-9.]+)\s*GB/s",
+                      line)
+        if m:
+            out.append({"config": f"device rANS {m.group(1)} (scheme 12) "
+                                  "4096^2 L1 bitmap",
+                        "value": float(m.group(2)), "unit": "GB/s"})
+    return out
+
+
 def main():
     from pyrecode_tpu.profiling import enable_compile_cache
     enable_compile_cache()
@@ -278,6 +299,7 @@ def main():
                                  "end-to-end write (relay-independent) 4096^2")
         results += bench_subtool("tools/bench_deflate.py",
                                  "device entropy (TPU deflate) 4096^2 L1 bitmap")
+        results += bench_rans_subtool()
 
     for r in results:
         print(json.dumps(r), file=sys.stderr)
