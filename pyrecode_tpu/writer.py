@@ -550,8 +550,9 @@ class ReCoDeWriter:
                 bitmap, packed, counts_dev, ovf, out_size = res
             counts_np = np.asarray(counts_dev)
             if self._device_entropy:
+                plens = (counts_np.astype(np.int64) * self._bit_depth + 7) // 8
                 recs, t_bm, t_px = self._deflate_on_device(bitmap, packed,
-                                                           counts_np)
+                                                           plens)
                 return ("compressed", (recs, t_bm, t_px))
             bitmaps = np.asarray(bitmap).reshape(batch.shape[0], -1)
             out = []
@@ -564,6 +565,15 @@ class ReCoDeWriter:
                 for i in range(batch.shape[0]):
                     out.append((bitmaps[i].tobytes(), None))
             return ("raw", out)
+        if self._device_entropy:
+            # L2/L4 (and exotic-geometry L1/L3) batches from the XLA path:
+            # the reduced streams are device arrays here too, so the entropy
+            # stage runs on device just like the fused-kernel path
+            plens = np.asarray(res.packed_len).astype(np.int64) \
+                if res.packed is not None else None
+            recs, t_bm, t_px = self._deflate_on_device(res.bitmap,
+                                                       res.packed, plens)
+            return ("compressed", (recs, t_bm, t_px))
         bitmaps = np.asarray(res.bitmap)
         out = []
         if res.packed is not None:
@@ -576,13 +586,15 @@ class ReCoDeWriter:
                 out.append((bitmaps[i].tobytes(), None))
         return ("raw", out)
 
-    def _deflate_on_device(self, bitmap, packed, counts_np: np.ndarray):
-        """TPU entropy stage: deflate bitmap + pixval streams on device.
+    def _deflate_on_device(self, bitmap, packed, plens):
+        """TPU entropy stage: deflate bitmap + packed-value streams on device.
 
-        Only the compressed bytes come back to the host (the raw streams are
-        read back solely for the rare stored-block fallback).  Output is
-        byte-identical to the native sparse-deflate encoder, hence to what
-        the host path would have written.
+        ``plens`` — valid byte count of each frame's packed stream (None
+        when there is no value stream).  Only the compressed bytes come back
+        to the host (the raw streams are read back solely for the rare
+        stored-block fallback).  Output is byte-identical to the
+        corresponding native host encoder, hence to what the host path
+        would have written.
         """
         import jax.numpy as jnp
 
@@ -611,7 +623,6 @@ class ReCoDeWriter:
         if packed is None:
             return [(cbm[i], None, 0) for i in range(B)], t_bm, timedelta(0)
 
-        plens = (counts_np.astype(np.int64) * self._bit_depth + 7) // 8
         n_px = packed.shape[1]
         pad_px = -(-n_px // pdk.CH_A) * pdk.CH_A - n_px
         px = jnp.pad(packed, ((0, 0), (0, pad_px))) if pad_px else packed
