@@ -100,3 +100,61 @@ def test_shard_map_entropy_steps_match_native():
                                   int(adler_np[i]), len(raws[i]),
                                   raw=raws[i])
         assert stream == native.deflate_sparse(raws[i]), i
+
+
+def test_shard_map_rans_steps_roundtrip():
+    """Scheme-12 rANS encode + symbol decode shard_map'd over 8 devices:
+    each shard's decoded symbols must match the tokenizer reference."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pyrecode_tpu.codecs import dyndeflate as dd
+    from pyrecode_tpu.codecs import rans as rcodec
+    from pyrecode_tpu.ops import pallas_deflate as pdk
+    from pyrecode_tpu.ops import pallas_rans as prk
+    from pyrecode_tpu.parallel.multihost import make_rans_steps
+
+    mesh = make_codec_mesh(8, 1)
+    npad = pdk.CH_A
+    rng = np.random.default_rng(17)
+    raws, streams = [], np.zeros((8, npad), np.uint8)
+    lengths = np.zeros(8, np.int32)
+    for i in range(8):
+        n = npad - 5 - 64 * i
+        raw = (rng.integers(0, 256, n)
+               * (rng.random(n) < 0.05)).astype(np.uint8).tobytes()
+        raws.append(raw)
+        streams[i, :n] = np.frombuffer(raw, np.uint8)
+        lengths[i] = n
+    tok, hist, _ = pdk.tokenize_pallas(streams, lengths, interpret=True)
+    hist_np = np.asarray(hist)
+    tok_counts = hist_np[:, :286].sum(axis=1).astype(np.int32)
+    dense, _, covf = pdk.compact_tokens(tok, prk.CH_R, bucket=1,
+                                        interpret=True)
+    assert not bool(np.asarray(covf).any())
+    freqs = [rcodec.quantize_freqs(hist_np[i, :286].astype(np.int64))
+             for i in range(8)]
+    eluts = np.stack([prk.encode_luts_radix(f) for f in freqs])
+    tabs = np.stack([prk.decode_tables_radix(f) for f in freqs])
+    out_bound = 2 * prk.CH_R + 4096
+    encode, decode = make_rans_steps(mesh, out_bound, prk.CH_R)
+    s1 = NamedSharding(mesh, P("data"))
+    s2 = NamedSharding(mesh, P("data", None))
+    s3 = NamedSharding(mesh, P("data", None, None))
+    body, states, cnts = encode(jax.device_put(np.asarray(dense), s2),
+                                jax.device_put(eluts.astype(np.float32), s3),
+                                jax.device_put(tok_counts, s1))
+    rb, rc = np.asarray(body), np.asarray(cnts)
+    bw = -(-max(int(rc.max()), 4) // 512) * 512
+    bodies_rev = np.zeros((8, bw), np.uint8)
+    for i in range(8):
+        bodies_rev[i, : rc[i]] = rb[i, : rc[i]].astype(np.uint8)[::-1]
+    syms = np.asarray(decode(
+        jax.device_put(bodies_rev, s2),
+        jax.device_put(np.asarray(states, np.int32), s2),
+        jax.device_put(tok_counts, s1),
+        jax.device_put(tabs.astype(np.float32), s3)))
+    for i in range(8):
+        lut_idx, _ = dd.tokenize_bytes_np(np.frombuffer(raws[i], np.uint8))
+        ref_syms, _, _ = rcodec._token_syms_and_extras(lut_idx)
+        assert np.array_equal(syms[i, : tok_counts[i]], ref_syms), i

@@ -11,11 +11,11 @@ mkdir -p hw_logs
 run() {
     name=$1; shift
     echo "=== $name ==="
-    timeout 1800 "$@" 2>&1 | tee "hw_logs/$name.log"
+    timeout 1800 stdbuf -oL -eL "$@" 2>&1 | tee "hw_logs/$name.log"
     echo "=== $name exit: $? ==="
 }
-run verify_hw      python tools/verify_hw.py
-run probe_butterfly python tools/probe_butterfly.py
+run verify_hw      python -u tools/verify_hw.py
+run probe_butterfly python -u tools/probe_butterfly.py
 run bench_quick    python bench.py --quick
 run bench_main     python bench.py
 run bench_deflate  python tools/bench_deflate.py
