@@ -152,22 +152,39 @@ def rans_encode_interleaved(syms: np.ndarray, freq: np.ndarray,
     cum[1:] = np.cumsum(freq)
     m = syms.size
     x = np.full(nways, RANS_L, np.int64)
-    emitted: List[int] = []   # emit order; the final buffer is its reverse
+    chunks: List[bytes] = []
     # process whole interleave rows from the last; lanes within a row step
-    # together (vector-friendly), bytes within a row in descending lane order
+    # together (vectorized over lanes, like the device kernel); bytes within
+    # a row in descending lane order, low byte first per lane.  Each lane
+    # emits at most 2 bytes per symbol (x < 2^31, threshold f << 19).
     x_max_mul = (RANS_L >> PROB_BITS) << 8   # per unit freq
     start = (m - 1) - ((m - 1) % nways) if m else 0
+    rev = np.arange(nways - 1, -1, -1)
     for row in range(start, -1, -nways):
-        for lane in range(min(nways - 1, m - 1 - row), -1, -1):
-            i = row + lane
-            s = int(syms[i])
-            f = int(freq[s])
-            xm = x_max_mul * f
-            while x[lane] >= xm:
-                emitted.append(int(x[lane] & 0xFF))
-                x[lane] >>= 8
-            x[lane] = ((x[lane] // f) << PROB_BITS) + (x[lane] % f) + cum[s]
-    return bytes(emitted), x.astype(np.uint32)
+        w = min(nways, m - row)
+        s = syms[row: row + w]
+        f = freq[s]
+        c = cum[s]
+        xr = x[:w]
+        xm = x_max_mul * f
+        e0 = xr >= xm
+        b0 = xr & 0xFF
+        x1 = np.where(e0, xr >> 8, xr)
+        e1 = e0 & (x1 >= xm)
+        b1 = x1 & 0xFF
+        x2 = np.where(e1, x1 >> 8, x1)
+        if e0.any():
+            # (lane desc, low byte first): interleave per-lane (b0, b1)
+            pairs = np.empty((w, 2), np.uint8)
+            pairs[:, 0] = b0
+            pairs[:, 1] = b1
+            keep = np.empty((w, 2), bool)
+            keep[:, 0] = e0
+            keep[:, 1] = e1
+            r = rev[nways - w:] if w != nways else rev
+            chunks.append(pairs[r][keep[r]].tobytes())
+        x[:w] = ((x2 // f) << PROB_BITS) + (x2 % f) + c
+    return b"".join(chunks), x.astype(np.uint32)
 
 
 def rans_decode_interleaved(body: bytes, states: np.ndarray, m: int,
@@ -177,22 +194,33 @@ def rans_decode_interleaved(body: bytes, states: np.ndarray, m: int,
     cum = np.zeros(N_SYM + 1, np.int64)
     cum[1:] = np.cumsum(freq)
     slot2sym = np.repeat(np.arange(N_SYM), freq).astype(np.int64)
-    data = np.frombuffer(body, np.uint8)
+    # body is in emit order: reverse once, then read forward (vectorized
+    # over lanes per row, the same structure as the device kernel; each
+    # lane consumes 0..2 bytes per symbol, decidable from the state alone)
+    drev = np.frombuffer(body, np.uint8)[::-1].astype(np.int64)
     x = np.asarray(states, np.int64).copy()
-    pos = data.size - 1          # body is in emit order: read backward
+    c = 0
     out = np.zeros(m, np.int64)
     for row in range(0, m, nways):
-        for lane in range(min(nways, m - row)):
-            slot = x[lane] & (M - 1)
-            s = slot2sym[slot]
-            out[row + lane] = s
-            x[lane] = freq[s] * (x[lane] >> PROB_BITS) + slot - cum[s]
-            while x[lane] < RANS_L:
-                if pos < 0:
-                    raise ValueError("TPU-rANS stream corrupt (body "
-                                     "underflow)")
-                x[lane] = (x[lane] << 8) | int(data[pos])
-                pos -= 1
+        w = min(nways, m - row)
+        xr = x[:w]
+        slot = xr & (M - 1)
+        s = slot2sym[slot]
+        out[row: row + w] = s
+        xp = freq[s] * (xr >> PROB_BITS) + slot - cum[s]
+        nb = (xp < RANS_L).astype(np.int64) + (xp < (RANS_L >> 8))
+        total = int(nb.sum())
+        if c + total > drev.size:
+            raise ValueError("TPU-rANS stream corrupt (body underflow)")
+        pos = c + np.cumsum(nb) - nb
+        safe1 = np.minimum(pos, drev.size - 1) if drev.size else pos * 0
+        safe2 = np.minimum(pos + 1, drev.size - 1) if drev.size else pos * 0
+        b1 = drev[safe1] if drev.size else np.zeros(w, np.int64)
+        b2 = drev[safe2] if drev.size else np.zeros(w, np.int64)
+        x1 = np.where(nb >= 1, (xp << 8) | b1, xp)
+        x2 = np.where(nb == 2, (x1 << 8) | b2, x1)
+        x[:w] = x2
+        c += total
     return out
 
 
