@@ -116,15 +116,19 @@ def tokenize_bytes_np(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     n = x.size
     if n == 0:
         return (np.zeros(0, np.int32),) * 2
-    idx = np.arange(n, dtype=np.int64)
+    # int32 throughout: n < 2^31 by the container format, and the narrower
+    # lanes roughly halve this oracle's wall time (it sits on every numpy
+    # codec path and most entropy tests)
+    idx = np.arange(n, dtype=np.int32)
     change = np.ones(n, dtype=bool)
     change[1:] = x[1:] != x[:-1]
     # s: index of this byte's run start (last change at or before i)
-    s = np.maximum.accumulate(np.where(change, idx, -1))
+    s = np.maximum.accumulate(np.where(change, idx, -1).astype(np.int32))
     # e: run end (next change after i, or n)
-    starts = np.flatnonzero(change)
-    run_of = np.cumsum(change) - 1           # run ordinal per byte
-    ends = np.append(starts[1:], n)
+    starts = np.flatnonzero(change).astype(np.int32)
+    run_of = np.cumsum(change, dtype=np.int32)
+    run_of -= 1                              # run ordinal per byte
+    ends = np.append(starts[1:], np.int32(n))
     e = ends[run_of]
     p = idx - s
     d = e - idx
@@ -132,10 +136,10 @@ def tokenize_bytes_np(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
     is_lit = (p == 0) | (run < 4)
     q = p - 1
-    qm = q % 258
+    qm = q % np.int32(258)
     m0 = (qm == 0) & ~is_lit
-    take = np.where(d >= 261, 258,
-                    np.where(d >= 259, 255, d)).astype(np.int64)
+    take = np.where(d >= 261, np.int32(258),
+                    np.where(d >= 259, np.int32(255), d))
     is_match0 = m0 & (d >= 3)
     is_match255 = (qm == 255) & ~is_lit & ((d == 4) | (d == 5))
     take = np.where(is_match255, d, take)
