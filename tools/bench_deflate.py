@@ -171,25 +171,32 @@ def main():
         print(f"pass B compacted narrow: {dt_bn*1e3:.2f} ms/frame-stream -> "
               f"{n/dt_bn/1e9:.2f} GB/s")
 
-    # ---- fused pass A + A.5 (what the pipeline runs once density is known) --
+    # ---- fused pass A + A.5 (gated feature: only counts toward the total
+    # if it is byte-identical to two-pass ON THIS HARDWARE at this config;
+    # see CLAUDE.md hw-miscompile warning) ----
+    dt_f = float("inf")
     bucket_f = pdk.token_bucket_for(density)
     dense_f, _, _, _, ovf_f = pdk.tokenize_compact_pallas(
         jnp.asarray(streams[0]), jnp.asarray(lengths[0]), bucket_f, tok_bound,
         interpret=False)
-    assert not bool(np.asarray(ovf_f).any()), "fused capacity overflow"
-    assert np.array_equal(np.asarray(dense_f).astype(np.uint16),
-                          np.asarray(dense0)), "fused != two-pass"
+    fused_ok = (not bool(np.asarray(ovf_f).any())
+                and np.array_equal(np.asarray(dense_f).astype(np.uint16),
+                                   np.asarray(dense0)))
+    if not fused_ok:
+        print(f"WARNING: fused tokenize+compact (C1="
+              f"{pdk.TOKEN_BUCKETS[bucket_f]}) != two-pass on this hardware "
+              f"— skipping fused timing (feature stays gated off)")
+    else:
+        def run_f(x):
+            s, ln = x
+            _, hist_, _, _, _ = pdk.tokenize_compact_pallas(
+                s, ln, bucket_f, tok_bound, interpret=False)
+            return jnp.sum(hist_).astype(jnp.float32)
 
-    def run_f(x):
-        s, ln = x
-        _, hist_, _, _, _ = pdk.tokenize_compact_pallas(
-            s, ln, bucket_f, tok_bound, interpret=False)
-        return jnp.sum(hist_).astype(jnp.float32)
-
-    dt_f = scan_time(run_f, xs_a, args.iters)
-    print(f"fused A+A.5 (tokenize+compact, C1="
-          f"{pdk.TOKEN_BUCKETS[bucket_f]}): {dt_f*1e3:.2f} ms/frame-stream "
-          f"-> {n/dt_f/1e9:.2f} GB/s")
+        dt_f = scan_time(run_f, xs_a, args.iters)
+        print(f"fused A+A.5 (tokenize+compact, C1="
+              f"{pdk.TOKEN_BUCKETS[bucket_f]}): {dt_f*1e3:.2f} "
+              f"ms/frame-stream -> {n/dt_f/1e9:.2f} GB/s")
 
     total = min(dt_a + min(dt_b, dt_a5 + dt_bn), dt_f + dt_bn) + dt_h
     print(f"device entropy total: {total*1e3:.2f} ms -> {n/total/1e9:.2f} GB/s "
