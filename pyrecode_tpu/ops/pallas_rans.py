@@ -289,13 +289,16 @@ def encode_luts_radix(freq: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------------- decode
 
-WINW = 768              # decode word window (u32 words = 3072 bytes >= the
-#                         worst-case per-row consumption 2*W + alignment)
+WROWS = 16              # decode word window, (WROWS, 128) u32 word rows:
+#                         8-row-aligned start <= 4095 B behind the cursor +
+#                         worst-case per-row consumption 2*W + word spill
+#                         <= 6148 B = 12.01 rows
 
 
 @functools.lru_cache(maxsize=16)
 def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret):
     n_steps = NPAD // CH_R
+    NROWS = BWORDS // 128
 
     def kernel(body_ref, tab_ref, st_ref, m_ref, syms_ref,
                x_vref, cur_sref):
@@ -311,6 +314,8 @@ def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret):
         lio = jax.lax.broadcasted_iota(jnp.int32, (1, W_LANES), 1)
         io128 = jax.lax.broadcasted_iota(jnp.int32, (128, W_LANES), 0)
         io32 = jax.lax.broadcasted_iota(jnp.int32, (32, W_LANES), 0)
+        io128_2 = jax.lax.broadcasted_iota(jnp.int32, (128, 2 * W_LANES), 0)
+        io16_2 = jax.lax.broadcasted_iota(jnp.int32, (WROWS, 2 * W_LANES), 0)
 
         for r in range(ROWS_R):
             gidx0 = (h * ROWS_R + r) * W_LANES
@@ -340,32 +345,40 @@ def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret):
             pos = cur_sref[0] + incl - nb       # first-byte position, bytes
             total = incl[0, W_LANES - 1]
 
-            # ---- fetch: bilinear gather from an aligned word window ----
-            w0 = (cur_sref[0] >> 2) & ~127
-            win = body_ref[0, :, pl.ds(pl.multiple_of(w0, 128), WINW)]
-            win_i = win.astype(jnp.int32)       # (1, WINW) words
+            # ---- fetch b1@pos, b2@pos+1 with ONE stacked matmul ----
+            # window = 16 sublane rows of 128 words, start 8-row aligned
+            # behind the cursor; both gathers' one-hot columns concatenate
+            # along lanes, the window's lo/hi 16-bit halves stack along M
+            # (all <= 128 rows = one MXU pass), so the whole fetch is a
+            # single (32,128)@(128,2W) product vs the 24 M-padded matmuls
+            # of the per-segment loop it replaces.
+            row0 = (cur_sref[0] >> 9) & ~7
+            w0w = row0 * 128
+            win = body_ref[0, pl.ds(pl.multiple_of(row0, 8), WROWS), :]
+            win_i = win.astype(jnp.int32)            # (WROWS, 128) words
+            widx_a = (pos >> 2) - w0w                # in-window word index
+            widx_b = ((pos + 1) >> 2) - w0w
+            widx2 = jnp.concatenate([widx_a, widx_b], axis=1)  # (1, 2W)
+            bsel2 = jnp.concatenate([pos & 3, (pos + 1) & 3], axis=1)
+            olo2 = ((widx2 & 127) == io128_2).astype(jnp.float32)
+            ohi2 = widx2 >> 7                        # window row, < WROWS
+            lo = (win_i & 0xFFFF).astype(jnp.float32)
+            hi = ((win_i >> 16) & 0xFFFF).astype(jnp.float32)
+            stacked = jnp.concatenate([lo, hi], axis=0)        # (32, 128)
+            prod = jax.lax.dot_general(
+                stacked, olo2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)           # (32, 2W)
+            rowsel = (io16_2 == ohi2).astype(jnp.float32)
+            sel_lo = jnp.sum(rowsel * prod[0:WROWS], axis=0, keepdims=True)
+            sel_hi = jnp.sum(rowsel * prod[WROWS:2 * WROWS], axis=0,
+                             keepdims=True)
+            word2 = sel_lo.astype(jnp.int32) \
+                + (sel_hi.astype(jnp.int32) << 16)
+            byte2 = (word2 >> (8 * bsel2)) & 255
+            b1 = byte2[:, :W_LANES]
+            b2 = byte2[:, W_LANES:]
 
-            def fetch(p):
-                widx = (p >> 2) - w0            # in-window word, < WINW
-                bsel = p & 3
-                olo = ((widx & 127) == io128).astype(jnp.float32)
-                ohi = widx >> 7                 # < WINW/128 = 6
-                got = jnp.zeros((1, W_LANES), jnp.int32)
-                for j in range(WINW // 128):
-                    seg = win_i[:, 128 * j: 128 * (j + 1)]
-                    lo = (seg & 0xFFFF).astype(jnp.float32)
-                    hi = ((seg >> 16) & 0xFFFF).astype(jnp.float32)
-                    mlo = jnp.dot(lo, olo, preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST)
-                    mhi = jnp.dot(hi, olo, preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST)
-                    word = mlo.astype(jnp.int32) \
-                        + (mhi.astype(jnp.int32) << 16)
-                    got = got + jnp.where(ohi == j, word, 0)
-                return (got >> (8 * bsel)) & 255
-
-            b1 = fetch(pos)
-            b2 = fetch(pos + 1)
             x1 = jnp.where(nb >= 1, (xp << 8) | b1, xp)
             x2 = jnp.where(nb == 2, (x1 << 8) | b2, x1)
             x_vref[...] = jnp.where(active, x2, x)
@@ -377,7 +390,7 @@ def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret):
         kernel,
         grid=(B, n_steps),
         in_specs=[
-            pl.BlockSpec((1, 1, BWORDS), lambda b, h: (b, 0, 0),
+            pl.BlockSpec((1, NROWS, 128), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 96, 128), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -420,16 +433,16 @@ def rans_decode_pallas(body_rev, states, m, npad, tab, interpret=None):
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     B, BW = body_rev.shape
-    assert BW % 4 == 0 and npad % CH_R == 0
-    # the kernel always reads full word windows, and the cursor can sit at
-    # the body's very end: pad every body by one full window
-    pad = 4 * (WINW + 128)
+    assert BW % 512 == 0 and npad % CH_R == 0
+    # the kernel always reads full (WROWS, 128) word windows, and the cursor
+    # can sit at the body's very end: pad every body by one full window
+    pad = WROWS * 512
     body_rev = jnp.pad(body_rev, ((0, 0), (0, pad)))
     BW = BW + pad
     words = jax.vmap(lambda v: jax.lax.bitcast_convert_type(
         v.reshape(BW // 4, 4), jnp.int32).reshape(BW // 4))(body_rev)
     call = _build_rans_decode_kernel(B, npad, BW // 4, bool(interpret))
-    syms = call(words.reshape(B, 1, BW // 4),
+    syms = call(words.reshape(B, BW // 512, 128),
                 jnp.asarray(tab),
                 jnp.asarray(states).astype(jnp.int32).reshape(B, 1, W_LANES),
                 jnp.asarray(m).reshape(B, 1, 1).astype(jnp.int32))[0]

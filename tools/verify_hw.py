@@ -110,6 +110,35 @@ def main() -> int:
                                  np.asarray(dense0)))
         check("fused tokenize+compact vs two-pass", ok)
 
+    # ---- TPU-rANS (scheme 12): device encode byte-identity vs the numpy
+    # reference codec, and device symbol decode round-trip — across sparse
+    # bitmap-like, dense-random and runs-heavy streams ----
+    from pyrecode_tpu.codecs import rans as rans_codec
+    from pyrecode_tpu.ops import pallas_deflate as pdk2
+
+    rraws = []
+    for dens in (0.01, 0.25):
+        n = (1 << 18) - 13
+        rraws.append((rng.integers(0, 256, n)
+                      * (rng.random(n) < dens)).astype(np.uint8).tobytes())
+    rraws.append(bytes(rng.integers(0, 256, (1 << 17) + 9).astype(np.uint8)))
+    npad_r = max(-(-len(r) // pdk2.CH_A) * pdk2.CH_A for r in rraws)
+    rstreams = np.zeros((len(rraws), npad_r), np.uint8)
+    rlens = np.zeros(len(rraws), np.int32)
+    for i, r in enumerate(rraws):
+        rstreams[i, : len(r)] = np.frombuffer(r, np.uint8)
+        rlens[i] = len(r)
+    rencs = rans_codec.rans_batch_device(rstreams, rlens,
+                                         raw_cb=lambda i: rraws[i],
+                                         interpret=False)
+    from pyrecode_tpu.ops import pallas_rans as prk
+
+    for i, (raw, enc) in enumerate(zip(rraws, rencs)):
+        ident = enc == rans_codec.compress(raw, nways=prk.W_LANES)
+        dec = rans_codec.rans_decompress_device(enc, interpret=False)
+        check(f"rANS stream {i} (n={len(raw)}) device enc+dec",
+              ident and dec == raw)
+
     # ---- L1 decode vs dense reconstruction ----
     from pyrecode_tpu import ops
 
