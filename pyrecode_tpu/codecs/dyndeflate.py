@@ -194,6 +194,38 @@ def assemble_bits_np(vals: np.ndarray, nbits: np.ndarray, phase: int = 0,
     return out, total
 
 
+def quantize_bound(n: int, ch: int) -> int:
+    """Round ``n`` up to the next quarter-octave grid point that is a
+    multiple of ``ch``.
+
+    Token/output bounds are static kernel shapes, so every distinct bound
+    costs one (cached) compile; pow2 rounding bounds the shape count but
+    wastes up to 2x assembly grid steps on slots that hold no token.  A
+    {1, 1.25, 1.5, 1.75}x2^k grid keeps <= 4 shapes per octave while capping
+    the slack at 25%.
+    """
+    n = max(int(n), 1)
+    m = max((n - 1).bit_length() - 1, 0)
+    step = max(1 << max(m - 2, 0), ch)
+    return max(-(-n // step) * step, ch)
+
+
+def stored_blocks(raw: bytes, n: int) -> bytes:
+    """RFC 1951 stored (btype 00) blocks wrapping ``raw[:n]`` + zlib header."""
+    pieces = [b"\x78\x01"]
+    k = 0
+    while True:
+        take = min(n - k, 65535)
+        final = 1 if k + take >= n else 0
+        pieces.append(bytes([final, take & 0xFF, take >> 8,
+                             (~take) & 0xFF, ((~take) >> 8) & 0xFF]))
+        pieces.append(raw[k: k + take])
+        k += take
+        if k >= n:
+            break
+    return b"".join(pieces)
+
+
 def finish_stream(hdr_bytes: np.ndarray, hdr_bits: int, body: np.ndarray,
                   body_bits: int, adler: int, n: int,
                   raw: Optional[bytes] = None) -> bytes:
@@ -209,18 +241,7 @@ def finish_stream(hdr_bytes: np.ndarray, hdr_bits: int, body: np.ndarray,
     stream = full_hdr + body[: (body_bits + 7) // 8].tobytes()
     stored_size = 2 + n + 5 * (n // 65535 + 1)
     if len(stream) > stored_size and raw is not None:
-        pieces = [b"\x78\x01"]
-        k = 0
-        while True:
-            take = min(n - k, 65535)
-            final = 1 if k + take >= n else 0
-            pieces.append(bytes([final, take & 0xFF, take >> 8,
-                                 (~take) & 0xFF, ((~take) >> 8) & 0xFF]))
-            pieces.append(raw[k: k + take])
-            k += take
-            if k >= n:
-                break
-        stream = b"".join(pieces)
+        stream = stored_blocks(raw, n)
     return stream + int(adler).to_bytes(4, "big")
 
 
@@ -314,7 +335,7 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
             and hint < 0.5:
         bucket = pdk.token_bucket_for(hint)
         est = max(int(max_len * hint * 1.6), 1)
-        tok_bound = max(pdk.CH_B, 1 << (est - 1).bit_length())
+        tok_bound = quantize_bound(est, pdk.CH_B)
         for _ in range(len(pdk.TOKEN_BUCKETS) + 1):
             if tok_bound >= npad:
                 break  # not worth compacting: fall through to dense path
@@ -333,8 +354,7 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
             # the histogram is exact even on overflow: retry with the exact
             # per-batch bound and the next row capacity up (the top bucket
             # equals the row width and cannot overflow)
-            tok_bound = max(pdk.CH_B,
-                            1 << int(np.ceil(np.log2(max(tok_max, 1)))))
+            tok_bound = quantize_bound(tok_max, pdk.CH_B)
             bucket = min(bucket + 1, len(pdk.TOKEN_BUCKETS) - 1)
 
     # ---- two-pass fallback: tokenize, then compact if worthwhile ----
@@ -345,8 +365,9 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
         adler_np = np.asarray(adler)
         tok_counts = hist_np[:, :286].sum(axis=1).astype(np.int64)
         tok_max = int(tok_counts.max()) if B else 0
-        # pow2 quantization bounds the number of distinct kernel shapes
-        tok_bound = max(pdk.CH_B, 1 << int(np.ceil(np.log2(max(tok_max, 1)))))
+        # quarter-octave quantization bounds the number of distinct kernel
+        # shapes while keeping assembly-grid slack under 25%
+        tok_bound = quantize_bound(tok_max, pdk.CH_B)
         if compact is None:
             compact = tok_bound < npad
         if compact and tok_bound < npad:
@@ -403,6 +424,33 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
         phases[i] = hbits % 8
         partials[i] = int(hb[-1]) if hbits % 8 else 0
         body_bits_exact[i] = body_bits
+
+    # ---- early stored-block decision ----
+    # The dynamic-block size is EXACT from the histogram + tables (extra
+    # bits per length code are fixed), so the stored-vs-dynamic choice is
+    # known before assembly.  When every stream in the batch takes stored
+    # blocks (high-entropy streams, e.g. packed pixel intensities of
+    # near-uniform residuals), skip the assembly kernel entirely — the same
+    # rule zlib itself applies, producing byte-identical output to the
+    # late fallback below and to the native encoder.
+    if B:
+        def _final_len(i):
+            bits2 = int(phases[i]) + int(body_bits_exact[i]) + eobs[i][1]
+            return hdr_bits[i] // 8 + (bits2 + 7) // 8
+
+        def _stored_size(i):
+            n = int(lengths[i])
+            return 2 + n + 5 * (n // 65535 + 1)
+
+        if all(_final_len(i) > _stored_size(i) for i in range(B)):
+            results = []
+            for i in range(B):
+                n = int(lengths[i])
+                raw = raw_cb(i) if raw_cb is not None else \
+                    np.asarray(streams[i, :n]).tobytes()
+                results.append(stored_blocks(raw, n)
+                               + int(adler_np[i]).to_bytes(4, "big"))
+            return results
 
     # ---- scatter-window preset: expected bits in a full CH_B-token step ----
     slots_used = np.maximum(

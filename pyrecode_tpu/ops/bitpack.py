@@ -89,6 +89,42 @@ def bitpack_values(values: jax.Array, bit_depth: int) -> jax.Array:
     return out.reshape(*lead, (n // g_vals) * g_bytes)
 
 
+def packed_word_group_shape(bit_depth: int):
+    """(values per group, i32 words per group) for a ``bit_depth``-bit stream."""
+    l = math.lcm(32, bit_depth)
+    return l // bit_depth, l // 32
+
+
+@partial(jax.jit, static_argnames=("bit_depth",))
+def bitpack_values_words(values: jax.Array, bit_depth: int) -> jax.Array:
+    """Word-oriented :func:`bitpack_values`: identical output bytes, but the
+    combine runs on 32-bit lanes (one minor-dim relayout of words instead of
+    bytes — 4x fewer elements through the TPU's expensive small-minor-dim
+    transpose).  ``n`` must be a multiple of ``lcm(32, bit_depth) /
+    bit_depth``.
+    """
+    g_vals, g_words = packed_word_group_shape(bit_depth)
+    *lead, n = values.shape
+    if n % g_vals:
+        raise ValueError(f"n={n} must be a multiple of the word group size {g_vals}")
+    v = values.reshape(*lead, n // g_vals, g_vals).astype(jnp.uint32)
+
+    out_words = []
+    for j in range(g_words):
+        acc = None
+        for k in range(g_vals):
+            lo, hi = k * bit_depth, (k + 1) * bit_depth  # bit span of value k
+            if hi <= 32 * j or lo >= 32 * (j + 1):
+                continue
+            shift = lo - 32 * j
+            piece = v[..., k] << shift if shift >= 0 else v[..., k] >> (-shift)
+            acc = piece if acc is None else acc | piece
+        out_words.append(acc)
+    w = jnp.stack(out_words, axis=-1)                    # (..., G, g_words)
+    by = jax.lax.bitcast_convert_type(w, jnp.uint8)      # (..., G, g_words, 4)
+    return by.reshape(*lead, (n // g_vals) * g_words * 4)
+
+
 @partial(jax.jit, static_argnames=("bit_depth", "out_dtype"))
 def bitunpack_values(packed: jax.Array, bit_depth: int, out_dtype=jnp.uint32) -> jax.Array:
     """Unpack a ``bit_depth``-bit stream (..., m) into values (..., m*8/b).

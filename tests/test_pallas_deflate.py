@@ -321,3 +321,41 @@ def test_writer_device_entropy_l2_l4(tmp_path, level, scheme):
     fd = r.get_next_frame()
     assert fd is not None
     r.close()
+
+
+def test_all_stored_batch_skips_assembly_byte_identical():
+    """A batch where EVERY stream is incompressible takes the early
+    stored-block path (no assembly kernel run) and must stay byte-identical
+    to the native encoder and to zlib round-trip."""
+    rng = np.random.default_rng(99)
+    raws = [bytes(rng.integers(0, 256, n).astype(np.uint8))
+            for n in (5000, pdk.CH_A, 3 * pdk.CH_A - 7)]
+    npad = 3 * pdk.CH_A
+    streams, lengths = _pack(raws, npad)
+    calls = []
+    orig = pdk.assemble_pallas
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    pdk.assemble_pallas, spy_saved = spy, orig
+    try:
+        outs = dd.deflate_batch_device(streams, lengths,
+                                       raw_cb=lambda i: raws[i],
+                                       interpret=True)
+    finally:
+        pdk.assemble_pallas = spy_saved
+    assert not calls, "assembly kernel ran on an all-stored batch"
+    for i, (raw, got) in enumerate(zip(raws, outs)):
+        assert got == native.deflate_sparse(raw), i
+        assert zlib.decompress(got) == raw, i
+
+
+def test_quantize_bound_grid():
+    ch = pdk.CH_B
+    for n in (1, ch - 1, ch, ch + 1, 460_699, 690_000, 1 << 20):
+        b = dd.quantize_bound(n, ch)
+        assert b >= max(n, ch) and b % ch == 0
+        assert b < 1.25 * max(n, ch) + ch  # slack cap
+    assert dd.quantize_bound(690_000, ch) == 786_432

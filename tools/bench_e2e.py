@@ -104,13 +104,33 @@ def main():
     pk_pad0 = jnp.pad(pk0[:1], ((0, 0), (0, npad_pk - n_pk)))
     tab_bm, nw_bm, tok0 = tables_for(bm_pad0, n_bm)
     plen0 = int((int(np.asarray(cnt0)[0]) * 12 + 7) // 8)
-    tab_pk, nw_pk, _ = tables_for(pk_pad0, plen0)
+    tab_pk, nw_pk, tok_pk0 = tables_for(pk_pad0, plen0)
     out_pk = -(-(2 * npad_pk + 256) // 128) * 128
 
+    # stored-vs-dynamic decision for the pixval stream, same EXACT rule as
+    # dyndeflate.deflate_batch_device: high-entropy packed intensities take
+    # RFC1951 stored blocks (smaller output, no assembly kernel) — the
+    # per-frame histogram/adler still runs on device (tokenize pass)
+    def dyn_final_len(stream_row, n):
+        _, hist, _ = pdk.tokenize_pallas(stream_row, np.array([n], np.int32),
+                                         interpret=False)
+        lfreq = np.asarray(hist)[0, :286].astype(np.uint32).copy()
+        lfreq[256] += 1
+        llen, lcode = native.dyn_tables(lfreq)
+        hb, hbits = native.dyn_header(llen)
+        f = np.asarray(hist)[0, :286].astype(np.int64)
+        sb = llen[:286].astype(np.int64).copy()
+        sb[257:286] += LEN_EXTRA[: 286 - 257].astype(np.int64) + 1
+        bits2 = hbits % 8 + int((f * sb).sum()) + int(llen[256])
+        return hbits // 8 + (bits2 + 7) // 8
+
+    pk_stored = dyn_final_len(pk_pad0, plen0) > \
+        2 + plen0 + 5 * (plen0 // 65535 + 1)
+    print(f"pixval stream mode: {'stored blocks' if pk_stored else 'dynamic'}")
+
     # bitmap stream: token-compact before assembly — the production path
-    # (bounds sized from frame 0's histogram + margin)
-    tok_bound = max(pdk.CH_B,
-                    1 << int(np.ceil(np.log2(max(int(tok0 * 1.5), 1)))))
+    # (bound quantized from frame 0's histogram, dyndeflate.quantize_bound)
+    tok_bound = dd.quantize_bound(int(tok0 * 1.02), pdk.CH_B)
     cbkt = pdk.compact_bucket_for(tok0 / n_bm)
     out_bm = -(-(min(2 * npad_bm,
                      (tok_bound * pdk.MAX_TOKEN_BITS + 7) // 8) + 256)
@@ -134,11 +154,15 @@ def main():
                                                   interpret=False)
         tok_pk, hist_pk, ad_pk = pdk.tokenize_pallas(pk, lens_pk,
                                                      interpret=False)
-        body_pk, bits_pk, _ = pdk.assemble_pallas(tok_pk, *tab_pk,
-                                                  out_pk, nw=nw_pk,
-                                                  interpret=False)
+        if pk_stored:
+            bits_pk = jnp.zeros((), jnp.int32)  # stored: no assembly pass
+        else:
+            body_pk, bits_pk, _ = pdk.assemble_pallas(tok_pk, *tab_pk,
+                                                      out_pk, nw=nw_pk,
+                                                      interpret=False)
         return (jnp.sum(bits_bm) + jnp.sum(bits_pk)
                 + jnp.sum(ad_bm.astype(jnp.uint32)).astype(jnp.int32)
+                + jnp.sum(ad_pk.astype(jnp.uint32)).astype(jnp.int32)
                 + jnp.sum(covf.astype(jnp.int32))
                 + jnp.sum(hist_pk) + jnp.sum(counts)).astype(jnp.float32)
 
@@ -149,14 +173,14 @@ def main():
     print(f"device chain (encode+pack+deflate both streams): "
           f"{dt_dev*1e3:.2f} ms/{B}-frame batch -> {dev_gbps:.2f} GB/s raw")
 
-    # ---- host stage: table build x2 + record assembly per frame ----
+    # ---- host stage: table build x2 + record assembly per frame (and the
+    # stored-block splice when the pixval stream takes that path) ----
     reps = 20
     cbm = native.deflate_sparse(np.asarray(bm0[0]).tobytes())
-    cpx = native.deflate_sparse(np.asarray(pk0[0, :plen0]).tobytes())
+    raw_pk = np.asarray(pk0[0, :plen0]).tobytes()
+    cpx = native.deflate_sparse(raw_pk)
     t0 = time.perf_counter()
     for _ in range(reps):
-        for tab_src, n in ((bm_pad0, n_bm),):
-            pass
         lfreq = np.zeros(286, np.uint32)
         lfreq[0] = 100
         lfreq[256] = 1
@@ -164,12 +188,16 @@ def main():
             llen, lcode = native.dyn_tables(lfreq)
             hb, hbits = native.dyn_header(llen)
             dd.luts_as_radix(llen, lcode)
+        if pk_stored:
+            cpx = dd.stored_blocks(raw_pk, plen0) + b"\x00\x00\x00\x00"
         rec = (b"\x00" * 4 + len(cbm).to_bytes(4, "little")
                + len(cpx).to_bytes(4, "little") + plen0.to_bytes(4, "little")
                + cbm + cpx)
         del rec
     dt_host = (time.perf_counter() - t0) / reps
-    print(f"host stage (tables x2 + record assembly): {dt_host*1e3:.2f} ms/frame")
+    print(f"host stage (tables x2 + record assembly"
+          f"{' + stored splice' if pk_stored else ''}): "
+          f"{dt_host*1e3:.2f} ms/frame")
 
     per_frame = dt_dev / B + dt_host
     total_gbps = (n_px * 2) / per_frame / 1e9
