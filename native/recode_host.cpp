@@ -1134,4 +1134,42 @@ int64_t rans_decompress(const uint8_t *src, uint64_t len, uint8_t *out,
     return adler_of(out, n) == want ? (int64_t)n : -1;
 }
 
+// Reconstruct the byte stream from an ALREADY-DECODED symbol array (the
+// device rANS kernel's output) + the extra-bit stream: literals emit their
+// byte, matches memset-copy the previous byte (all distance 1).  This is
+// the host half of codecs/rans.rans_decompress_device — memcpy-class, so
+// the device decode path is not bottlenecked by numpy per-token passes.
+// Returns n on success, -1 on malformed input (bounds are validated the
+// same way as rans_decompress above; the adler check stays in Python).
+int64_t rans_reconstruct(const int32_t *syms, uint64_t m,
+                         const uint8_t *xbits, uint64_t xbits_bytes,
+                         uint8_t *out, uint64_t n) {
+    uint64_t xb_bit = 0, o = 0;
+    for (uint64_t k = 0; k < m; ++k) {
+        const int32_t sv = syms[k];
+        if (sv < 0 || sv >= RANS_NSYM || sv == 256) return -1;
+        if (sv < 256) {
+            if (o >= n) return -1;
+            out[o++] = (uint8_t)sv;
+        } else {
+            const uint32_t c = (uint32_t)sv - 257;
+            if (c >= 29) return -1;
+            uint32_t take = RANS_LEN_BASE[c];
+            const uint32_t eb = RANS_LEN_EXTRA[c];
+            if (eb) {
+                if ((xb_bit + eb + 7) / 8 > xbits_bytes) return -1;
+                uint32_t ev = 0;
+                for (uint32_t b = 0; b < eb; ++b, ++xb_bit)
+                    ev |= (uint32_t)((xbits[xb_bit >> 3] >> (xb_bit & 7)) & 1)
+                          << b;
+                take += ev;
+            }
+            if (o == 0 || o + take > n) return -1;
+            std::memset(out + o, out[o - 1], take);
+            o += take;
+        }
+    }
+    return o == (uint64_t)n ? (int64_t)o : -1;
+}
+
 }  // extern "C"

@@ -96,6 +96,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.rans_decompress.restype = ctypes.c_int64
         lib.rans_decompress.argtypes = [u8p, ctypes.c_uint64, u8p,
                                         ctypes.c_uint64]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.rans_reconstruct.restype = ctypes.c_int64
+        lib.rans_reconstruct.argtypes = [i32p, ctypes.c_uint64, u8p,
+                                         ctypes.c_uint64, u8p,
+                                         ctypes.c_uint64]
         _lib = lib
         return _lib
 
@@ -274,6 +279,29 @@ def rans_decompress(stream) -> bytes:
     if got < 0:
         raise ValueError("TPU-rANS stream corrupt")
     return out[:got].tobytes()
+
+
+def rans_reconstruct(syms: np.ndarray, xbits: bytes, n: int
+                     ) -> Optional[bytes]:
+    """Symbols (device rANS decode output) + extra bits -> raw bytes.
+
+    Returns None when the native library is unavailable (callers fall back
+    to the numpy path); raises on malformed input.  The adler check is the
+    caller's responsibility (codecs/rans._reconstruct_bytes)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(np.asarray(syms), dtype=np.int32)
+    xb = np.frombuffer(bytes(xbits), dtype=np.uint8) if xbits else \
+        np.zeros(0, np.uint8)
+    out = np.empty(max(int(n), 1), dtype=np.uint8)
+    got = lib.rans_reconstruct(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_uint64(s.size), _u8ptr(np.ascontiguousarray(xb)),
+        ctypes.c_uint64(xb.size), _u8ptr(out), ctypes.c_uint64(int(n)))
+    if got < 0:
+        raise ValueError("TPU-rANS symbol stream corrupt")
+    return out[: int(n)].tobytes()
 
 
 def dyn_tables(lfreq: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

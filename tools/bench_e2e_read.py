@@ -1,0 +1,191 @@
+"""Relay-independent end-to-end READ throughput at 4096^2 (scheme 12).
+
+Mirror of tools/bench_e2e.py for the decode direction, at the production
+operating point (1% occupancy, 12-bit, L1, mode 1, TPU-rANS entropy):
+
+* **device entropy decode** — the interleaved-rANS symbol kernel over both
+  per-frame streams (bitmap tokens + packed-pixval tokens), timed with the
+  delta-scan method;
+* **host reconstruction** — per-stream extra-bit unpack + literal/run byte
+  fill (memset-class, codecs/rans._reconstruct_bytes), timed on this host;
+* **device L1 decode** — fused bit-unpack + sparse->dense scatter kernel
+  (ops/pallas_decode.py).
+
+The reported metric divides the DENSE frame bytes (what the consumer reads)
+by the summed per-frame time — comparable to the reference's decode loop
+(recode_reader.py:379-462 + reader.h:10-68), which runs zlib + a scalar C
+loop on host.
+
+Usage: python tools/bench_e2e_read.py [--size 4096] [--batch 4]
+       [--occupancy 0.01]
+"""
+
+import argparse
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyrecode_tpu.profiling import enable_compile_cache
+
+enable_compile_cache()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--occupancy", type=float, default=0.01)
+    ap.add_argument("--scan", type=int, default=10)
+    args = ap.parse_args()
+
+    from pyrecode_tpu import oracle
+    from pyrecode_tpu.codecs import rans
+    from pyrecode_tpu.ops import pallas_decode, pallas_rans as prk
+    from pyrecode_tpu.profiling import delta_scan_time
+
+    size, B = args.size, args.batch
+    n_px = size * size
+    rng = np.random.default_rng(0)
+    frames = (rng.integers(1, 4096, (B, size, size))
+              * (rng.random((B, size, size)) < args.occupancy)
+              ).astype(np.uint16)
+    thr = np.zeros((size, size), np.uint16)
+
+    # ---- produce the per-frame container streams (host oracle + rANS) ----
+    bitmaps, packeds, streams = [], [], []
+    for i in range(B):
+        red = oracle.reduce_frame(frames[i], thr, 1, 12)
+        bitmaps.append(np.frombuffer(red["packed_binary_map"], np.uint8))
+        packeds.append(np.frombuffer(red["packed_pixvals"], np.uint8))
+        streams.append(
+            (rans.compress(red["packed_binary_map"], nways=1024),
+             rans.compress(red["packed_pixvals"], nways=1024)))
+    print(f"bm stream {len(bitmaps[0])} B -> {len(streams[0][0])} B, "
+          f"pk stream {len(packeds[0])} B -> {len(streams[0][1])} B")
+
+    # the pixval stream of near-uniform residuals is incompressible, so the
+    # codec (correctly) emits it as a STORED stream -> its decode is a host
+    # memcpy; only the bitmap stream exercises the device rANS kernel
+    pk_stored = all("stored" in rans._parse_header(streams[i][1])
+                    for i in range(B))
+    print(f"pixval stream mode: {'stored' if pk_stored else 'rANS'}")
+
+    # ---- batched device inputs for each stream kind ----
+    def batch_inputs(kind):
+        metas = [rans._parse_header(streams[i][kind]) for i in range(B)]
+        assert all("stored" not in h and h["nways"] == prk.W_LANES
+                   for h in metas), "fixture produced stored/foreign streams"
+        m_max = max(h["m"] for h in metas)
+        npad = -(-max(m_max, 1) // prk.CH_R) * prk.CH_R
+        bw = -(-max(max(len(h["body"]) for h in metas), 4) // 512) * 512
+        bodies = np.zeros((B, bw), np.uint8)
+        states = np.zeros((B, prk.W_LANES), np.int32)
+        tabs = np.zeros((B, 96, 128), np.float32)
+        ms = np.zeros(B, np.int32)
+        for i, h in enumerate(metas):
+            body_rev = np.frombuffer(h["body"], np.uint8)[::-1]
+            bodies[i, : body_rev.size] = body_rev
+            states[i] = h["states"].astype(np.int64).astype(np.int32)
+            tabs[i] = prk.decode_tables_radix(h["freq"])
+            ms[i] = h["m"]
+        return metas, jnp.asarray(bodies), jnp.asarray(states), \
+            jnp.asarray(tabs), ms, npad
+
+    meta_bm, bod_bm, st_bm, tab_bm, m_bm, npad_bm = batch_inputs(0)
+
+    @functools.partial(jax.jit, static_argnames=("npad",))
+    def dec(bodies, states, tabs, ms, npad):
+        syms = prk.rans_decode_pallas(bodies, states, jnp.asarray(ms), npad,
+                                      tabs, interpret=False)
+        return jnp.sum(syms[:, :128].astype(jnp.int32)).astype(jnp.float32)
+
+    sb = jnp.stack([bod_bm] * args.scan)
+    jax.block_until_ready(sb)
+    dt_bm = delta_scan_time(lambda b: dec(b, st_bm, tab_bm, m_bm, npad_bm), sb)
+    dt_pk = 0.0
+    if not pk_stored:
+        meta_pk, bod_pk, st_pk, tab_pk, m_pk, npad_pk = batch_inputs(1)
+        sp = jnp.stack([bod_pk] * args.scan)
+        jax.block_until_ready(sp)
+        dt_pk = delta_scan_time(
+            lambda b: dec(b, st_pk, tab_pk, m_pk, npad_pk), sp)
+    print(f"device rANS decode bm: {dt_bm*1e3:.2f} ms/batch"
+          + ("" if pk_stored else f"; pk: {dt_pk*1e3:.2f} ms/batch"))
+    assert rans.rans_decompress_device(streams[0][0], interpret=False) \
+        == bitmaps[0].tobytes(), "device bm decode mismatch"
+    print("device bm decode verified vs source bitmap")
+
+    # ---- host side: bm reconstruction (extra bits + literal/run fill) on
+    # the REAL production routine, plus the stored-pk memcpy ----
+    recs = []
+    for i in range(B):
+        raw = bitmaps[i].tobytes()
+        h = rans._parse_header(streams[i][0])
+        lut_idx, _ = rans.tokenize_bytes_np(np.frombuffer(raw, np.uint8))
+        syms, _, _ = rans._token_syms_and_extras(lut_idx)
+        recs.append((syms, h["xbits"], h["n"], h["adler"], raw))
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one_frame(i):
+        syms, xbits, n, adler, _raw = recs[i]
+        rans._reconstruct_bytes(syms, xbits, n, adler)
+        if pk_stored:
+            rans.decompress(streams[i][1])       # stored: header + memcpy
+    reps = 5
+    with ThreadPoolExecutor(B) as pool:          # the reader's bulk path
+        t0 = time.perf_counter()                 # pools per-frame decode;
+        for _ in range(reps):                    # the C loop + adler drop
+            list(pool.map(one_frame, range(B)))  # the GIL
+        dt_host_rec = (time.perf_counter() - t0) / reps
+    for syms, xbits, n, adler, raw in recs:  # correctness of the fixture
+        assert rans._reconstruct_bytes(syms, xbits, n, adler) == raw
+    print(f"host reconstruction (bm _reconstruct_bytes"
+          f"{' + stored pk memcpy' if pk_stored else ''}, "
+          f"{B}-thread pool): {dt_host_rec*1e3:.2f} ms/batch")
+
+    # ---- device L1 decode (bit-unpack + sparse->dense) ----
+    n_bm = len(bitmaps[0])
+    n_pk = max(len(p) for p in packeds)
+    n_pk_pad = -(-n_pk // 384) * 384
+    bms = np.zeros((B, n_bm), np.uint8)
+    pks = np.zeros((B, n_pk_pad), np.uint8)
+    for i in range(B):
+        bms[i] = bitmaps[i]
+        pks[i, : len(packeds[i])] = packeds[i]
+    bmj = jnp.stack([jnp.asarray(bms)] * args.scan)
+    pkj = jnp.stack([jnp.asarray(pks)] * args.scan)
+    jax.block_until_ready((bmj, pkj))
+
+    # correctness once: dense output must equal the source frames
+    dense0, ovf0 = pallas_decode.decode_l1_pallas(
+        jnp.asarray(bms), jnp.asarray(pks), size, size, 12, bucket=1,
+        interpret=False)
+    assert not bool(np.asarray(ovf0).any()), "decode capacity overflow"
+    assert np.array_equal(np.asarray(dense0).astype(np.uint16), frames), \
+        "decoded frames differ from source"
+    print("device L1 decode output verified against source frames")
+
+    def l1dec(bm, pk):
+        dense, ovf = pallas_decode.decode_l1_pallas(bm, pk, size, size, 12,
+                                                    bucket=1, interpret=False)
+        return (jnp.sum(dense[:, ::997, ::997].astype(jnp.int32))
+                + jnp.sum(ovf.astype(jnp.int32))).astype(jnp.float32)
+
+    dt_l1 = delta_scan_time(lambda bm: l1dec(bm, pkj[0]), bmj)
+    print(f"device L1 decode: {dt_l1*1e3:.2f} ms/batch")
+
+    per_frame = (dt_bm + dt_pk + dt_l1) / B + dt_host_rec / B
+    gbps = n_px * 2 / per_frame / 1e9
+    print(f'{{"metric": "end-to-end read (relay-independent) {size}^2 '
+          f'scheme12", "value": {gbps:.2f}, "unit": "GB/s"}}')
+
+
+if __name__ == "__main__":
+    main()
