@@ -58,6 +58,69 @@ def _cumsum_lanes(x, n):
     return acc
 
 
+def _select_rank_match(m2, r2, rank1, S, SUB, C1):
+    """Within-sub-row selection to C1 slots, two ranks per reduction pass:
+    ranks 2j and 2j+1 select disjoint lanes, so one row-sum carries both
+    values in the low and high 16-bit halves (values < 2^16, no carries
+    between halves).  C1/2 passes over the chunk — the hw-safe default."""
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (1, C1), 1)
+    c1 = jnp.zeros((S, C1), jnp.int32)
+    fg = m2 > 0
+    for j in range(0, C1, 2):
+        pair = jnp.where((rank1 == j) & fg, r2, 0) \
+            + jnp.where((rank1 == j + 1) & fg, r2 << 16, 0)
+        colsum = jnp.sum(pair, axis=1, keepdims=True)
+        c1 = c1 + (colsum & 0xFFFF) * (jrow == j) \
+            + ((colsum >> 16) & 0xFFFF) * (jrow == j + 1)
+    return c1
+
+
+def _select_butterfly(m2, r2, rank1, S, SUB, C1):
+    """Stable left-pack by butterfly routing: each foreground value moves
+    left by dist = lane - rank (non-decreasing along the row), consumed
+    LSB-first in log2(SUB) conditional-shift stages — collision-free (two
+    foreground lanes i < j satisfy j - i > d_j - d_i, so at stage k a
+    collision would need 1 = 0 mod 2k).  ~C1/2 / log2(SUB) times fewer
+    passes than rank-match.  History: the dec5970 lowering of this pattern
+    was blamed for a v5e divergence at >= 25% density (pairs summed) and
+    reverted; on 2026-08-18 the SAME formulation passed byte-identity in
+    every full-kernel context across densities on hardware
+    (tools/probe_butterfly_full.py) and was re-adopted for C1 >= 64 via
+    _select_auto.  Any change here must re-run that probe + verify_hw —
+    interpret mode and numpy fuzz do NOT gate the Mosaic lowering."""
+    lio = jax.lax.broadcasted_iota(jnp.int32, (S, SUB), 1)
+    fg = m2 > 0
+    carry = jnp.where(fg, ((lio - rank1) << 16) | (r2 & 0xFFFF), 0)
+    k = 1
+    while k < SUB:
+        moving = ((carry >> 16) & k) > 0
+        mv = jnp.where(moving, carry - (k << 16), 0)
+        carry = jnp.where(moving, 0, carry) + pltpu.roll(mv, SUB - k, axis=1)
+        k *= 2
+    return carry[:, :C1]   # all distance bits consumed: lanes hold values
+
+
+def _select_auto(m2, r2, rank1, S, SUB, C1):
+    """Pick the selection by capacity: rank-match costs C1/2 passes,
+    butterfly log2(SUB) heavier stages.  Hardware-measured crossover
+    (tools/probe_butterfly_full.py --bench, v5e 2026-08-18): neutral at
+    (SUB=512, C1=32), butterfly 18% faster at (SUB=128, C1=64) and grows
+    with C1 — use butterfly from C1 >= 64.  Both variants verified
+    byte-identical on hardware across densities in every full-kernel
+    context (compact_tokens, L1 direct, L1 stacked); the dec5970
+    divergence did not reproduce, but keep verify_hw as the gate after
+    any change here."""
+    if C1 >= 64:
+        return _select_butterfly(m2, r2, rank1, S, SUB, C1)
+    return _select_rank_match(m2, r2, rank1, S, SUB, C1)
+
+
+# selection implementation used by every kernel built AFTER assignment
+# (kernel builders are lru_cached — call .cache_clear() on
+# _build_l1_kernel/_build_decode_kernel/etc. when switching)
+_SELECT = _select_auto
+
+
 def _compact_chunk(m2, r2, S, SUB, C1, C2):
     """Compact foreground values of an (S, SUB) chunk into (1, C2).
 
@@ -72,23 +135,7 @@ def _compact_chunk(m2, r2, S, SUB, C1, C2):
     cnt1 = csum[:, SUB - 1:SUB]               # (S, 1)
     ovf1 = jnp.max(cnt1) > C1
 
-    # rank-match selection, two slots per reduction pass: ranks 2j and 2j+1
-    # select disjoint lanes, so one row-sum carries both values in the low and
-    # high 16-bit halves (values < 2^16, no carries between halves).
-    # NOTE a butterfly-routing variant (log-shift stable left-pack, ~C1/2 /
-    # log2(SUB) times fewer passes) is mathematically collision-free and
-    # passes interpret-mode + numpy fuzzing, but DIVERGES on real v5e
-    # hardware at high foreground density (tokens summed pairwise; see git
-    # history dec5970) — do not reintroduce it without a hardware fuzz gate.
-    jrow = jax.lax.broadcasted_iota(jnp.int32, (1, C1), 1)
-    c1 = jnp.zeros((S, C1), jnp.int32)
-    fg = m2 > 0
-    for j in range(0, C1, 2):
-        pair = jnp.where((rank1 == j) & fg, r2, 0) \
-            + jnp.where((rank1 == j + 1) & fg, r2 << 16, 0)
-        colsum = jnp.sum(pair, axis=1, keepdims=True)
-        c1 = c1 + (colsum & 0xFFFF) * (jrow == j) \
-            + ((colsum >> 16) & 0xFFFF) * (jrow == j + 1)
+    c1 = _SELECT(m2, r2, rank1, S, SUB, C1)
 
     r_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
     c_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)

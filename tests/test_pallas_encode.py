@@ -201,3 +201,39 @@ class TestStackedEncode:
         comp_np = np.asarray(comp)[0]
         assert counts[0] == 0 and counts[2] == 0
         assert np.all(comp_np[starts[1]: starts[1] + counts[1]] == 100)
+
+
+def test_selection_variants_agree():
+    """Rank-match and butterfly selections are interchangeable: identical
+    compacted output on random chunks across densities (interpret mode;
+    the hardware lowering is gated by tools/probe_butterfly_full.py +
+    tools/verify_hw.py)."""
+    import numpy as np
+
+    from pyrecode_tpu.ops import pallas_encode as pe
+
+    rng = np.random.default_rng(0)
+    orig = pe._SELECT
+    try:
+        for dens in (0.02, 0.25, 0.7):
+            frames = (rng.integers(1, 4096, (2, 128, 128))
+                      * (rng.random((2, 128, 128)) < dens)
+                      ).astype(np.uint16)
+            thr = np.zeros((128, 128), np.uint16)
+            outs = {}
+            for name, sel in (("rank", pe._select_rank_match),
+                              ("bfly", pe._select_butterfly)):
+                pe._SELECT = sel
+                pe._build_l1_kernel.cache_clear()
+                pe._encode_call.clear_cache()
+                bm, comp, cnt, ovf = pe.encode_l1_pallas(
+                    frames, thr, out_size=16384, bucket=2, interpret=True)
+                assert not bool(np.asarray(ovf).any()), (name, dens)
+                outs[name] = (np.asarray(bm), np.asarray(comp),
+                              np.asarray(cnt))
+            for a, b in zip(outs["rank"], outs["bfly"]):
+                assert np.array_equal(a, b), dens
+    finally:
+        pe._SELECT = orig
+        pe._build_l1_kernel.cache_clear()
+        pe._encode_call.clear_cache()
