@@ -64,8 +64,11 @@ def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
         r_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
         c_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
         ltri = (r_io > c_io).astype(jnp.float32)
+        # HIGHEST: default-precision MXU f32 rounds to bf16, corrupting
+        # counts > 256 (see _compact_chunk in pallas_encode.py)
         off1 = jnp.dot(ltri, cnt1.astype(jnp.float32),
-                       preferred_element_type=jnp.float32).astype(jnp.int32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
         chunk_cnt = jnp.sum(cnt1)
 
         # ---- fetch this chunk's slice of the value stream ----

@@ -81,13 +81,16 @@ def _select_butterfly(m2, r2, rank1, S, SUB, C1):
     LSB-first in log2(SUB) conditional-shift stages — collision-free (two
     foreground lanes i < j satisfy j - i > d_j - d_i, so at stage k a
     collision would need 1 = 0 mod 2k).  ~C1/2 / log2(SUB) times fewer
-    passes than rank-match.  History: the dec5970 lowering of this pattern
-    was blamed for a v5e divergence at >= 25% density (pairs summed) and
-    reverted; on 2026-08-18 the SAME formulation passed byte-identity in
-    every full-kernel context across densities on hardware
-    (tools/probe_butterfly_full.py) and was re-adopted for C1 >= 64 via
-    _select_auto.  Any change here must re-run that probe + verify_hw —
-    interpret mode and numpy fuzz do NOT gate the Mosaic lowering."""
+    passes than rank-match.  History: the dec5970 "summed pairs at >= 25%
+    density" divergence was blamed on this routing and reverted; the real
+    culprit (found 2026-08-18 via tools/probe_fused.py) was the off1 concat
+    matmul in _compact_chunk running at default MXU precision, which rounds
+    f32 operands to bf16 — sub-row counts > 256 (exactly the >= 25%-density
+    regime) lost their low bits and adjacent runs overlapped.  The butterfly
+    itself passed byte-identity in every full-kernel context across
+    densities on hardware (tools/probe_butterfly_full.py).  Any change here
+    must still re-run that probe + verify_hw — interpret mode and numpy
+    fuzz do NOT gate the Mosaic lowering."""
     lio = jax.lax.broadcasted_iota(jnp.int32, (S, SUB), 1)
     fg = m2 > 0
     carry = jnp.where(fg, ((lio - rank1) << 16) | (r2 & 0xFFFF), 0)
@@ -140,8 +143,15 @@ def _compact_chunk(m2, r2, S, SUB, C1, C2):
     r_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
     c_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
     ltri = (r_io > c_io).astype(jnp.float32)
+    # precision=HIGHEST is load-bearing: the MXU's default f32 path rounds
+    # operands to bf16 (8-bit mantissa), so any cnt1 > 256 shifts off1 by
+    # +-1 and adjacent runs overlap in the concat ("summed pairs").  That
+    # was the real dec5970 divergence — density >= 25% is where sub-row
+    # counts first exceed 256 — originally misattributed to the butterfly
+    # left-pack.  HIGHEST is exact to 24 bits on v5e (tools/probe_f32dot).
     off1 = jnp.dot(ltri, cnt1.astype(jnp.float32),
-                   preferred_element_type=jnp.float32).astype(jnp.int32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
     chunk_cnt = jnp.sum(cnt1)
 
     # ragged concat of the S runs.  A flat loop is S rolls of the full
