@@ -322,15 +322,18 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
     tok = None
 
     # ---- fused pass A + A.5 (pallas_deflate.tokenize_compact_pallas) ----
-    # Gated OFF by default: the fused kernel is byte-exact, but its win
-    # depended on a butterfly left-pack whose Mosaic lowering diverges on
-    # real v5e hardware at high density (see _compact_chunk), and with the
-    # rank-match fallback its per-row capacities make it slower than the
-    # two-pass pipeline.  Re-enable (hint_state["fused"]=True or
-    # PYRECODE_FUSED_TOKENIZE=1) once the butterfly has a hardware fix.
+    # ON by default since the 2026-08-18 precision fix: the historical v5e
+    # divergence was _compact_chunk's run-offset matmul rounding counts
+    # > 256 to bf16 at default MXU precision (see pallas_encode.py), not
+    # the butterfly left-pack; with precision=HIGHEST the fused kernel is
+    # byte-identical on hardware across densities (tools/verify_hw.py,
+    # tools/probe_fused.py) and 1.8x faster than two-pass tokenize+compact
+    # (0.62 vs 1.10 ms per 4096^2 bitmap stream, tools/bench_deflate.py).
+    # Opt out with PYRECODE_FUSED_TOKENIZE=0 or hint_state["fused"]=False.
     import os as _os
-    fused_ok = bool(hint_state and hint_state.get("fused")) or \
-        _os.environ.get("PYRECODE_FUSED_TOKENIZE") == "1"
+    fused_ok = _os.environ.get("PYRECODE_FUSED_TOKENIZE", "1") != "0"
+    if hint_state is not None and "fused" in hint_state:
+        fused_ok = bool(hint_state["fused"])
     if fused_ok and compact is not False and B and hint is not None \
             and hint < 0.5:
         bucket = pdk.token_bucket_for(hint)

@@ -257,7 +257,7 @@ def test_hint_state_drives_fused_path_and_stays_byte_identical():
     the first (two-pass) seeds the density, the second runs the fused
     kernel; both must match the native encoder byte-for-byte."""
     rng = np.random.default_rng(77)
-    hint: dict = {"fused": True}  # opt in (off by default, see dyndeflate)
+    hint: dict = {"fused": True}  # explicit opt-in (also the default)
     for round_ in range(2):
         raws = [(rng.integers(0, 256, 2 * pdk.CH_A)
                  * (rng.random(2 * pdk.CH_A) < 0.03)).astype(np.uint8).tobytes()

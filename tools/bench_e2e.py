@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--occupancy", type=float, default=0.01)
     ap.add_argument("--scan", type=int, default=12)
+    ap.add_argument("--two-pass", action="store_true",
+                    help="separate tokenize+compact instead of the fused "
+                         "default")
     args = ap.parse_args()
 
     from pyrecode_tpu import native
@@ -129,9 +132,13 @@ def main():
     print(f"pixval stream mode: {'stored blocks' if pk_stored else 'dynamic'}")
 
     # bitmap stream: token-compact before assembly — the production path
-    # (bound quantized from frame 0's histogram, dyndeflate.quantize_bound)
+    # (bound quantized from frame 0's histogram, dyndeflate.quantize_bound).
+    # Default = the FUSED tokenize+compact kernel (dyndeflate's session
+    # default once the density hint is seeded); --two-pass measures the
+    # separate tokenize -> compact chain instead.
     tok_bound = dd.quantize_bound(int(tok0 * 1.02), pdk.CH_B)
     cbkt = pdk.compact_bucket_for(tok0 / n_bm)
+    fbkt = pdk.token_bucket_for(tok0 / n_bm)
     out_bm = -(-(min(2 * npad_bm,
                      (tok_bound * pdk.MAX_TOKEN_BITS + 7) // 8) + 256)
                // 128) * 128
@@ -145,10 +152,15 @@ def main():
         lens_bm = jnp.full((B,), n_bm, jnp.int32)
         lens_pk = ((counts * 12 + 7) // 8).astype(jnp.int32)
 
-        tok_bm, hist_bm, ad_bm = pdk.tokenize_pallas(bm, lens_bm,
-                                                     interpret=False)
-        dense_bm, dcnt, covf = pdk.compact_tokens(
-            tok_bm, tok_bound, bucket=cbkt, interpret=False)
+        if args.two_pass:
+            tok_bm, hist_bm, ad_bm = pdk.tokenize_pallas(bm, lens_bm,
+                                                         interpret=False)
+            dense_bm, dcnt, covf = pdk.compact_tokens(
+                tok_bm, tok_bound, bucket=cbkt, interpret=False)
+        else:
+            dense_bm, hist_bm, ad_bm, dcnt, covf = \
+                pdk.tokenize_compact_pallas(bm, lens_bm, fbkt, tok_bound,
+                                            interpret=False)
         body_bm, bits_bm, _ = pdk.assemble_pallas(dense_bm, *tab_bm,
                                                   out_bm, nw=nw_bm,
                                                   interpret=False)

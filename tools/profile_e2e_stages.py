@@ -155,6 +155,14 @@ def main():
             interpret=False)[1]).astype(jnp.float32), tok_bms)
     report(f"compact bm (C1 bkt {cbkt})", dt)
 
+    # fused tokenize+compact bm (the dyndeflate session default)
+    fbkt = pdk.token_bucket_for(tok0 / n_bm)
+    dt = delta_scan_time(
+        lambda bm: jnp.sum(pdk.tokenize_compact_pallas(
+            bm, lens_bm0, fbkt, tok_bound,
+            interpret=False)[1]).astype(jnp.float32), bms)
+    report(f"fused tok+compact bm (C1={pdk.TOKEN_BUCKETS[fbkt]})", dt)
+
     # assemble bm
     dt = delta_scan_time(
         lambda d: jnp.sum(pdk.assemble_pallas(

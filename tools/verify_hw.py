@@ -92,6 +92,19 @@ def main() -> int:
         rt = zlib.decompress(bytes(got)) == raw
         check(f"device deflate stream {i} (n={len(raw)})", ident and rt)
 
+    # ---- the production default path: a shared hint_state routes the
+    # second call through the FUSED tokenize+compact kernel (session
+    # default since the precision fix) — must stay byte-identical ----
+    hint: dict = {}
+    dd.deflate_batch_device(streams[:1], lengths[:1],
+                            raw_cb=lambda i: raws[i], interpret=False,
+                            hint_state=hint)
+    outs_h = dd.deflate_batch_device(streams[:1], lengths[:1],
+                                     raw_cb=lambda i: raws[i],
+                                     interpret=False, hint_state=hint)
+    check("device deflate fused-default (hinted 2nd call)",
+          bytes(outs_h[0]) == native.deflate_sparse(raws[0]))
+
     # ---- fused tokenize+compact vs two-pass (gated feature; still must be
     # hardware-identical whenever enabled) ----
     tok, hist, _ = pdk.tokenize_pallas(jnp.asarray(streams[:1]),
