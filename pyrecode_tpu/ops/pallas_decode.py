@@ -130,10 +130,10 @@ def _decode_call(bitmap, values, height, width, bit_depth, bucket, interpret):
     B = bitmap.shape[0]
     OUT = values.shape[-1]
     c1 = CAPACITY_BUCKETS[bucket]
+    rpc = _choose_rpc(height, width, OUT)
     call = _build_decode_kernel(
-        B, height, width, OUT, _choose_rpc(height, width), _choose_sub(width),
-        c1, interpret)
-    WIN = (_choose_rpc(height, width) * width // _choose_sub(width)) * c1 + 128
+        B, height, width, OUT, rpc, _choose_sub(width), c1, interpret)
+    WIN = (rpc * width // _choose_sub(width)) * c1 + 128
     vals_padded = jnp.pad(values, ((0, 0), (0, WIN)))
     sub = _choose_sub(width)
     dense, ovf = call(bitmap.reshape(B, height * width // sub, sub // 8),

@@ -355,10 +355,15 @@ def _choose_sub(width: int) -> int:
     return width if width <= 512 else 512
 
 
-def _choose_rpc(height: int, width: int) -> int:
-    """Rows per chunk: target ~32K px per grid step (grid-step overhead
-    dominates tiny chunks), bounded by what divides the height."""
-    rpc = min(64, max(8, 32768 // width))
+def _choose_rpc(height: int, width: int, out_size: int = 0) -> int:
+    """Rows per chunk: target ~64K px per grid step, bounded by what divides
+    the height.  Hardware sweep (tools/probe_rpc.py, v5e 2026-08-18): 64K
+    px/step beats the old 32K target by 7-12% at 4096^2 (17.8 -> 19.1 GB/s),
+    2048^2 and stacked 512^2 (26.0 -> 29.0); 128K/step loses it again.  When
+    the VMEM-resident value buffer is large (> 4 MiB), fall back to the 32K
+    target to keep scoped-VMEM headroom for the chunk temporaries."""
+    target = 32768 if out_size * 4 > (4 << 20) else 65536
+    rpc = min(128, max(8, target // width))
     while rpc > 8 and height % rpc:
         rpc //= 2
     return rpc if height % rpc == 0 else 8
@@ -369,7 +374,7 @@ def _choose_rpc(height: int, width: int) -> int:
 def _encode_call(frames, threshold, out_size, c1, with_values, interpret,
                  n_sub=1, align=128):
     B, H, W = frames.shape
-    rpc = _choose_rpc(H // n_sub, W)
+    rpc = _choose_rpc(H // n_sub, W, out_size)
     call, pack_mat = _build_l1_kernel(
         B, H, W, out_size, rpc, _choose_sub(W), c1, with_values, interpret,
         spf_steps=(H // n_sub) // rpc if n_sub > 1 else 0, align=align)
