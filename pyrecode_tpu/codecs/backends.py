@@ -113,6 +113,9 @@ class Codec:
     decompress: Callable[[bytes], bytes]
 
 
+_warned_fallback: set = set()
+
+
 def get_codec(scheme: int, level: int = 1) -> Codec:
     """Build a Codec for the given scheme code and compression level."""
     scheme = int(scheme)
@@ -120,6 +123,16 @@ def get_codec(scheme: int, level: int = 1) -> Codec:
         raise ImportError(
             f"For compression code {scheme} package {_SCHEME_LIBS[scheme]} is required."
         )
+    if uses_fallback(scheme) and scheme not in _warned_fallback:
+        _warned_fallback.add(scheme)
+        import warnings
+
+        warnings.warn(
+            f"scheme {scheme} ({_SCHEME_NAMES[scheme]}): the "
+            f"{_SCHEME_LIBS[scheme]} C library is not installed, using the "
+            "pure-python fallback — format-conformant but ~1000x slower than "
+            "the native codec; install the C binding for production use",
+            RuntimeWarning, stacklevel=2)
 
     if scheme == 0:
         return Codec(0, "zlib", lambda d: zlib.compress(d, level), zlib.decompress)

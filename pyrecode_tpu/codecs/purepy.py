@@ -13,9 +13,12 @@ environments:
 * **Snappy** (scheme 3) — encoder emitting literal + 2-byte-offset copy
   elements, full decoder for all four element types.
 * **Blosc v1** (schemes 6-11) — header-conformant *memcpy-mode* streams
-  (flags bit 1), which any real blosc decodes; the decoder accepts only
-  memcpy-mode streams and raises for internally-compressed ones, which is
-  the documented limit of the fallback.
+  (flags bit 1) on the encode side, which any real blosc decodes.  The
+  decoder additionally reads internally-compressed chunks written by a
+  real c-blosc1: block starts table, per-block split streams, byte-shuffle
+  and bit-shuffle filters, and the blosclz/zlib block codecs (lz4/snappy
+  blocks through the fallback decoders above; zstd blocks when the
+  zstandard package is present).
 
 These are correctness/capability fallbacks, not performance paths: the
 default TPU pipeline uses scheme 0 with the device/native deflate.
@@ -345,14 +348,188 @@ def blosc_compress(data: bytes, cname: str = "zlib", typesize: int = 1) -> bytes
     return header + data
 
 
+def blosclz_decompress(src: bytes, max_out: int) -> bytes:
+    """Decode one blosclz stream (the FastLZ-derived token format used by
+    every c-blosc1 release; blosclz 2.x changed only the encoder).
+
+    Tokens: ctrl byte with top 3 bits = match-length code.  len_code 0 =
+    literal run of ``(ctrl & 31) + 1`` bytes; otherwise a match of length
+    ``len_code + 2`` (len_code 7: plus 255-terminated extension bytes) at
+    distance ``((ctrl & 31) << 8) + low_byte + 1``; the escape
+    low_byte == 255 with ctrl offset bits == 31 switches to a 16-bit
+    far-distance field biased by MAX_DISTANCE+1 (8192).  The first ctrl
+    byte is masked to a literal run.
+    """
+    out = bytearray()
+    n = len(src)
+    if n == 0:
+        return b""
+    i = 0
+    ctrl = src[i] & 31
+    i += 1
+    first = True
+    while True:
+        if not first and ctrl >= 32:
+            length = (ctrl >> 5) - 1
+            ofs = (ctrl & 31) << 8
+            if length == 6:  # len_code 7: extension bytes
+                while True:
+                    code = src[i]
+                    i += 1
+                    length += code
+                    if code != 255:
+                        break
+            code = src[i]
+            i += 1
+            length += 3
+            distance = ofs + code + 1
+            if code == 255 and ofs == (31 << 8):
+                distance = ((src[i] << 8) | src[i + 1]) + 8191 + 1
+                i += 2
+            start = len(out) - distance
+            if start < 0:
+                raise ValueError("blosclz: match before start of output")
+            for k in range(length):  # overlapping copies are byte-serial
+                out.append(out[start + k])
+        else:
+            run = (ctrl & 31) + 1
+            if i + run > n:
+                raise ValueError("blosclz: truncated literal run")
+            out += src[i:i + run]
+            i += run
+        first = False
+        if i >= n:
+            break
+        ctrl = src[i]
+        i += 1
+    if len(out) > max_out:
+        raise ValueError("blosclz: output exceeds declared block size")
+    return bytes(out)
+
+
+def _byte_unshuffle(block: bytes, typesize: int) -> bytes:
+    """Invert blosc's byte shuffle: data was stored as typesize planes of
+    n-th bytes; trailing ``len % typesize`` bytes are kept verbatim."""
+    import numpy as np
+
+    n = len(block) // typesize * typesize
+    planes = np.frombuffer(block[:n], np.uint8).reshape(typesize, n // typesize)
+    return planes.T.tobytes() + block[n:]
+
+
+def _bit_unshuffle(block: bytes, typesize: int) -> bytes:
+    """Invert blosc's bitshuffle filter (numpy bit transpose).
+
+    Forward semantics (bitshuffle's own numpy reference model,
+    bshuf_trans_bit_elem): view the first ``n8`` elements (n8 = elements
+    rounded down to a multiple of 8) as an (n8, typesize*8) bit matrix in
+    numpy's default big-endian bit order and transpose it; remaining bytes
+    are copied through unshuffled (c-blosc's wrapper semantics for partial
+    blocks).
+    """
+    import numpy as np
+
+    elems = len(block) // typesize
+    n8 = elems - elems % 8
+    nb = n8 * typesize
+    if n8 == 0:
+        return block
+    bits = np.unpackbits(np.frombuffer(block[:nb], np.uint8))
+    bits = bits.reshape(typesize * 8, n8).T
+    return np.packbits(bits.reshape(-1)).tobytes() + block[nb:]
+
+
+def _bit_shuffle(block: bytes, typesize: int) -> bytes:
+    """Forward bitshuffle (test twin of :func:`_bit_unshuffle`)."""
+    import numpy as np
+
+    elems = len(block) // typesize
+    n8 = elems - elems % 8
+    nb = n8 * typesize
+    if n8 == 0:
+        return block
+    bits = np.unpackbits(np.frombuffer(block[:nb], np.uint8))
+    bits = bits.reshape(n8, typesize * 8).T
+    return np.packbits(bits.reshape(-1)).tobytes() + block[nb:]
+
+
+_BLOSC_DOSHUFFLE = 0x1
+_BLOSC_DOBITSHUFFLE = 0x4
+
+
+def _blosc_block_decompress(codec_id: int, payload: bytes, neblock: int) -> bytes:
+    if codec_id == 0:
+        return blosclz_decompress(payload, neblock)
+    if codec_id == 3:
+        import zlib
+
+        return zlib.decompress(payload)
+    if codec_id == 1:
+        return lz4_decompress_block(payload, neblock)
+    if codec_id == 2:
+        return snappy_decompress(payload)
+    if codec_id == 4:
+        try:
+            import zstandard
+        except ImportError as exc:  # pragma: no cover - environment dependent
+            raise NotImplementedError(
+                "blosc+zstd stream needs the zstandard package") from exc
+        return zstandard.ZstdDecompressor().decompress(
+            payload, max_output_size=neblock)
+    raise NotImplementedError(f"unknown blosc internal codec id {codec_id}")
+
+
+def _blosc_split(codec_id: int, typesize: int, blocksize: int) -> bool:
+    """c-blosc1's split_block rule: fast codecs (blosclz, lz4) split each
+    block into ``typesize`` streams when typesize <= 16 (MAX_STREAMS) and
+    blocksize/typesize >= 128 (MIN_BUFFERSIZE)."""
+    return codec_id in (0, 1) and 1 < typesize <= 16 and \
+        blocksize // typesize >= 128
+
+
 def blosc_decompress(data: bytes) -> bytes:
     if len(data) < 16:
         raise ValueError("truncated blosc stream")
-    _, _, flags, _, nbytes, _, cbytes = struct.unpack_from("<BBBBIII", data, 0)
-    if not flags & _BLOSC_MEMCPYED:
-        raise NotImplementedError(
-            "pure-python blosc fallback reads only memcpy-mode streams; "
-            "install blosc for internally-compressed ones")
-    if cbytes != nbytes + 16:
-        raise ValueError("inconsistent blosc memcpy stream")
-    return bytes(data[16:16 + nbytes])
+    _, _, flags, typesize, nbytes, blocksize, cbytes = \
+        struct.unpack_from("<BBBBIII", data, 0)
+    if flags & _BLOSC_MEMCPYED:
+        if cbytes != nbytes + 16:
+            raise ValueError("inconsistent blosc memcpy stream")
+        return bytes(data[16:16 + nbytes])
+    if nbytes == 0:
+        return b""
+    codec_id = (flags >> 5) & 7
+    typesize = max(typesize, 1)
+    nblocks = -(-nbytes // blocksize)
+    bstarts = struct.unpack_from(f"<{nblocks}I", data, 16)
+    out = bytearray()
+    for bi in range(nblocks):
+        bsize = min(blocksize, nbytes - bi * blocksize)
+        pos = bstarts[bi]
+        # c-blosc never splits the leftover (short) block
+        nsplits = typesize if (_blosc_split(codec_id, typesize, blocksize)
+                               and bsize == blocksize) else 1
+        neblock = bsize // nsplits
+        block = bytearray()
+        for _ in range(nsplits):
+            (csize,) = struct.unpack_from("<i", data, pos)
+            pos += 4
+            payload = bytes(data[pos:pos + csize])
+            pos += csize
+            if csize == neblock:  # stored raw
+                piece = payload
+            else:
+                piece = _blosc_block_decompress(codec_id, payload, neblock)
+            if len(piece) != neblock:
+                raise ValueError(
+                    f"blosc block {bi}: split decoded to {len(piece)} bytes, "
+                    f"expected {neblock}")
+            block += piece
+        if flags & _BLOSC_DOBITSHUFFLE:
+            block = bytearray(_bit_unshuffle(bytes(block), typesize))
+        elif flags & _BLOSC_DOSHUFFLE:
+            block = bytearray(_byte_unshuffle(bytes(block), typesize))
+        out += block
+    if len(out) != nbytes:
+        raise ValueError(f"blosc: expected {nbytes} bytes, got {len(out)}")
+    return bytes(out)

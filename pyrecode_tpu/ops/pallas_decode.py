@@ -29,7 +29,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_encode import CAPACITY_BUCKETS, _choose_rpc, _choose_sub, _cumsum_lanes
+from .pallas_encode import CAPACITY_BUCKETS, _choose_sub, _cumsum_lanes
+
+
+def _choose_rpc_decode(height: int, width: int, out_size: int = 0) -> int:
+    """Decode keeps the 32K px/grid-step target (encode moved to 64K after the
+    probe_rpc hardware sweep): the level-2 inverse here is a flat S-iteration
+    roll loop over the (1, WIN≈S*C1) window, so window traffic grows linearly
+    with RPC — the encode-side win does not transfer.  Sweep the decode kernel
+    on hardware before changing this."""
+    del out_size
+    rpc = min(128, max(8, 32768 // width))
+    while rpc > 8 and height % rpc:
+        rpc //= 2
+    return rpc if height % rpc == 0 else 8
 
 
 @functools.lru_cache(maxsize=64)
@@ -130,7 +143,7 @@ def _decode_call(bitmap, values, height, width, bit_depth, bucket, interpret):
     B = bitmap.shape[0]
     OUT = values.shape[-1]
     c1 = CAPACITY_BUCKETS[bucket]
-    rpc = _choose_rpc(height, width, OUT)
+    rpc = _choose_rpc_decode(height, width, OUT)
     call = _build_decode_kernel(
         B, height, width, OUT, rpc, _choose_sub(width), c1, interpret)
     WIN = (rpc * width // _choose_sub(width)) * c1 + 128

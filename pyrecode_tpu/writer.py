@@ -79,8 +79,10 @@ class ReCoDeWriter:
         streams never come back to the host raw — only the compressed bytes
         do.  Output is byte-identical to the corresponding native host
         encoder.  Default (None) enables it automatically on a real TPU for
-        scheme-0/12 mode-1 L1/L3 runs through the fused kernel path; True
-        forces it (tests use interpret mode); False disables.
+        scheme-0/12 mode-1 runs at every reduction level — both the fused
+        L1/L3 kernel path and the XLA L2/L4 path feed device arrays to the
+        entropy kernels; True forces it (tests use interpret mode); False
+        disables.
         """
         self._init_params = InitParams(
             mode, output_directory, image_filename=image_filename,

@@ -135,7 +135,9 @@ def bench_entropy_matrix(size=4096, density=0.01):
         for k, c in compressed.items():
             assert codec.decompress(c) == streams[k]
         out.append({
-            "config": f"entropy {codecs.scheme_name(scheme)} {size}^2 L1 streams",
+            "config": (f"entropy {codecs.scheme_name(scheme)}"
+                       f"{'-host' if scheme == 12 else ''} "
+                       f"{size}^2 L1 streams"),
             "value": round(raw / 1e9 / dt, 3), "unit": "GB/s",
             "ratio_vs_reduced": round(raw / csize, 3),
             "ratio_vs_raw": round(frame.nbytes / csize, 2),

@@ -71,13 +71,28 @@ def main():
                     counts.astype(jnp.float32), ovf.astype(jnp.float32))
 
         t = delta_scan_time(body, frames_all, thr, jnp.asarray(pack_mat))
-        # sanity: counts must match the RPC=default kernel
-        _, _, counts, ovf = call(frames_all[0], thr, jnp.asarray(pack_mat))
-        counts = np.asarray(counts)[:, 0, 0]
-        assert not np.asarray(ovf).any(), f"RPC={rpc}: overflow fired"
+        # Correctness: full bitmap + compacted-stream byte compare against the
+        # first swept RPC, across EVERY scan batch (counts alone are blind to
+        # concat/offset corruption — the dec5970 failure class).
+        outs = []
+        for s in range(args.scan):
+            bitmap, comp, counts, ovf = call(frames_all[s], thr,
+                                             jnp.asarray(pack_mat))
+            counts = np.asarray(counts)[:, 0, 0]
+            assert not np.asarray(ovf).any(), f"RPC={rpc}: overflow fired"
+            bm = np.asarray(bitmap)
+            cp = np.asarray(comp)[:, 0, :]
+            outs.append((bm, [cp[b, :counts[b]] for b in range(B)], counts))
         if oracle_counts is None:
-            oracle_counts = counts
-        assert (counts == oracle_counts).all(), f"RPC={rpc}: count mismatch"
+            oracle_counts = outs
+        else:
+            for s, (bm, cps, counts) in enumerate(outs):
+                bm0, cps0, counts0 = oracle_counts[s]
+                assert (counts == counts0).all(), f"RPC={rpc}: count mismatch"
+                assert np.array_equal(bm, bm0), f"RPC={rpc}: bitmap mismatch"
+                for b in range(B):
+                    assert np.array_equal(cps[b], cps0[b]), \
+                        f"RPC={rpc}: compacted stream mismatch batch {s} frame {b}"
         print(f"RPC={rpc:3d}  S={rpc * size // sub:4d}  "
               f"{t * 1e3:7.3f} ms/batch  {raw_bytes / t / 1e9:6.2f} GB/s")
 
