@@ -18,6 +18,13 @@ lacks:
     u8   version 1
     u8   log2_nways         (W = 1 << log2_nways interleaved states)
     u8   flags              bit0: stored (raw bytes follow, no coding)
+                            bit1: SYMBOL mode — the payload is a bit-packed
+                            stream of sym_bits-wide values coded directly
+                            as symbols (no LZ layer, no extra bits); the
+                            header then carries [u8 sym_bits, u8 pad,
+                            u16 n_used, n_used x u16 symbol ids,
+                            n_used x u16 freqs] instead of the byte-mode
+                            used-bitmap + freq table
     u32  n_bytes            original length
     u32  n_tokens           LZ token count m
     u32  body_bytes         rANS byte-stream length
@@ -148,7 +155,7 @@ def rans_encode_interleaved(syms: np.ndarray, freq: np.ndarray,
     backward — and final states u32[nways] = the decoder's initial states).
     """
     freq = np.asarray(freq, np.int64)
-    cum = np.zeros(N_SYM + 1, np.int64)
+    cum = np.zeros(freq.size + 1, np.int64)
     cum[1:] = np.cumsum(freq)
     m = syms.size
     x = np.full(nways, RANS_L, np.int64)
@@ -191,9 +198,9 @@ def rans_decode_interleaved(body: bytes, states: np.ndarray, m: int,
                             freq: np.ndarray, nways: int) -> np.ndarray:
     """Inverse of :func:`rans_encode_interleaved` -> symbols i64[m]."""
     freq = np.asarray(freq, np.int64)
-    cum = np.zeros(N_SYM + 1, np.int64)
+    cum = np.zeros(freq.size + 1, np.int64)
     cum[1:] = np.cumsum(freq)
-    slot2sym = np.repeat(np.arange(N_SYM), freq).astype(np.int64)
+    slot2sym = np.repeat(np.arange(freq.size), freq).astype(np.int64)
     # body is in emit order: reverse once, then read forward (vectorized
     # over lanes per row, the same structure as the device kernel; each
     # lane consumes 0..2 bytes per symbol, decidable from the state alone)
@@ -250,6 +257,32 @@ def _finish_stream(n, m, nways, freq, states, body, xbits, adler) -> bytes:
     return bytes(hdr) + body + xbits + int(adler).to_bytes(4, "big")
 
 
+def _finish_stream_symbols(n, m, nways, sym_bits, freq_sparse_syms,
+                           freq_sparse_vals, states, body, adler) -> bytes:
+    """Assemble a SYMBOL-MODE (flags bit1) scheme-12 stream.
+
+    Symbol mode codes the pixel-value stream directly over ``sym_bits``-wide
+    symbols instead of bytes of the packed stream — real detector residuals
+    are peaked near zero (Datta et al. 2021), and byte-granular models lose
+    ~1 bit/value to the 12-bit pack phase misalignment; direct symbols
+    recover it (measured: ideal 12-bit model is 25-80% smaller than
+    byte-deflate on exponential residuals).  The frequency table is sparse
+    (u16 symbol ids + u16 freqs), since peaked data uses few of the 2^b
+    symbols."""
+    hdr = bytearray()
+    hdr += bytes([MAGIC, VERSION, int(np.log2(nways)), 2])
+    hdr += int(n).to_bytes(4, "little")
+    hdr += int(m).to_bytes(4, "little")
+    hdr += len(body).to_bytes(4, "little")
+    hdr += (0).to_bytes(4, "little")          # no extra-bits stream
+    hdr += bytes([int(sym_bits), 0])
+    hdr += int(len(freq_sparse_syms)).to_bytes(2, "little")
+    hdr += np.asarray(freq_sparse_syms).astype("<u2").tobytes()
+    hdr += np.asarray(freq_sparse_vals).astype("<u2").tobytes()
+    hdr += np.asarray(states).astype("<u4").tobytes()
+    return bytes(hdr) + body + int(adler).to_bytes(4, "big")
+
+
 def _stored_stream(raw: bytes, adler: int) -> bytes:
     """Stored-block fallback stream (flags bit0): header + raw + adler."""
     n = len(raw)
@@ -292,6 +325,34 @@ def _parse_header(stream: bytes) -> dict:
         if zlib.adler32(raw) != adler:
             raise ValueError("TPU-rANS stream corrupt (adler mismatch)")
         return {"stored": raw}
+    if flags & 2:  # symbol mode: sparse frequency table over 2^sym_bits
+        if p + 4 > len(stream):
+            raise ValueError("TPU-rANS stream truncated")
+        sym_bits = stream[p]
+        if not 8 <= sym_bits <= 16:
+            raise ValueError("TPU-rANS stream corrupt (symbol width)")
+        n_used = int.from_bytes(stream[p + 2: p + 4], "little")
+        p += 4
+        if n_used == 0 or n_used > (1 << sym_bits) or \
+                p + 4 * n_used + 4 * nways + body_bytes + 4 > len(stream):
+            raise ValueError("TPU-rANS stream truncated")
+        sp_syms = np.frombuffer(stream[p: p + 2 * n_used], "<u2").astype(np.int64)
+        p += 2 * n_used
+        sp_vals = np.frombuffer(stream[p: p + 2 * n_used], "<u2").astype(np.int64)
+        p += 2 * n_used
+        if (sp_syms >= (1 << sym_bits)).any() or \
+                (np.diff(sp_syms) <= 0).any() or sp_vals.sum() != M:
+            raise ValueError("TPU-rANS stream corrupt (frequency table)")
+        freq = np.zeros(1 << sym_bits, np.int64)
+        freq[sp_syms] = sp_vals
+        states = np.frombuffer(stream[p: p + 4 * nways], "<u4")
+        p += 4 * nways
+        body = stream[p: p + body_bytes]
+        p += body_bytes
+        adler = int.from_bytes(stream[p: p + 4], "big")
+        return {"nways": nways, "n": n, "m": m, "freq": freq,
+                "states": states, "body": body, "adler": adler,
+                "sym_bits": sym_bits}
     bm_len = (N_SYM + 7) // 8
     if p + bm_len > len(stream):
         raise ValueError("TPU-rANS stream truncated")
@@ -390,6 +451,51 @@ def compress(data: bytes, nways: int = NWAYS_DEFAULT) -> bytes:
     return stream
 
 
+def compress_symbols(data: bytes, sym_bits: int,
+                     nways: int = NWAYS_DEFAULT) -> bytes:
+    """Compress a bit-packed value stream over ``sym_bits``-wide symbols.
+
+    ``data`` is an LSB-first packed stream of ``sym_bits``-bit values (the
+    container's packed-pixval wire format, oracle.bit_pack); symbols are
+    coded directly, skipping the byte-granularity model.  Falls back to the
+    byte-mode coder or a stored stream when those are smaller (many distinct
+    symbols, tiny streams).  Requires 8 <= sym_bits <= 16."""
+    if not 8 <= sym_bits <= 16:
+        raise ValueError("symbol mode supports 8..16-bit symbols")
+    raw = np.frombuffer(bytes(data), np.uint8)
+    n = raw.size
+    adler = zlib.adler32(bytes(data))
+    m = n * 8 // sym_bits
+    from .. import oracle
+
+    vals = oracle.bit_unpack(bytes(data), sym_bits, m,
+                             dtype=np.uint32).astype(np.int64)
+    # trailing pad bits must be zero or re-packing won't reproduce the bytes
+    repack = oracle.bit_pack(vals.astype(np.uint64), sym_bits)
+    if repack.tobytes() != bytes(data):
+        return compress(data, nways)
+    counts = np.bincount(vals, minlength=1 << sym_bits)
+    used = counts > 0
+    n_used = int(used.sum())
+    if n_used > M:            # every used symbol needs freq >= 1 out of M
+        return compress(data, nways)
+    # 4*nways bytes of final state are pure header overhead: cap lanes so
+    # states stay ~1.5% of the symbol count (64 symbols/lane amortizes them),
+    # floor 8 so tiny streams still interleave
+    eff = min(nways, max(8, 1 << int(np.log2(max(m // 64, 1)))))
+    freq = quantize_freqs(counts).astype(np.int64)
+    body, states = rans_encode_interleaved(vals, freq, eff)
+    sp = np.flatnonzero(used)
+    stream = _finish_stream_symbols(n, m, eff, sym_bits, sp, freq[sp],
+                                    states, body, adler)
+    alt = compress(data, nways)
+    if len(alt) < len(stream):
+        return alt
+    if len(stream) > n + _STORED_OVERHEAD:
+        return _stored_stream(bytes(data), adler)
+    return stream
+
+
 def decompress(stream: bytes) -> bytes:
     """Decompress a TPU-rANS stream (numpy reference path)."""
     h = _parse_header(stream)
@@ -397,6 +503,14 @@ def decompress(stream: bytes) -> bytes:
         return h["stored"]
     syms = rans_decode_interleaved(h["body"], h["states"], h["m"], h["freq"],
                                    h["nways"])
+    if "sym_bits" in h:
+        from .. import oracle
+
+        raw = oracle.bit_pack(syms.astype(np.uint64), h["sym_bits"]).tobytes()
+        raw = raw[: h["n"]] + b"\x00" * (h["n"] - len(raw))
+        if zlib.adler32(raw) != h["adler"]:
+            raise ValueError("TPU-rANS stream corrupt (adler mismatch)")
+        return raw
     return _reconstruct_bytes(syms, h["xbits"], h["n"], h["adler"])
 
 
@@ -499,6 +613,124 @@ def rans_batch_device(streams, lengths, raw_cb=None, interpret=None):
     return results
 
 
+def _adler32_device_chunks(packed, plens):
+    """adler32 of per-row byte streams computed ON DEVICE in chunked form.
+
+    Returns host ints.  The device does one masked pass over the bytes
+    (per-2048-byte partial sums mod 65521 — products stay < 2^31); the host
+    combines the (B, n_chunks) partials with exact integer arithmetic.
+    """
+    import jax.numpy as jnp
+
+    B, NB = packed.shape
+    CH = 2048
+    pad = (-NB) % CH
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, pad)))
+        NB += pad
+    nch = NB // CH
+    d = packed.reshape(B, nch, CH).astype(jnp.int32)
+    gidx = (jnp.arange(nch)[:, None] * CH + jnp.arange(CH)[None, :])
+    lens = jnp.asarray(plens, jnp.int32)[:, None, None]
+    d = jnp.where(gidx[None] < lens, d, 0)
+    jloc = jnp.arange(CH, dtype=jnp.int32)[None, None, :]
+    s1 = jnp.sum(d, axis=2) % 65521                    # (B, nch)
+    s2 = jnp.sum(d * jloc, axis=2) % 65521             # (B, nch)
+    s1_np = np.asarray(s1).astype(np.int64)
+    s2_np = np.asarray(s2).astype(np.int64)
+    plens = np.asarray(plens, np.int64)
+    out = []
+    for i in range(B):
+        n = int(plens[i])
+        a = (1 + int(s1_np[i].sum())) % 65521
+        # B = n + sum_i (n - i) * d_i = n + sum_c [(n - base_c)*s1_c - s2_c]
+        bacc = n
+        for c in range(nch):
+            bacc += (n - c * CH) * int(s1_np[i, c]) - int(s2_np[i, c])
+        out.append(((bacc % 65521) << 16) | a)
+    return out
+
+
+def rans_symbols_batch_device(packed, plens, sym_bits, raw_cb=None,
+                              interpret=None):
+    """Device scheme-12 SYMBOL-MODE encode of bit-packed value streams.
+
+    ``packed`` (B, NB) u8 device array of LSB-first ``sym_bits``-bit values
+    (the packed-pixval wire format); ``plens`` (B,) true byte lengths.  The
+    unpack, 4096-bin histogram, and interleaved-rANS coding run on device
+    (ops/pallas_rans.py); the host does O(alphabet) frequency quantization
+    and header assembly.  Streams where symbol coding cannot win (pad bits
+    nonzero is impossible by construction; n_used > M never happens for
+    12-bit) fall back to stored blocks.  Returns a list of B scheme-12
+    streams (flags bit1), decodable by :func:`decompress` and the device
+    bulk reader path.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import bitpack, pallas_rans as prk
+
+    if not 8 <= sym_bits <= 12:
+        raise ValueError("device symbol mode supports 8..12-bit symbols")
+    packed = jnp.asarray(packed, jnp.uint8)
+    B, NB = packed.shape
+    plens = np.asarray(plens, np.int64)
+    ms = (plens * 8 // sym_bits).astype(np.int64)
+
+    _, g_bytes = bitpack.packed_group_shape(sym_bits)
+    padb = (-NB) % (g_bytes * 1024)
+    if padb:
+        packed = jnp.pad(packed, ((0, 0), (0, padb)))
+    values = bitpack.bitunpack_values(packed, sym_bits,
+                                      out_dtype=jnp.int32)
+    npad = -(-values.shape[1] // prk.CH_R) * prk.CH_R
+    if npad != values.shape[1]:
+        values = jnp.pad(values, ((0, 0), (0, npad - values.shape[1])))
+
+    hist = prk.hist_symbols_pallas(values, ms.astype(np.int32),
+                                   interpret=interpret)
+    hist_np = np.asarray(hist).astype(np.int64)
+    adlers = _adler32_device_chunks(packed, plens)
+
+    freqs = np.zeros((B, 1 << sym_bits), np.int64)
+    eluts = np.zeros((B, 128, 64), np.float32)
+    for i in range(B):
+        freqs[i] = quantize_freqs(hist_np[i, : 1 << sym_bits]).astype(np.int64)
+        eluts[i] = prk.encode_luts_symbols(freqs[i])
+
+    out_bound = 2 * npad + 4096
+    body, states, cnts = prk.rans_encode_symbols_pallas(
+        values, jnp.asarray(eluts), ms.astype(np.int32), out_bound,
+        interpret=interpret)
+
+    cnts_np = np.asarray(cnts)
+    states_np = np.asarray(states)
+    results = []
+    for i in range(B):
+        n = int(plens[i])
+        if ms[i] < 65536:
+            # the kernel's fixed 1024 lanes cost 4 KB of final state —
+            # pure header overhead that swamps small streams; the host
+            # symbol coder (adaptive lane count) wins there and its O(m)
+            # cost is negligible at this size
+            raw = raw_cb(i) if raw_cb is not None else \
+                np.asarray(packed[i, :n]).tobytes()
+            results.append(compress_symbols(raw, sym_bits))
+            continue
+        bc = int(cnts_np[i])
+        body_i = np.asarray(body[i, :bc]).astype(np.uint8).tobytes()
+        used = freqs[i] > 0
+        sp = np.flatnonzero(used)
+        stream = _finish_stream_symbols(
+            n, int(ms[i]), prk.W_LANES, sym_bits, sp, freqs[i][sp],
+            states_np[i].astype(np.int64) & 0xFFFFFFFF, body_i, adlers[i])
+        if len(stream) > n + _STORED_OVERHEAD:
+            raw = raw_cb(i) if raw_cb is not None else \
+                np.asarray(packed[i, :n]).tobytes()
+            stream = _stored_stream(raw, adlers[i])
+        results.append(stream)
+    return results
+
+
 def rans_decompress_device(stream: bytes, interpret=None) -> bytes:
     """Decode one scheme-12 stream with the device symbol kernel.
 
@@ -527,6 +759,15 @@ def rans_decompress_device(stream: bytes, interpret=None) -> bytes:
         jnp.asarray(body_pad),
         jnp.asarray(h["states"].astype(np.int64).astype(np.int32))[None],
         np.array([m], np.int32), npad, tab, interpret=interpret))[0, :m]
+    if "sym_bits" in h:
+        from .. import oracle
+
+        raw = oracle.bit_pack(syms.astype(np.uint64),
+                              h["sym_bits"]).tobytes()
+        raw = raw[: h["n"]] + b"\x00" * (h["n"] - len(raw))
+        if zlib.adler32(raw) != h["adler"]:
+            raise ValueError("TPU-rANS stream corrupt (adler mismatch)")
+        return raw
     return _reconstruct_bytes(syms, h["xbits"], h["n"], h["adler"])
 
 
@@ -574,6 +815,18 @@ def rans_decompress_device_batch(streams_in, interpret=None):
             ms, npad, jnp.asarray(tabs), interpret=interpret))
         for k, i in enumerate(idxs):
             h = metas[i]
-            outs[i] = _reconstruct_bytes(syms_all[k, : h["m"]], h["xbits"],
-                                         h["n"], h["adler"])
+            if "sym_bits" in h:   # symbol mode: re-pack, no LZ layer
+                from .. import oracle
+
+                raw = oracle.bit_pack(
+                    syms_all[k, : h["m"]].astype(np.uint64),
+                    h["sym_bits"]).tobytes()
+                raw = raw[: h["n"]] + b"\x00" * (h["n"] - len(raw))
+                if zlib.adler32(raw) != h["adler"]:
+                    raise ValueError(
+                        "TPU-rANS stream corrupt (adler mismatch)")
+                outs[i] = raw
+            else:
+                outs[i] = _reconstruct_bytes(syms_all[k, : h["m"]],
+                                             h["xbits"], h["n"], h["adler"])
     return outs

@@ -265,7 +265,9 @@ def rans_decompress(stream) -> bytes:
     """TPU-rANS (scheme 12) decode (native; numpy fallback)."""
     lib = get_lib()
     buf = bytes(stream)
-    if lib is None:
+    if lib is None or (len(buf) >= 4 and buf[3] & 2):
+        # symbol-mode streams (flags bit1) decode through the numpy path —
+        # the C++ decoder covers the byte-mode and stored layouts
         from .codecs import rans as _rans
 
         return _rans.decompress(buf)

@@ -62,16 +62,40 @@ def _select_rank_match(m2, r2, rank1, S, SUB, C1):
     """Within-sub-row selection to C1 slots, two ranks per reduction pass:
     ranks 2j and 2j+1 select disjoint lanes, so one row-sum carries both
     values in the low and high 16-bit halves (values < 2^16, no carries
-    between halves).  C1/2 passes over the chunk — the hw-safe default."""
+    between halves).  C1/2 passes over the chunk — the hw-safe default.
+
+    The per-pass body is ONE compare + ONE select + the row sum: the values
+    are pre-shifted once by 16*(rank&1) (a dynamic lane shift), so each pass
+    only matches rank1 >> 1 against the pass index (was: two compares + two
+    selects + an add per pass; select was 48% of the encode batch in the hw
+    phase split).  Density-adaptive early-out: passes above rank 16 run
+    under a lax.cond on the chunk's max sub-row count — at the 1% occupancy
+    the capacity ladder targets, P(any sub-row count > 16 per 64K-px chunk)
+    is ~0.2%, so half the passes almost never execute."""
     jrow = jax.lax.broadcasted_iota(jnp.int32, (1, C1), 1)
-    c1 = jnp.zeros((S, C1), jnp.int32)
     fg = m2 > 0
-    for j in range(0, C1, 2):
-        pair = jnp.where((rank1 == j) & fg, r2, 0) \
-            + jnp.where((rank1 == j + 1) & fg, r2 << 16, 0)
-        colsum = jnp.sum(pair, axis=1, keepdims=True)
-        c1 = c1 + (colsum & 0xFFFF) * (jrow == j) \
-            + ((colsum >> 16) & 0xFFFF) * (jrow == j + 1)
+    s2 = jnp.where(fg, r2 << ((rank1 & 1) << 4), 0)
+    half = rank1 >> 1
+
+    def passes(j_lo, j_hi):
+        c = jnp.zeros((S, C1), jnp.int32)
+        for j in range(j_lo, j_hi, 2):
+            pair = jnp.where(half == (j >> 1), s2, 0)
+            colsum = jnp.sum(pair, axis=1, keepdims=True)
+            c = c + (colsum & 0xFFFF) * (jrow == j) \
+                + ((colsum >> 16) & 0xFFFF) * (jrow == j + 1)
+        return c
+
+    c1 = passes(0, min(16, C1))
+    maxcnt = jnp.max(rank1[:, SUB - 1:SUB]) + 1   # = max sub-row count
+    j = 16
+    while j < C1:
+        j_hi = min(2 * j, C1)
+        c1 = c1 + jax.lax.cond(
+            maxcnt > j,
+            lambda lo=j, hi=j_hi: passes(lo, hi),
+            lambda: jnp.zeros((S, C1), jnp.int32))
+        j = j_hi
     return c1
 
 
@@ -124,7 +148,32 @@ def _select_auto(m2, r2, rank1, S, SUB, C1):
 _SELECT = _select_auto
 
 
-def _compact_chunk(m2, r2, S, SUB, C1, C2):
+def make_lti_matrix(sub: int) -> np.ndarray:
+    """Constant (sub, sub) inclusive lower-triangular f32 matrix for the
+    MXU rank cumsum (numpy so lru_cached builders don't leak tracers)."""
+    i = np.arange(sub)[:, None]
+    j = np.arange(sub)[None, :]
+    return (i <= j).astype(np.float32)
+
+
+def _rank_cumsum_mxu(m2, S, SUB, lti=None):
+    """Inclusive lane cumsum of a 0/1 mask via ONE MXU matmul against a
+    constant lower-triangular inclusive matrix.
+
+    Replaces the log2(SUB)-pass shift-add cumsum (hw phase split,
+    tools/probe_phases.py: the shift cumsum was 1.55 ms of a 7.0 ms batch;
+    the matmul is ~0.3 ms of MXU time that overlaps VPU work).  DEFAULT MXU
+    precision is safe here — both operands are 0/1 (exact in bf16) and the
+    accumulation is f32 (exact to 2^24); see the HW exactness rule in
+    CLAUDE.md.  Pass ``lti`` (a kernel input ref slice) so the constant is
+    NOT rebuilt by iota+compare every grid step — inline construction cost
+    ~1 ms/batch on hw, most of the matmul's win."""
+    del S
+    return jnp.dot(m2.astype(jnp.float32), lti,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+def _compact_chunk(m2, r2, S, SUB, C1, C2, lti=None):
     """Compact foreground values of an (S, SUB) chunk into (1, C2).
 
     Shared by the L1 encode kernel and the L2/L4 labeling kernel
@@ -132,8 +181,16 @@ def _compact_chunk(m2, r2, S, SUB, C1, C2):
     level 1 = within-sub-row rank-match selection to C1 slots; level 2 =
     ragged concat of the S runs via dynamic lane-rotates with the run
     offsets from a lower-triangular matmul.
+
+    ``lti``: the (SUB, SUB) inclusive lower-triangular kernel INPUT for the
+    MXU rank cumsum; without it (wide-row callers like the deflate fused
+    kernel, where a 2048^2 constant would blow VMEM) the log-shift cumsum
+    is used instead.
     """
-    csum = _cumsum_lanes(m2, SUB)
+    if lti is not None:
+        csum = _rank_cumsum_mxu(m2, S, SUB, lti)
+    else:
+        csum = _cumsum_lanes(m2, SUB)
     rank1 = csum - 1
     cnt1 = csum[:, SUB - 1:SUB]               # (S, 1)
     ovf1 = jnp.max(cnt1) > C1
@@ -247,8 +304,8 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
     C2 = S * C1          # sum of sub-row capacities: level 2 cannot overflow
     WIN = C2 + 128
 
-    def kernel(x_ref, t_ref, pack_ref, bitmap_ref, comp_ref, count_ref, ovf_ref,
-               off_sref, tail_ref):
+    def kernel(x_ref, t_ref, pack_ref, lti_ref, bitmap_ref, comp_ref,
+               count_ref, ovf_ref, off_sref, tail_ref):
         h = pl.program_id(1)
 
         @pl.when(h == 0)
@@ -295,7 +352,8 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
         # ---- compact foreground residuals + append at the running offset ----
         m2 = mask.astype(jnp.int32)
         r2 = jnp.where(mask, x - t, 0)
-        acc, chunk_cnt, ovf1 = _compact_chunk(m2, r2, S, SUB, C1, C2)
+        acc, chunk_cnt, ovf1 = _compact_chunk(m2, r2, S, SUB, C1, C2,
+                                              lti=lti_ref[...])
         ovf_store = _store_window(comp_ref, tail_ref, off_sref, acc, chunk_cnt,
                                   OUT, WIN, C2)
         ovf_ref[0, 0, 0] |= jnp.int32(ovf1 | ovf_store)
@@ -305,6 +363,7 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
             count_ref[0, 0, 0] = off_sref[0]
 
     pack_mat = make_pack_matrix(SUB)
+    lti_mat = make_lti_matrix(SUB)
 
     call = pl.pallas_call(
         kernel,
@@ -314,6 +373,7 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
             pl.BlockSpec((RPC, W), lambda b, h: (h % t_steps, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, SUB // 8), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, SUB), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, S, SUB // 8), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
@@ -331,7 +391,7 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
                         pltpu.VMEM((1, WIN), jnp.int32)],
         interpret=bool(interpret),
     )
-    return call, pack_mat
+    return call, pack_mat, lti_mat
 
 
 def supports(height: int, width: int, bit_depth: int) -> bool:
@@ -375,10 +435,10 @@ def _encode_call(frames, threshold, out_size, c1, with_values, interpret,
                  n_sub=1, align=128):
     B, H, W = frames.shape
     rpc = _choose_rpc(H // n_sub, W, out_size)
-    call, pack_mat = _build_l1_kernel(
+    call, pack_mat, lti_mat = _build_l1_kernel(
         B, H, W, out_size, rpc, _choose_sub(W), c1, with_values, interpret,
         spf_steps=(H // n_sub) // rpc if n_sub > 1 else 0, align=align)
-    bitmap, comp, counts, ovf = call(frames, threshold, pack_mat)
+    bitmap, comp, counts, ovf = call(frames, threshold, pack_mat, lti_mat)
     bitmap = bitmap.reshape(B, H * (W // 8))
     comp = comp[:, 0, :out_size]
     return bitmap, comp, counts[:, 0, 0], ovf[:, 0, 0] != 0

@@ -51,7 +51,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_encode import _compact_chunk, _store_window, make_pack_matrix
+from .pallas_encode import (_compact_chunk, _store_window, make_lti_matrix,
+                            make_pack_matrix)
 
 _BIG = 1 << 30  # plain int: jnp scalars would be captured as kernel constants
 
@@ -116,7 +117,7 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
             out.extend((dr, dc) for dc in range(-K, K + 1))
         return out
 
-    def kernel(x_ref, t_ref, pack_ref, selk_ref,
+    def kernel(x_ref, t_ref, pack_ref, selk_ref, lti_ref,
                bitmap_ref, comp_ref, count_ref, ovf_ref,
                off_sref, tail_ref):
         h = pl.program_id(1)
@@ -317,7 +318,7 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
             if SUB != W:
                 stat_chunk = stat_chunk.reshape(S, SUB)
             acc, chunk_cnt, ovf1 = _compact_chunk(
-                roots_chunk, stat_chunk, S, SUB, C1, C2)
+                roots_chunk, stat_chunk, S, SUB, C1, C2, lti=lti_ref[...])
             ovf_store = _store_window(comp_ref, tail_ref, off_sref, acc,
                                       chunk_cnt, OUT, WIN, C2)
             ovf_ref[0, 0, 0] |= jnp.int32(ovf_halo | ovf1 | ovf_store)
@@ -335,6 +336,7 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
     j = np.arange(R)[None, :]
     sel_chunk = (j == i + K).astype(np.float32)
     pack_mat = make_pack_matrix(SUB)
+    lti_mat = make_lti_matrix(SUB)
 
     call = pl.pallas_call(
         kernel,
@@ -347,6 +349,8 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
             pl.BlockSpec((SUB, SUB // 8), lambda b, h: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RPC, R), lambda b, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, SUB), lambda b, h: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -370,7 +374,7 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=bool(interpret),
     )
-    return call, (pack_mat, sel_chunk)
+    return call, (pack_mat, sel_chunk, lti_mat)
 
 
 _MODE_BY_CONFIG = {

@@ -89,7 +89,12 @@ def _exact_div(x, f, f_f32):
 
 
 @functools.lru_cache(maxsize=16)
-def _build_rans_encode_kernel(B, NPAD, OUT, interpret):
+def _build_rans_encode_kernel(B, NPAD, OUT, interpret, hi_rows=24,
+                              lo_lanes=32, direct=False, lut_rows=96):
+    """``hi_rows``/``lo_lanes`` set the LUT radix (hi_rows*lo_lanes indices;
+    byte mode: 24x32 over the 768-slot token space).  ``direct=True`` codes
+    the input as raw symbol values (symbol mode: 64x64 over a 4096-wide
+    alphabet, no NO_TOKEN inversion)."""
     n_steps = NPAD // CH_R
     WIN = EMIT_WIN + 128
 
@@ -110,20 +115,23 @@ def _build_rans_encode_kernel(B, NPAD, OUT, interpret):
         blk = n_steps - 1 - h
 
         # batched LUT lookup for the whole step: idx = NO_TOKEN - tok
+        # (byte mode) or the raw symbol value (direct/symbol mode)
         tok = tok_ref[0, 0].astype(jnp.int32)          # (ROWS_R, W_LANES)
-        idx = NO_TOKEN - tok
-        io32 = jax.lax.broadcasted_iota(jnp.int32, (32, CH_R), 0)
-        io24 = jax.lax.broadcasted_iota(jnp.int32, (24, CH_R), 0)
+        idx = tok if direct else NO_TOKEN - tok
+        lo_sh = lo_lanes.bit_length() - 1              # lo_lanes is pow2
+        io_lo = jax.lax.broadcasted_iota(jnp.int32, (lo_lanes, CH_R), 0)
+        io_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_rows, CH_R), 0)
         row = idx.reshape(1, CH_R)
-        oh_lo = ((row & 31) == io32).astype(jnp.float32)
-        oh_hi = ((row >> 5) == io24).astype(jnp.float32)
-        lut = lut_ref[0]                                # (96, 32) f32
+        oh_lo = ((row & (lo_lanes - 1)) == io_lo).astype(jnp.float32)
+        oh_hi = ((row >> lo_sh) == io_hi).astype(jnp.float32)
+        lut = lut_ref[0]                    # (>= 2*hi_rows, lo_lanes) f32
         m1 = jnp.dot(lut, oh_lo, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)   # (96, CH_R)
+                     precision=jax.lax.Precision.HIGHEST)   # (rows, CH_R)
         # keep the per-token planes as (1, CH_R) rows; per-row views below
         # are 128-aligned LANE slices (lane->sublane reshapes don't lower)
-        f_all = jnp.sum(oh_hi * m1[0:24], axis=0, keepdims=True)
-        c_all = jnp.sum(oh_hi * m1[24:48], axis=0, keepdims=True)
+        f_all = jnp.sum(oh_hi * m1[0:hi_rows], axis=0, keepdims=True)
+        c_all = jnp.sum(oh_hi * m1[hi_rows:2 * hi_rows], axis=0,
+                        keepdims=True)
         f_i = f_all.astype(jnp.int32)
         c_i = c_all.astype(jnp.int32)
 
@@ -190,7 +198,7 @@ def _build_rans_encode_kernel(B, NPAD, OUT, interpret):
             pl.BlockSpec((1, 1, ROWS_R, W_LANES),
                          lambda b, h: (b, n_steps - 1 - h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 96, 32), lambda b, h: (b, 0, 0),
+            pl.BlockSpec((1, lut_rows, lo_lanes), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -218,10 +226,15 @@ def _build_rans_encode_kernel(B, NPAD, OUT, interpret):
     return call
 
 
-@functools.partial(jax.jit, static_argnames=("out_bound", "interpret"))
-def _rans_encode_call(tok, luts, m, out_bound, interpret):
+@functools.partial(jax.jit, static_argnames=("out_bound", "interpret",
+                                              "hi_rows", "direct"))
+def _rans_encode_call(tok, luts, m, out_bound, interpret, hi_rows=24,
+                      direct=False):
     B, NPAD = tok.shape
-    call = _build_rans_encode_kernel(B, NPAD, out_bound, bool(interpret))
+    call = _build_rans_encode_kernel(B, NPAD, out_bound, bool(interpret),
+                                     hi_rows=hi_rows,
+                                     lo_lanes=luts.shape[2], direct=direct,
+                                     lut_rows=luts.shape[1])
     body, states, cnt = call(
         tok.reshape(B, NPAD // CH_R, ROWS_R, W_LANES), luts,
         m.reshape(B, 1, 1).astype(jnp.int32))
@@ -248,6 +261,35 @@ def rans_encode_pallas(tok, luts, m, out_bound, interpret=None):
     out_bound = -(-out_bound // 128) * 128
     return _rans_encode_call(tok, luts, jnp.asarray(m), int(out_bound),
                              bool(interpret))
+
+
+def rans_encode_symbols_pallas(values, luts, m, out_bound, interpret=None):
+    """Device interleaved-rANS encode of DIRECT symbols (scheme-12 symbol
+    mode, flags bit1): ``values`` (B, NPAD) i32 raw symbols < 4096 (pad 0;
+    entries beyond ``m`` ignored), ``luts`` (B, 128, 64) f32 from
+    :func:`encode_luts_symbols` (radix [sym>>6, sym&63]; rows 0..63 freq,
+    64..127 cum).  Same outputs as :func:`rans_encode_pallas`."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    out_bound = -(-out_bound // 128) * 128
+    return _rans_encode_call(values, luts, jnp.asarray(m), int(out_bound),
+                             bool(interpret), hi_rows=64, direct=True)
+
+
+def encode_luts_symbols(freq: np.ndarray) -> np.ndarray:
+    """(128, 64) f32 radix LUT for :func:`rans_encode_symbols_pallas`:
+    rows 0..63 = freq[hi*64 + lo], rows 64..127 = cum[hi*64 + lo] for a
+    4096-symbol alphabet (freq padded with zeros; unused symbols get
+    freq 0 -> the kernel never sees them because they never occur)."""
+    freq = np.asarray(freq, np.int64)
+    full = np.zeros(4096, np.int64)
+    full[: freq.size] = freq
+    cum = np.zeros(4097, np.int64)
+    cum[1:] = np.cumsum(full)
+    out = np.zeros((128, 64), np.float32)
+    out[0:64] = np.maximum(full, 1).reshape(64, 64)   # pad-safe freq >= 1
+    out[64:128] = cum[:4096].reshape(64, 64)
+    return out
 
 
 def encode_luts_radix(freq: np.ndarray) -> np.ndarray:
@@ -467,3 +509,75 @@ def decode_tables_radix(freq: np.ndarray) -> np.ndarray:
     out[32:64] = fs.reshape(32, 128)
     out[64:96] = rem.reshape(32, 128)
     return out
+
+
+# ------------------------------------------------- symbol-mode histogram
+
+CHH = 4096              # values per histogram grid step
+
+
+@functools.lru_cache(maxsize=16)
+def _build_hist_kernel(B, NPAD, interpret):
+    n_steps = NPAD // CHH
+
+    def kernel(v_ref, m_ref, hist_ref, acc_vref):
+        h = pl.program_id(1)
+
+        @pl.when(h == 0)
+        def _():
+            acc_vref[...] = jnp.zeros_like(acc_vref)
+
+        m = m_ref[0, 0, 0]
+        v = v_ref[0, 0].astype(jnp.int32)              # (1, CHH)
+        lio = jax.lax.broadcasted_iota(jnp.int32, (1, CHH), 1)
+        active = (h * CHH + lio) < m
+        io64a = jax.lax.broadcasted_iota(jnp.int32, (64, CHH), 0)
+        io64b = jax.lax.broadcasted_iota(jnp.int32, (64, CHH), 0)
+        # one-hot planes; inactive lanes contribute to NO bin (hi plane 0)
+        oh_hi = (((v >> 6) == io64a) & active).astype(jnp.float32)
+        oh_lo = ((v & 63) == io64b).astype(jnp.float32)
+        # hist[hi, lo] += sum_i oh_hi[hi, i] * oh_lo[lo, i]: NT matmul;
+        # 0/1 operands -> DEFAULT MXU precision exact (f32 accumulation)
+        acc_vref[...] = acc_vref[...] + jax.lax.dot_general(
+            oh_hi, oh_lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(h == n_steps - 1)
+        def _():
+            hist_ref[0] = acc_vref[...].astype(jnp.int32)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_steps),
+        in_specs=[
+            pl.BlockSpec((1, 1, CHH), lambda b, h: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 64, 64), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, 64, 64), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((64, 64), jnp.float32)],
+        interpret=bool(interpret),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _hist_call(values, m, interpret):
+    B, NPAD = values.shape
+    call = _build_hist_kernel(B, NPAD, bool(interpret))
+    hist = call(values.reshape(B, NPAD // CHH, CHH),
+                m.reshape(B, 1, 1).astype(jnp.int32))[0]
+    return hist.reshape(B, 4096)
+
+
+def hist_symbols_pallas(values, m, interpret=None):
+    """Device histogram of 12-bit symbols: ``values`` (B, NPAD) i32 < 4096
+    (NPAD % 4096 == 0; entries beyond ``m`` ignored) -> (B, 4096) i32 via a
+    radix NT-matmul (one (64, n)x(64, n)^T product per grid step)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    return _hist_call(values, jnp.asarray(m), bool(interpret))

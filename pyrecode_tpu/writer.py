@@ -604,8 +604,12 @@ class ReCoDeWriter:
         from .ops import pallas_deflate as pdk
 
         if self._scheme == 12:
+            # order-0 symbol mode for BOTH streams (matches the host path):
+            # smaller than byte-LZ on sparse bitmaps and the decode chain is
+            # fully device-side (symbols are the bytes / the pixel values)
             def deflate(streams, lens, raw_cb, hint_state):
-                return rans.rans_batch_device(streams, lens, raw_cb=raw_cb)
+                return rans.rans_symbols_batch_device(streams, lens, 8,
+                                                      raw_cb=raw_cb)
         else:
             def deflate(streams, lens, raw_cb, hint_state):
                 return dyndeflate.deflate_batch_device(
@@ -629,10 +633,20 @@ class ReCoDeWriter:
         pad_px = -(-n_px // pdk.CH_A) * pdk.CH_A - n_px
         px = jnp.pad(packed, ((0, 0), (0, pad_px))) if pad_px else packed
         stt = datetime.now()
-        cpx = deflate(
-            px, plens.astype(np.int32),
-            lambda i: np.asarray(packed[i, :int(plens[i])]).tobytes(),
-            self._entropy_hints["px"])
+        if self._scheme == 12 and self._reduction_level == 1 \
+                and 9 <= self._bit_depth <= 12:
+            # symbol mode: pixel values coded directly as bit_depth-wide
+            # symbols (codecs/rans.rans_symbols_batch_device) — matches the
+            # host path's compress_symbols choice for peaked residuals
+            cpx = rans.rans_symbols_batch_device(
+                px, plens, self._bit_depth,
+                raw_cb=lambda i: np.asarray(
+                    packed[i, :int(plens[i])]).tobytes())
+        else:
+            cpx = deflate(
+                px, plens.astype(np.int32),
+                lambda i: np.asarray(packed[i, :int(plens[i])]).tobytes(),
+                self._entropy_hints["px"])
         t_px = datetime.now() - stt
         return ([(cbm[i], cpx[i], int(plens[i])) for i in range(B)],
                 t_bm, t_px)
@@ -686,14 +700,42 @@ class ReCoDeWriter:
         thread-safe, so each task builds on the per-thread codec cache.
         """
         compress = self._codec_for_thread
+        # scheme 12 + L1: pixel values are coded as bit_depth-wide symbols
+        # (codecs/rans.compress_symbols) — detector residuals are peaked, and
+        # the direct-symbol model recovers the ~1 bit/value the byte-granular
+        # model loses to pack-phase misalignment; the stream is
+        # self-describing (flags bit1), so the generic decompress reads it
+        sym_bits = self._bit_depth if (
+            self._scheme == 12 and self._reduction_level == 1
+            and 9 <= self._bit_depth <= 16) else 0
+        sym12 = self._scheme == 12
 
         def work(args):
             index, (bitmap, pixvals) = args
             codec = compress()
             t0 = datetime.now()
-            cbm = codec.compress(bitmap)
+            if sym12:
+                # order-0 byte-symbol rANS: 23-25% smaller than the LZ+rANS
+                # byte mode on sparse bitmaps at 0.002-0.05 occupancy, and
+                # decode needs no LZ reconstruction (symbols ARE the bytes)
+                from .codecs import rans as _rans
+
+                cbm = _rans.compress_symbols(bitmap, 8)
+            else:
+                cbm = codec.compress(bitmap)
             t1 = datetime.now()
-            cpx = codec.compress(pixvals) if pixvals is not None else None
+            if pixvals is None:
+                cpx = None
+            elif sym_bits:
+                from .codecs import rans as _rans
+
+                cpx = _rans.compress_symbols(pixvals, sym_bits)
+            elif sym12:
+                from .codecs import rans as _rans
+
+                cpx = _rans.compress_symbols(pixvals, 8)
+            else:
+                cpx = codec.compress(pixvals)
             t2 = datetime.now()
             return index, bitmap, pixvals, cbm, cpx, t1 - t0, t2 - t1
 

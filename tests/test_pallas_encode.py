@@ -215,11 +215,11 @@ def test_selection_variants_agree():
     rng = np.random.default_rng(0)
     orig = pe._SELECT
     try:
-        for dens in (0.02, 0.25, 0.7):
-            frames = (rng.integers(1, 4096, (2, 128, 128))
-                      * (rng.random((2, 128, 128)) < dens)
+        for dens in (0.02, 0.7):
+            frames = (rng.integers(1, 4096, (1, 32, 128))
+                      * (rng.random((1, 32, 128)) < dens)
                       ).astype(np.uint16)
-            thr = np.zeros((128, 128), np.uint16)
+            thr = np.zeros((32, 128), np.uint16)
             outs = {}
             for name, sel in (("rank", pe._select_rank_match),
                               ("bfly", pe._select_butterfly)):

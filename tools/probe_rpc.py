@@ -59,25 +59,27 @@ def main():
         if size % rpc:
             print(f"RPC={rpc}: skipped (height % rpc != 0)")
             continue
-        call, pack_mat = pe._build_l1_kernel(
+        call, pack_mat, lti_mat = pe._build_l1_kernel(
             B, size, size, out_aligned, rpc, sub, c1,
             with_values=True, interpret=False)
 
-        def body(frames, thr, pack_mat, _call=call):
-            bitmap, comp, counts, ovf = _call(frames, thr, pack_mat)
+        def body(frames, thr, pack_mat, lti, _call=call):
+            bitmap, comp, counts, ovf = _call(frames, thr, pack_mat, lti)
             # checksum everything so no output is dead-code eliminated
             return (jnp.sum(bitmap.astype(jnp.float32)),
                     jnp.sum(comp.astype(jnp.float32)),
                     counts.astype(jnp.float32), ovf.astype(jnp.float32))
 
-        t = delta_scan_time(body, frames_all, thr, jnp.asarray(pack_mat))
+        t = delta_scan_time(body, frames_all, thr, jnp.asarray(pack_mat),
+                            jnp.asarray(lti_mat))
         # Correctness: full bitmap + compacted-stream byte compare against the
         # first swept RPC, across EVERY scan batch (counts alone are blind to
         # concat/offset corruption — the dec5970 failure class).
         outs = []
         for s in range(args.scan):
             bitmap, comp, counts, ovf = call(frames_all[s], thr,
-                                             jnp.asarray(pack_mat))
+                                             jnp.asarray(pack_mat),
+                                             jnp.asarray(lti_mat))
             counts = np.asarray(counts)[:, 0, 0]
             assert not np.asarray(ovf).any(), f"RPC={rpc}: overflow fired"
             bm = np.asarray(bitmap)
