@@ -175,8 +175,8 @@ def _build_tokenize_kernel(B, NPAD, interpret, C1=0, OUT=0):
 
     def kernel(x_ref, xn_ref, len_ref, *refs):
         if compact:
-            (comp_ref, hist_ref, adA_ref, adB_ref, cnt_ref, covf_ref,
-             prevb_sref, carrys_sref, adler_sref, hist_vref,
+            (lti_ref, comp_ref, hist_ref, adA_ref, adB_ref, cnt_ref,
+             covf_ref, prevb_sref, carrys_sref, adler_sref, hist_vref,
              off_sref, tail_vref) = refs
         else:
             (lut_ref, hist_ref, adA_ref, adB_ref,
@@ -265,7 +265,7 @@ def _build_tokenize_kernel(B, NPAD, interpret, C1=0, OUT=0):
         if compact:
             m2 = (tok_inv != 0).astype(jnp.int32)
             acc, ccnt, ovf1 = _compact_chunk(m2, tok_inv, ROWS_A, SUB_A,
-                                             C1, C2)
+                                             C1, C2, lti=lti_ref[...])
             ovf_s = _store_window(comp_ref, tail_vref, off_sref, acc, ccnt,
                                   OUT, WIN, C2)
             covf_ref[0, 0, 0] |= jnp.int32(ovf1 | ovf_s)
@@ -375,7 +375,8 @@ def _build_tokenize_kernel(B, NPAD, interpret, C1=0, OUT=0):
                          lambda b, h: (b, jnp.minimum(h + 1, n_chunks - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
-        ],
+        ] + ([pl.BlockSpec((512, 512), lambda b, h: (0, 0),
+                           memory_space=pltpu.VMEM)] if compact else []),
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
@@ -401,9 +402,12 @@ def _tokenize_compact_call(streams, lengths, c1, out_bound, interpret):
     B, NPAD = streams.shape
     call = _build_tokenize_kernel(B, NPAD, bool(interpret), C1=c1,
                                   OUT=out_bound)
+    from .pallas_encode import make_lti_matrix
+
     s4 = streams.reshape(B, NPAD // CH_A, ROWS_A, SUB_A)
     comp, hist, adA, adB, cnt, covf = call(
-        s4, s4, lengths.reshape(B, 1, 1).astype(jnp.int32))
+        s4, s4, lengths.reshape(B, 1, 1).astype(jnp.int32),
+        jnp.asarray(make_lti_matrix(512)))
     adler = (adB[:, 0, 0].astype(jnp.uint32) << 16) | adA[:, 0, 0].astype(jnp.uint32)
     return (comp[:, 0, :out_bound], hist.reshape(B, 512), adler,
             cnt[:, 0, 0], covf[:, 0, 0] != 0)

@@ -187,8 +187,22 @@ def _compact_chunk(m2, r2, S, SUB, C1, C2, lti=None):
     kernel, where a 2048^2 constant would blow VMEM) the log-shift cumsum
     is used instead.
     """
-    if lti is not None:
+    if lti is not None and SUB == lti.shape[0]:
         csum = _rank_cumsum_mxu(m2, S, SUB, lti)
+    elif lti is not None and SUB % lti.shape[0] == 0:
+        # wide rows (deflate tiles, SUB_A=2048): blockwise matmul cumsum —
+        # a full (SUB, SUB) constant would blow VMEM, so L-wide blocks use
+        # the (L, L) input plus an exclusive prefix of block totals (static
+        # 128-aligned lane slices and concat)
+        L = lti.shape[0]
+        base = None
+        outs = []
+        for k in range(SUB // L):
+            part = _rank_cumsum_mxu(m2[:, k * L:(k + 1) * L], S, L, lti)
+            outs.append(part if base is None else part + base)
+            tot = outs[-1][:, L - 1:L]
+            base = tot
+        csum = jnp.concatenate(outs, axis=1)
     else:
         csum = _cumsum_lanes(m2, SUB)
     rank1 = csum - 1

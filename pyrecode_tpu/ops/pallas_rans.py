@@ -528,7 +528,8 @@ def _build_hist_kernel(B, NPAD, interpret):
             acc_vref[...] = jnp.zeros_like(acc_vref)
 
         m = m_ref[0, 0, 0]
-        v = v_ref[0, 0].astype(jnp.int32)              # (1, CHH)
+        # (8, CHH/8) tile -> (1, CHH) row-major lane merge (512-aligned)
+        v = v_ref[0, 0].astype(jnp.int32).reshape(1, CHH)
         lio = jax.lax.broadcasted_iota(jnp.int32, (1, CHH), 1)
         active = (h * CHH + lio) < m
         io64a = jax.lax.broadcasted_iota(jnp.int32, (64, CHH), 0)
@@ -550,7 +551,7 @@ def _build_hist_kernel(B, NPAD, interpret):
         kernel,
         grid=(B, n_steps),
         in_specs=[
-            pl.BlockSpec((1, 1, CHH), lambda b, h: (b, h, 0),
+            pl.BlockSpec((1, 1, 8, CHH // 8), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -569,7 +570,7 @@ def _build_hist_kernel(B, NPAD, interpret):
 def _hist_call(values, m, interpret):
     B, NPAD = values.shape
     call = _build_hist_kernel(B, NPAD, bool(interpret))
-    hist = call(values.reshape(B, NPAD // CHH, CHH),
+    hist = call(values.reshape(B, NPAD // CHH, 8, CHH // 8),
                 m.reshape(B, 1, 1).astype(jnp.int32))[0]
     return hist.reshape(B, 4096)
 

@@ -43,7 +43,14 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--occupancy", type=float, default=0.01)
     ap.add_argument("--scan", type=int, default=10)
+    ap.add_argument("--mode", choices=("symbol", "byte"), default="symbol",
+                    help="scheme-12 stream mode: 'symbol' = the production "
+                         "order-0 direct-symbol streams (fully device "
+                         "decode), 'byte' = the legacy LZ byte mode with "
+                         "host reconstruction")
     args = ap.parse_args()
+    if args.mode == "symbol":
+        return main_symbol(args)
 
     from pyrecode_tpu import oracle
     from pyrecode_tpu.codecs import rans
@@ -185,6 +192,133 @@ def main():
     gbps = n_px * 2 / per_frame / 1e9
     print(f'{{"metric": "end-to-end read (relay-independent) {size}^2 '
           f'scheme12", "value": {gbps:.2f}, "unit": "GB/s"}}')
+
+
+def main_symbol(args):
+    """Production scheme-12 read chain: symbol-mode streams, fully device.
+
+    device rANS symbol decode (bm bytes + pixel values) -> device L1 decode
+    straight from the decoded VALUES (no bit-pack round trip) -> dense
+    frames.  Host does header parsing only.
+    """
+    from pyrecode_tpu import oracle
+    from pyrecode_tpu.codecs import rans
+    from pyrecode_tpu.ops import pallas_decode, pallas_rans as prk
+    from pyrecode_tpu.profiling import delta_scan_time
+
+    size, B = args.size, args.batch
+    n_px = size * size
+    frames = oracle.synthetic_frames(B, size, size, args.occupancy, 12,
+                                     "peaked", rng=0)
+    thr = np.zeros((size, size), np.uint16)
+
+    bitmaps, packeds, streams = [], [], []
+    for i in range(B):
+        red = oracle.reduce_frame(frames[i], thr, 1, 12)
+        bitmaps.append(np.frombuffer(red["packed_binary_map"], np.uint8))
+        packeds.append(np.frombuffer(red["packed_pixvals"], np.uint8))
+        NB = -(-len(red["packed_binary_map"]) // 3072) * 3072
+        bmp = np.zeros((1, NB), np.uint8)
+        bmp[0, : len(red["packed_binary_map"])] = bitmaps[i]
+        NP_ = -(-len(red["packed_pixvals"]) // 3072) * 3072
+        pkp = np.zeros((1, NP_), np.uint8)
+        pkp[0, : len(red["packed_pixvals"])] = packeds[i]
+        sb = rans.rans_symbols_batch_device(
+            bmp, np.array([len(bitmaps[i])]), 8,
+            raw_cb=lambda k: bitmaps[i].tobytes(), interpret=False)[0]
+        sp = rans.rans_symbols_batch_device(
+            pkp, np.array([len(packeds[i])]), 12,
+            raw_cb=lambda k: packeds[i].tobytes(), interpret=False)[0]
+        streams.append((sb, sp))
+    print(f"bm stream {len(bitmaps[0])} B -> {len(streams[0][0])} B "
+          f"(flags {streams[0][0][3]}), pk stream {len(packeds[0])} B -> "
+          f"{len(streams[0][1])} B (flags {streams[0][1][3]})")
+    assert all(s[3] & 2 for pair in streams for s in pair),         "fixture produced non-symbol streams"
+
+    def batch_inputs(kind):
+        metas = [rans._parse_header(streams[i][kind]) for i in range(B)]
+        m_max = max(h["m"] for h in metas)
+        npad = -(-max(m_max, 1) // prk.CH_R) * prk.CH_R
+        bw = -(-max(max(len(h["body"]) for h in metas), 4) // 512) * 512
+        bodies = np.zeros((B, bw), np.uint8)
+        states = np.zeros((B, prk.W_LANES), np.int32)
+        tabs = np.zeros((B, 96, 128), np.float32)
+        ms = np.zeros(B, np.int32)
+        for i, h in enumerate(metas):
+            body_rev = np.frombuffer(h["body"], np.uint8)[::-1]
+            bodies[i, : body_rev.size] = body_rev
+            states[i] = h["states"].astype(np.int64).astype(np.int32)
+            tabs[i] = prk.decode_tables_radix(h["freq"])
+            ms[i] = h["m"]
+        return jnp.asarray(bodies), jnp.asarray(states), jnp.asarray(tabs), \
+            ms, npad
+
+    bod_bm, st_bm, tab_bm, m_bm, npad_bm = batch_inputs(0)
+    bod_pk, st_pk, tab_pk, m_pk, npad_pk = batch_inputs(1)
+
+    @functools.partial(jax.jit, static_argnames=("npad",))
+    def dec(bodies, states, tabs, ms, npad):
+        syms = prk.rans_decode_pallas(bodies, states, jnp.asarray(ms), npad,
+                                      tabs, interpret=False)
+        return jnp.sum(syms[:, :128].astype(jnp.int32)).astype(jnp.float32)
+
+    sb_scan = jnp.stack([bod_bm] * args.scan)
+    jax.block_until_ready(sb_scan)
+    dt_bm = delta_scan_time(lambda b: dec(b, st_bm, tab_bm, m_bm, npad_bm),
+                            sb_scan)
+    sp_scan = jnp.stack([bod_pk] * args.scan)
+    jax.block_until_ready(sp_scan)
+    dt_pk = delta_scan_time(lambda b: dec(b, st_pk, tab_pk, m_pk, npad_pk),
+                            sp_scan)
+    print(f"device rANS symbol decode bm: {dt_bm*1e3:.2f} ms/batch; "
+          f"pk: {dt_pk*1e3:.2f} ms/batch")
+
+    # correctness of the full device chain once
+    dec_bm = rans.rans_decompress_device_batch([streams[0][0]],
+                                               interpret=False)[0]
+    dec_pk = rans.rans_decompress_device_batch([streams[0][1]],
+                                               interpret=False)[0]
+    assert dec_bm == bitmaps[0].tobytes(), "device bm decode mismatch"
+    assert dec_pk == packeds[0].tobytes(), "device pk decode mismatch"
+    print("device symbol decode verified vs source streams")
+
+    # ---- device L1 decode straight from decoded VALUES (i32) ----
+    n_bm = len(bitmaps[0])
+    bms = np.zeros((B, n_bm), np.uint8)
+    counts = np.zeros(B, np.int64)
+    for i in range(B):
+        bms[i] = bitmaps[i]
+        counts[i] = len(packeds[i]) * 8 // 12
+    vmax = -(-int(counts.max()) // 128) * 128
+    vals = np.zeros((B, vmax), np.int32)
+    for i in range(B):
+        v = oracle.bit_unpack(packeds[i].tobytes(), 12, int(counts[i]),
+                              dtype=np.uint32)
+        vals[i, : counts[i]] = v
+    bmj = jnp.stack([jnp.asarray(bms)] * args.scan)
+    vj = jnp.asarray(vals)
+    jax.block_until_ready((bmj, vj))
+
+    dense0, ovf0 = pallas_decode._decode_call(
+        jnp.asarray(bms), vj, size, size, 12, 0, False)
+    assert not bool(np.asarray(ovf0).any()), "decode capacity overflow"
+    assert np.array_equal(np.asarray(dense0).astype(np.uint16), frames), \
+        "decoded frames differ from source"
+    print("device L1 decode (from values) verified against source frames")
+
+    def l1dec(bm, v):
+        dense, ovf = pallas_decode._decode_call(bm, v, size, size, 12, 0,
+                                                False)
+        return (jnp.sum(dense[:, ::997, ::997].astype(jnp.int32))
+                + jnp.sum(ovf.astype(jnp.int32))).astype(jnp.float32)
+
+    dt_l1 = delta_scan_time(lambda bm: l1dec(bm, vj), bmj)
+    print(f"device L1 decode: {dt_l1*1e3:.2f} ms/batch")
+
+    per_frame = (dt_bm + dt_pk + dt_l1) / B
+    gbps = n_px * 2 / per_frame / 1e9
+    print(f'{{"metric": "end-to-end read (relay-independent) {size}^2 '
+          f'scheme12 symbol-mode", "value": {gbps:.2f}, "unit": "GB/s"}}')
 
 
 if __name__ == "__main__":

@@ -234,7 +234,45 @@ def bench_end_to_end(tmp_dir, size=512, n_frames=64, num_threads=4):
     ]
 
 
-def bench_subtool(script, config):
+def bench_batch_scaling(size=4096, density=0.01):
+    """Single-chip batch weak-scaling: per-frame throughput at batch 1/2/4/8.
+
+    Flat per-frame GB/s across batch = the per-chip half of the pod-scaling
+    story (frames are data-parallel; cross-chip adds only the ordered
+    gather).  The multi-device efficiency harness is tools/scaling_bench.py
+    (virtual-mesh runs validate the harness only — virtual CPU devices share
+    physical cores, so their efficiency numbers are not evidence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyrecode_tpu.ops import pallas_encode
+    from pyrecode_tpu.profiling import delta_scan_time
+
+    n_px = size * size
+    out_size = 1 << int(np.ceil(np.log2(n_px * density * 2)))
+    thr = jnp.zeros((size, size), jnp.uint16)
+    out = []
+    for B in (1, 2, 4, 8):
+        u = jax.random.uniform(jax.random.key(0), (8, B, size, size))
+        vals = jax.random.randint(jax.random.key(1), (8, B, size, size),
+                                  1, 4096, jnp.int32)
+        frames = jnp.where(u < density, vals, 0).astype(jnp.uint16)
+        jax.block_until_ready(frames)
+
+        def body(fr, thr):
+            bm, comp, cnt, ovf = pallas_encode.encode_l1_pallas(
+                fr, thr, out_size=out_size, bucket=0, interpret=False)
+            return (jnp.sum(bm.astype(jnp.float32)),
+                    jnp.sum(comp.astype(jnp.float32)), cnt, ovf)
+
+        t = delta_scan_time(body, frames, thr)
+        out.append({"config": f"batch weak-scaling encode {size}^2 B={B}",
+                    "value": round(B * n_px * 2 / t / 1e9, 3),
+                    "unit": "GB/s"})
+    return out
+
+
+def bench_subtool(script, config, extra_args=()):
     """Run a standalone bench tool and harvest its summary line.
 
     bench_e2e prints one ``{"metric": ...}`` JSON line; bench_deflate prints
@@ -244,8 +282,8 @@ def bench_subtool(script, config):
     import re
     import subprocess
 
-    proc = subprocess.run([sys.executable, script], capture_output=True,
-                          text=True, timeout=3000)
+    proc = subprocess.run([sys.executable, script, *extra_args],
+                          capture_output=True, text=True, timeout=3000)
     if proc.returncode != 0:
         print(f"{script} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
         return []
@@ -299,9 +337,14 @@ def main():
     if not args.fast:
         results += bench_subtool("tools/bench_e2e.py",
                                  "end-to-end write (relay-independent) 4096^2")
+        results += bench_subtool(
+            "tools/bench_e2e.py",
+            "end-to-end write (relay-independent) 4096^2 realistic",
+            extra_args=("--dist", "peaked"))
         results += bench_subtool("tools/bench_deflate.py",
                                  "device entropy (TPU deflate) 4096^2 L1 bitmap")
         results += bench_rans_subtool()
+        results += bench_batch_scaling()
 
     for r in results:
         print(json.dumps(r), file=sys.stderr)

@@ -152,6 +152,32 @@ def main() -> int:
         check(f"rANS stream {i} (n={len(raw)}) device enc+dec",
               ident and dec == raw)
 
+    # ---- TPU-rANS SYMBOL mode: device unpack+histogram+encode and the
+    # batched device decode, vs the host codec, on peaked 12-bit values
+    # and raw bitmap bytes (8-bit symbols) ----
+    from pyrecode_tpu import oracle as _oracle
+
+    sraws, sbits = [], []
+    vals = np.minimum(1 + np.floor(rng.exponential(5.0, 90000)), 4095)
+    sraws.append(_oracle.bit_pack(vals.astype(np.uint64), 12).tobytes())
+    sbits.append(12)
+    bm_bytes = (rng.integers(0, 256, 1 << 17)
+                * (rng.random(1 << 17) < 0.08)).astype(np.uint8).tobytes()
+    sraws.append(bm_bytes)
+    sbits.append(8)
+    for i, (raw, sb) in enumerate(zip(sraws, sbits)):
+        NB = -(-len(raw) // 3072) * 3072
+        pk = np.zeros((1, NB), np.uint8)
+        pk[0, : len(raw)] = np.frombuffer(raw, np.uint8)
+        enc = rans_codec.rans_symbols_batch_device(
+            pk, np.array([len(raw)]), sb, raw_cb=lambda k: raw,
+            interpret=False)[0]
+        dec_host = rans_codec.decompress(enc)
+        dec_dev = rans_codec.rans_decompress_device_batch(
+            [enc], interpret=False)[0]
+        check(f"rANS symbol mode b={sb} (n={len(raw)}) device enc+dec",
+              bool(enc[3] & 2) and dec_host == raw and dec_dev == raw)
+
     # ---- L1 decode vs dense reconstruction ----
     from pyrecode_tpu import ops
 
