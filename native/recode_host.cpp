@@ -1173,3 +1173,304 @@ int64_t rans_reconstruct(const int32_t *syms, uint64_t m,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// TPU-rANS SYMBOL mode (flags bit1): the payload is an LSB-first packed
+// stream of sym_bits-wide values coded DIRECTLY as symbols over a sparse
+// 12-bit-quantized frequency table — no LZ layer, no extra bits.  Format and
+// byte order exactly mirror codecs/rans.compress_symbols (the numpy
+// reference); parity is enforced by tests/test_native.py.
+
+// generalized quantizer over an arbitrary alphabet size (heap-allocated;
+// alphabet <= 65536)
+static void rans_quantize_n(const uint64_t *counts, uint16_t *q, int A) {
+    uint64_t n = 0;
+    for (int s = 0; s < A; ++s) n += counts[s];
+    if (n == 0) {
+        for (int s = 0; s < A; ++s) q[s] = 0;
+        q[0] = (uint16_t)RANS_M12;
+        return;
+    }
+    std::vector<double> rema(A);
+    std::vector<int64_t> qi(A);
+    int64_t sum = 0;
+    for (int s = 0; s < A; ++s) {
+        const double ideal = (double)counts[s] * (double)RANS_M12 / (double)n;
+        int64_t v = (int64_t)ideal;
+        rema[s] = ideal - (double)v;
+        if (counts[s] > 0 && v == 0) v = 1;
+        if (counts[s] == 0) rema[s] = -1.0;
+        qi[s] = v;
+        sum += v;
+    }
+    int64_t diff = (int64_t)RANS_M12 - sum;
+    if (diff > 0) {
+        std::vector<int> order(A);
+        for (int s = 0; s < A; ++s) order[s] = s;
+        std::sort(order.begin(), order.end(), [&](int a, int b) {
+            return rema[a] != rema[b] ? rema[a] > rema[b] : a < b; });
+        for (int64_t k = 0; k < diff; ++k) ++qi[order[k]];
+    } else {
+        for (int64_t k = 0; k < -diff; ++k) {
+            int best = 0;
+            int64_t bv = -1;
+            for (int s = 0; s < A; ++s) {
+                const int64_t cand = qi[s] > 1 ? qi[s] : -1;
+                if (cand > bv) { bv = cand; best = s; }
+            }
+            --qi[best];
+        }
+    }
+    for (int s = 0; s < A; ++s) q[s] = (uint16_t)qi[s];
+}
+
+extern "C" {
+
+// Symbol-mode encode of a packed value stream.  nways is the FINAL lane
+// count (the caller applies the adaptive rule).  Returns the coded stream
+// length (never the stored/byte fallback — the caller compares), or -1 when
+// symbol coding is inapplicable (trailing pad bits nonzero, or more than
+// 4096 distinct symbols).  out capacity >= 2*n + 64 + 4*nways + 4*4096.
+int64_t rans_compress_symbols(const uint8_t *src, uint64_t n,
+                              uint32_t sym_bits, uint32_t nways,
+                              uint8_t *out) {
+    if (sym_bits < 8 || sym_bits > 16 || nways < 8 ||
+        (nways & (nways - 1)) != 0)
+        return -1;
+    const uint64_t m = n * 8 / sym_bits;
+    const int A = 1 << sym_bits;
+
+    // unpack + histogram; then verify the repack reproduces src exactly
+    static thread_local std::vector<uint32_t> vals;
+    vals.resize(m);
+    {
+        uint64_t bit = 0;
+        for (uint64_t k = 0; k < m; ++k, bit += sym_bits) {
+            const uint64_t byte = bit >> 3;
+            const uint32_t sh = (uint32_t)(bit & 7);
+            uint32_t v = (uint32_t)src[byte] >> sh;
+            uint32_t got = 8 - sh;
+            uint64_t b2 = byte + 1;
+            while (got < sym_bits) {
+                v |= (uint32_t)(b2 < n ? src[b2] : 0) << got;
+                got += 8;
+                ++b2;
+            }
+            vals[k] = v & (uint32_t)(A - 1);
+        }
+        // trailing pad bits must be zero (else re-pack cannot reproduce)
+        const uint64_t used_bits = m * sym_bits;
+        if (used_bits < n * 8) {
+            const uint8_t tail = src[n - 1];
+            const uint32_t keep = (uint32_t)(used_bits - (n - 1) * 8);
+            if (keep < 8 && (tail >> keep) != 0) return -1;
+            if (used_bits <= (n - 1) * 8) {
+                // whole trailing bytes beyond the last value must be zero
+                for (uint64_t b = used_bits / 8; b < n; ++b)
+                    if ((b == used_bits / 8 && (used_bits & 7))
+                            ? (src[b] >> (used_bits & 7)) != 0
+                            : src[b] != 0)
+                        return -1;
+            }
+        }
+    }
+    std::vector<uint64_t> counts(A, 0);
+    for (uint64_t k = 0; k < m; ++k) ++counts[vals[k]];
+    uint32_t n_used = 0;
+    for (int s = 0; s < A; ++s) n_used += counts[s] != 0;
+    if (n_used > RANS_M12 || n_used == 0) {
+        if (n_used != 0) return -1;
+        n_used = 0;                 // empty stream: freq table puts all
+    }                               // mass on symbol 0 (quantizer rule)
+
+    std::vector<uint16_t> freq(A);
+    rans_quantize_n(counts.data(), freq.data(), A);
+    std::vector<uint32_t> cum(A + 1, 0);
+    for (int s = 0; s < A; ++s) cum[s + 1] = cum[s] + freq[s];
+
+    uint32_t lg = 0;
+    while ((1u << lg) < nways) ++lg;
+
+    uint64_t p = 0;
+    out[p++] = 0xA5;
+    out[p++] = 1;
+    out[p++] = (uint8_t)lg;
+    out[p++] = 2;                   // flags: symbol mode
+    auto put32 = [&](uint64_t v) {
+        out[p++] = (uint8_t)v; out[p++] = (uint8_t)(v >> 8);
+        out[p++] = (uint8_t)(v >> 16); out[p++] = (uint8_t)(v >> 24);
+    };
+    put32(n);
+    put32(m);
+    const uint64_t body_len_pos = p;
+    put32(0);
+    put32(0);                       // xbits_bytes = 0
+    out[p++] = (uint8_t)sym_bits;
+    out[p++] = 0;
+    uint32_t used_cnt = 0;
+    for (int s = 0; s < A; ++s) used_cnt += freq[s] != 0;
+    out[p++] = (uint8_t)used_cnt;
+    out[p++] = (uint8_t)(used_cnt >> 8);
+    for (int s = 0; s < A; ++s)
+        if (freq[s]) { out[p++] = (uint8_t)s; out[p++] = (uint8_t)(s >> 8); }
+    for (int s = 0; s < A; ++s)
+        if (freq[s]) { out[p++] = (uint8_t)freq[s];
+                       out[p++] = (uint8_t)(freq[s] >> 8); }
+    const uint64_t states_pos = p;
+    p += 4ull * nways;
+
+    // divide-free per-symbol reciprocals (sparse: only used symbols)
+    std::vector<uint32_t> rcp(A), bias(A), rshift(A), xmaxs(A);
+    for (int sidx = 0; sidx < A; ++sidx) {
+        const uint32_t f = freq[sidx];
+        if (!f) continue;
+        xmaxs[sidx] = f << 19;
+        if (f < 2) {
+            rcp[sidx] = ~0u;
+            rshift[sidx] = 0;
+            bias[sidx] = cum[sidx] + RANS_M12 - 1;
+        } else {
+            uint32_t sh = 0;
+            while (f > (1u << sh)) ++sh;
+            rcp[sidx] = (uint32_t)(((1ull << (sh + 31)) + f - 1) / f);
+            rshift[sidx] = sh - 1;
+            bias[sidx] = cum[sidx];
+        }
+    }
+
+    static thread_local std::vector<uint32_t> xs;
+    xs.assign(nways, RANS_L12);
+    const uint64_t body_pos = p;
+    for (uint64_t k = m; k-- > 0;) {
+        const uint32_t lane = (uint32_t)(k & (nways - 1));
+        const uint32_t sym = vals[k];
+        uint32_t x = xs[lane];
+        const uint32_t xmax = xmaxs[sym];
+        while (x >= xmax) { out[p++] = (uint8_t)x; x >>= 8; }
+        const uint32_t q =
+            (uint32_t)(((uint64_t)x * rcp[sym]) >> 32) >> rshift[sym];
+        xs[lane] = x + bias[sym] + (q << 12) - q * (uint32_t)freq[sym];
+    }
+    const uint64_t body_bytes = p - body_pos;
+    for (uint32_t w = 0; w < nways; ++w) {
+        out[states_pos + 4 * w] = (uint8_t)xs[w];
+        out[states_pos + 4 * w + 1] = (uint8_t)(xs[w] >> 8);
+        out[states_pos + 4 * w + 2] = (uint8_t)(xs[w] >> 16);
+        out[states_pos + 4 * w + 3] = (uint8_t)(xs[w] >> 24);
+    }
+    out[body_len_pos] = (uint8_t)body_bytes;
+    out[body_len_pos + 1] = (uint8_t)(body_bytes >> 8);
+    out[body_len_pos + 2] = (uint8_t)(body_bytes >> 16);
+    out[body_len_pos + 3] = (uint8_t)(body_bytes >> 24);
+    rans_adler(src, n, out + p);
+    p += 4;
+    return (int64_t)p;
+}
+
+// Symbol-mode decode (flags bit1 streams).  Returns original length or -1.
+int64_t rans_decompress_symbols(const uint8_t *src, uint64_t len,
+                                uint8_t *out, uint64_t cap) {
+    if (len < 24 || src[0] != 0xA5 || src[1] != 1) return -1;
+    if (src[2] > 16) return -1;
+    const uint32_t nways = 1u << src[2];
+    if (!(src[3] & 2)) return -1;
+    auto get32 = [&](uint64_t pos) {
+        return (uint64_t)src[pos] | ((uint64_t)src[pos + 1] << 8) |
+               ((uint64_t)src[pos + 2] << 16) | ((uint64_t)src[pos + 3] << 24);
+    };
+    const uint64_t n = get32(4);
+    const uint64_t m = get32(8);
+    const uint64_t body_bytes = get32(12);
+    uint64_t p = 20;
+    if (n > cap) return -1;
+    const uint32_t sym_bits = src[p];
+    if (sym_bits < 8 || sym_bits > 16) return -1;
+    const int A = 1 << sym_bits;
+    const uint32_t n_used = (uint32_t)src[p + 2] | ((uint32_t)src[p + 3] << 8);
+    p += 4;
+    if (n_used == 0 || n_used > (uint32_t)A ||
+        p + 4ull * n_used + 4ull * nways + body_bytes + 4 > len)
+        return -1;
+    std::vector<uint32_t> sp_sym(n_used);
+    std::vector<uint16_t> freq_all;  // sparse -> dense lazily via slot2sym
+    uint32_t prev = 0;
+    for (uint32_t k = 0; k < n_used; ++k) {
+        sp_sym[k] = (uint32_t)src[p] | ((uint32_t)src[p + 1] << 8);
+        if (sp_sym[k] >= (uint32_t)A || (k && sp_sym[k] <= prev)) return -1;
+        prev = sp_sym[k];
+        p += 2;
+    }
+    std::vector<uint16_t> sp_freq(n_used);
+    uint32_t fsum = 0;
+    for (uint32_t k = 0; k < n_used; ++k) {
+        sp_freq[k] = (uint16_t)(src[p] | (src[p + 1] << 8));
+        fsum += sp_freq[k];
+        p += 2;
+    }
+    if (fsum != RANS_M12) return -1;
+    // slot -> (sym, freq, cum)
+    static thread_local std::vector<uint32_t> slot_sym, slot_freq, slot_cum;
+    slot_sym.resize(RANS_M12);
+    slot_freq.resize(RANS_M12);
+    slot_cum.resize(RANS_M12);
+    {
+        uint32_t c = 0;
+        for (uint32_t k = 0; k < n_used; ++k) {
+            for (uint32_t t = 0; t < sp_freq[k]; ++t) {
+                slot_sym[c + t] = sp_sym[k];
+                slot_freq[c + t] = sp_freq[k];
+                slot_cum[c + t] = c;
+            }
+            c += sp_freq[k];
+        }
+    }
+    static thread_local std::vector<uint32_t> xs;
+    xs.resize(nways);
+    for (uint32_t w = 0; w < nways; ++w)
+        xs[w] = (uint32_t)get32(p + 4ull * w);
+    p += 4ull * nways;
+    const uint8_t *body = src + p;
+    p += body_bytes;
+    if (p + 4 > len) return -1;
+
+    std::memset(out, 0, n);
+    int64_t bpos = (int64_t)body_bytes - 1;
+    uint64_t bit = 0;
+    for (uint64_t k = 0; k < m; ++k, bit += sym_bits) {
+        const uint32_t lane = (uint32_t)(k & (nways - 1));
+        uint32_t x = xs[lane];
+        const uint32_t slot = x & (RANS_M12 - 1);
+        const uint32_t sym = slot_sym[slot];
+        x = slot_freq[slot] * (x >> 12) + slot - slot_cum[slot];
+        while (x < RANS_L12) {
+            if (bpos < 0) return -1;
+            x = (x << 8) | body[bpos--];
+        }
+        xs[lane] = x;
+        // LSB-first pack of sym at bit offset
+        uint64_t byte = bit >> 3;
+        uint32_t sh = (uint32_t)(bit & 7);
+        uint32_t v = sym << sh;
+        uint32_t left = sym_bits + sh;
+        while (left > 0 && byte < n) {
+            out[byte] |= (uint8_t)v;
+            v >>= 8;
+            ++byte;
+            left = left > 8 ? left - 8 : 0;
+        }
+    }
+    const uint32_t MOD = 65521;
+    uint32_t a = 1, b = 0;
+    for (uint64_t k = 0; k < n; ++k) {
+        a += out[k];
+        if (a >= MOD) a -= MOD;
+        b += a;
+        if (b >= MOD) b -= MOD;
+    }
+    const uint32_t want = ((uint32_t)src[p] << 24) |
+                          ((uint32_t)src[p + 1] << 16) |
+                          ((uint32_t)src[p + 2] << 8) | (uint32_t)src[p + 3];
+    return (((b << 16) | a) == want) ? (int64_t)n : -1;
+}
+
+}  // extern "C"

@@ -462,27 +462,43 @@ def compress_symbols(data: bytes, sym_bits: int,
     symbols, tiny streams).  Requires 8 <= sym_bits <= 16."""
     if not 8 <= sym_bits <= 16:
         raise ValueError("symbol mode supports 8..16-bit symbols")
-    raw = np.frombuffer(bytes(data), np.uint8)
-    n = raw.size
-    adler = zlib.adler32(bytes(data))
+    data = bytes(data)
+    n = len(data)
     m = n * 8 // sym_bits
+    # 4*nways bytes of final state are pure header overhead: cap lanes so
+    # states stay ~1.5% of the symbol count (64 symbols/lane amortizes them),
+    # floor 8 so tiny streams still interleave
+    eff = min(nways, max(8, 1 << int(np.log2(max(m // 64, 1)))))
+
+    from .. import native
+
+    if native.available():
+        # the C encoder is byte-identical to the numpy path below (parity
+        # test in test_native.py) and ~1000x faster on big streams
+        stream = native.rans_compress_symbols_native(data, sym_bits, eff)
+        if stream is None:   # pad bits nonzero / alphabet too wide
+            return native.rans_compress(data, nways)
+        alt = native.rans_compress(data, nways)
+        if len(alt) < len(stream):
+            return alt
+        if len(stream) > n + _STORED_OVERHEAD:
+            return _stored_stream(data, zlib.adler32(data))
+        return stream
+
+    adler = zlib.adler32(data)
     from .. import oracle
 
-    vals = oracle.bit_unpack(bytes(data), sym_bits, m,
+    vals = oracle.bit_unpack(data, sym_bits, m,
                              dtype=np.uint32).astype(np.int64)
     # trailing pad bits must be zero or re-packing won't reproduce the bytes
     repack = oracle.bit_pack(vals.astype(np.uint64), sym_bits)
-    if repack.tobytes() != bytes(data):
+    if repack.tobytes() != data:
         return compress(data, nways)
     counts = np.bincount(vals, minlength=1 << sym_bits)
     used = counts > 0
     n_used = int(used.sum())
     if n_used > M:            # every used symbol needs freq >= 1 out of M
         return compress(data, nways)
-    # 4*nways bytes of final state are pure header overhead: cap lanes so
-    # states stay ~1.5% of the symbol count (64 symbols/lane amortizes them),
-    # floor 8 so tiny streams still interleave
-    eff = min(nways, max(8, 1 << int(np.log2(max(m // 64, 1)))))
     freq = quantize_freqs(counts).astype(np.int64)
     body, states = rans_encode_interleaved(vals, freq, eff)
     sp = np.flatnonzero(used)
@@ -492,7 +508,7 @@ def compress_symbols(data: bytes, sym_bits: int,
     if len(alt) < len(stream):
         return alt
     if len(stream) > n + _STORED_OVERHEAD:
-        return _stored_stream(bytes(data), adler)
+        return _stored_stream(data, adler)
     return stream
 
 
@@ -697,10 +713,17 @@ def rans_symbols_batch_device(packed, plens, sym_bits, raw_cb=None,
         freqs[i] = quantize_freqs(hist_np[i, : 1 << sym_bits]).astype(np.int64)
         eluts[i] = prk.encode_luts_symbols(freqs[i])
 
+    # interleave width: 8 independent state rows (W = 8192) break the
+    # kernel's serial row chain (it is latency-bound at W = 1024), but cost
+    # 4*W bytes of header; use them only when every device-coded stream
+    # amortizes 32 KB of states to < ~3% (m >= 2^21 symbols)
+    dev_ms = ms[ms >= 65536]
+    groups = prk.ROWS_R if dev_ms.size and int(dev_ms.min()) >= (1 << 21) \
+        else 1
     out_bound = 2 * npad + 4096
     body, states, cnts = prk.rans_encode_symbols_pallas(
         values, jnp.asarray(eluts), ms.astype(np.int32), out_bound,
-        interpret=interpret)
+        interpret=interpret, groups=groups)
 
     cnts_np = np.asarray(cnts)
     states_np = np.asarray(states)
@@ -708,10 +731,10 @@ def rans_symbols_batch_device(packed, plens, sym_bits, raw_cb=None,
     for i in range(B):
         n = int(plens[i])
         if ms[i] < 65536:
-            # the kernel's fixed 1024 lanes cost 4 KB of final state —
-            # pure header overhead that swamps small streams; the host
-            # symbol coder (adaptive lane count) wins there and its O(m)
-            # cost is negligible at this size
+            # the kernel's fixed interleave lanes cost 4*W bytes of final
+            # state — pure header overhead that swamps small streams; the
+            # host symbol coder (adaptive lane count) wins there and its
+            # O(m) cost is negligible at this size
             raw = raw_cb(i) if raw_cb is not None else \
                 np.asarray(packed[i, :n]).tobytes()
             results.append(compress_symbols(raw, sym_bits))
@@ -721,7 +744,7 @@ def rans_symbols_batch_device(packed, plens, sym_bits, raw_cb=None,
         used = freqs[i] > 0
         sp = np.flatnonzero(used)
         stream = _finish_stream_symbols(
-            n, int(ms[i]), prk.W_LANES, sym_bits, sp, freqs[i][sp],
+            n, int(ms[i]), groups * prk.W_LANES, sym_bits, sp, freqs[i][sp],
             states_np[i].astype(np.int64) & 0xFFFFFFFF, body_i, adlers[i])
         if len(stream) > n + _STORED_OVERHEAD:
             raw = raw_cb(i) if raw_cb is not None else \
@@ -745,9 +768,10 @@ def rans_decompress_device(stream: bytes, interpret=None) -> bytes:
     h = _parse_header(stream)
     if "stored" in h:
         return h["stored"]
-    if h["nways"] != prk.W_LANES:
+    if h["nways"] not in (prk.W_LANES, prk.ROWS_R * prk.W_LANES):
         # a lane count the kernel isn't built for: fast host decode
         return _host_decompress(stream)
+    groups = h["nways"] // prk.W_LANES
     m = h["m"]
     body_rev = np.frombuffer(h["body"], np.uint8)[::-1].copy()
     bw = -(-max(body_rev.size, 4) // 512) * 512
@@ -758,7 +782,8 @@ def rans_decompress_device(stream: bytes, interpret=None) -> bytes:
     syms = np.asarray(prk.rans_decode_pallas(
         jnp.asarray(body_pad),
         jnp.asarray(h["states"].astype(np.int64).astype(np.int32))[None],
-        np.array([m], np.int32), npad, tab, interpret=interpret))[0, :m]
+        np.array([m], np.int32), npad, tab, interpret=interpret,
+        groups=groups))[0, :m]
     if "sym_bits" in h:
         from .. import oracle
 
@@ -780,6 +805,7 @@ def rans_decompress_device_batch(streams_in, interpret=None):
 
     from ..ops import pallas_rans as prk
 
+    kernel_ways = (prk.W_LANES, prk.ROWS_R * prk.W_LANES)
     metas = []
     outs: list = [None] * len(streams_in)
     for i, st in enumerate(streams_in):
@@ -787,20 +813,24 @@ def rans_decompress_device_batch(streams_in, interpret=None):
         if "stored" in h:
             outs[i] = h["stored"]
             metas.append(None)
-        elif h["nways"] != prk.W_LANES:
+        elif h["nways"] not in kernel_ways:
             outs[i] = _host_decompress(st)
             metas.append(None)
         else:
             metas.append(h)
 
-    idxs = [i for i, mt in enumerate(metas) if mt is not None]
-    if idxs:
+    for nways in kernel_ways:
+        idxs = [i for i, mt in enumerate(metas)
+                if mt is not None and mt["nways"] == nways]
+        if not idxs:
+            continue
+        groups = nways // prk.W_LANES
         B = len(idxs)
         m_max = max(metas[i]["m"] for i in idxs)
         npad = -(-max(m_max, 1) // prk.CH_R) * prk.CH_R
         bw = -(-max(max(len(metas[i]["body"]) for i in idxs), 4) // 512) * 512
         bodies = np.zeros((B, bw), np.uint8)
-        states = np.zeros((B, prk.W_LANES), np.int64)
+        states = np.zeros((B, nways), np.int64)
         tabs = np.zeros((B, 96, 128), np.float32)
         ms = np.zeros(B, np.int32)
         for k, i in enumerate(idxs):
@@ -812,7 +842,8 @@ def rans_decompress_device_batch(streams_in, interpret=None):
             ms[k] = h["m"]
         syms_all = np.asarray(prk.rans_decode_pallas(
             jnp.asarray(bodies), jnp.asarray(states.astype(np.int32)),
-            ms, npad, jnp.asarray(tabs), interpret=interpret))
+            ms, npad, jnp.asarray(tabs), interpret=interpret,
+            groups=groups))
         for k, i in enumerate(idxs):
             h = metas[i]
             if "sym_bits" in h:   # symbol mode: re-pack, no LZ layer

@@ -101,6 +101,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.rans_reconstruct.argtypes = [i32p, ctypes.c_uint64, u8p,
                                          ctypes.c_uint64, u8p,
                                          ctypes.c_uint64]
+        lib.rans_compress_symbols.restype = ctypes.c_int64
+        lib.rans_compress_symbols.argtypes = [u8p, ctypes.c_uint64,
+                                              ctypes.c_uint32,
+                                              ctypes.c_uint32, u8p]
+        lib.rans_decompress_symbols.restype = ctypes.c_int64
+        lib.rans_decompress_symbols.argtypes = [u8p, ctypes.c_uint64, u8p,
+                                                ctypes.c_uint64]
         _lib = lib
         return _lib
 
@@ -261,13 +268,31 @@ def rans_compress(data, nways: int = 512) -> bytes:
     return out[:n].tobytes()
 
 
+def rans_compress_symbols_native(data, sym_bits: int, nways: int
+                                 ) -> Optional[bytes]:
+    """Coded-form symbol-mode stream via the C encoder, or None when the
+    library is missing / symbol coding is inapplicable (the caller falls
+    back and applies the byte-mode/stored decision)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = bytes(data)
+    src = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8))
+    out = np.empty(2 * len(buf) + 64 + 4 * nways + 4 * 4096 + 4096,
+                   dtype=np.uint8)
+    n = lib.rans_compress_symbols(
+        _u8ptr(src), ctypes.c_uint64(src.size), ctypes.c_uint32(sym_bits),
+        ctypes.c_uint32(nways), _u8ptr(out))
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
 def rans_decompress(stream) -> bytes:
     """TPU-rANS (scheme 12) decode (native; numpy fallback)."""
     lib = get_lib()
     buf = bytes(stream)
-    if lib is None or (len(buf) >= 4 and buf[3] & 2):
-        # symbol-mode streams (flags bit1) decode through the numpy path —
-        # the C++ decoder covers the byte-mode and stored layouts
+    if lib is None:
         from .codecs import rans as _rans
 
         return _rans.decompress(buf)
@@ -276,8 +301,13 @@ def rans_decompress(stream) -> bytes:
     n = int.from_bytes(buf[4:8], "little")
     src = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8))
     out = np.empty(max(n, 1), dtype=np.uint8)
-    got = lib.rans_decompress(_u8ptr(src), ctypes.c_uint64(src.size),
-                              _u8ptr(out), ctypes.c_uint64(out.size))
+    if buf[3] & 2:
+        got = lib.rans_decompress_symbols(
+            _u8ptr(src), ctypes.c_uint64(src.size), _u8ptr(out),
+            ctypes.c_uint64(out.size))
+    else:
+        got = lib.rans_decompress(_u8ptr(src), ctypes.c_uint64(src.size),
+                                  _u8ptr(out), ctypes.c_uint64(out.size))
     if got < 0:
         raise ValueError("TPU-rANS stream corrupt")
     return out[:got].tobytes()

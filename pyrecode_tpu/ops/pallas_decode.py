@@ -45,14 +45,26 @@ def _choose_rpc_decode(height: int, width: int, out_size: int = 0) -> int:
     return rpc if height % rpc == 0 else 8
 
 
+# hw-bisection flags (tools/probe_decode.py): cumsum via MXU matmul vs
+# log-shift; level-1 inverse via paired+gated passes vs the flat loop.
+# Builders are lru_cached — cache_clear() after flipping.
+# Defaults stay on the hardware-verified baseline until the bisection lands:
+# the True/True build diverged from the oracle on the real chip at 4096^2
+# (interpret mode agreed — the usual Mosaic-lowering hazard).
+_MXU_CUMSUM = False
+_PAIRED_SELECT = False
+
+
 @functools.lru_cache(maxsize=64)
 def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
+    mxu_cumsum, paired = _MXU_CUMSUM, _PAIRED_SELECT
     S = RPC * W // SUB
     n_chunks = H // RPC
     C2 = S * C1
     WIN = C2 + 128
 
-    def kernel(bitmap_ref, vals_ref, expand_ref, dense_ref, ovf_ref, off_sref):
+    def kernel(bitmap_ref, vals_ref, expand_ref, lti_ref, dense_ref,
+               ovf_ref, off_sref):
         h = pl.program_id(1)
 
         @pl.when(h == 0)
@@ -69,7 +81,15 @@ def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
                          preferred_element_type=jnp.float32).astype(jnp.int32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (S, SUB), 1)
         m2 = (spread >> (lane % 8)) & 1
-        csum = _cumsum_lanes(m2, SUB)
+        # rank cumsum on the MXU (0/1 operands, exact at default precision;
+        # same change as the encode kernel -- the shift cumsum was the
+        # phase-split hotspot there)
+        if mxu_cumsum:
+            csum = jnp.dot(m2.astype(jnp.float32), lti_ref[...],
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.int32)
+        else:
+            csum = _cumsum_lanes(m2, SUB)
         rank1 = csum - 1
         cnt1 = csum[:, SUB - 1:SUB]                           # (S, 1)
         ovf1 = jnp.max(cnt1) > C1
@@ -103,9 +123,38 @@ def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
             c1 = c1 + jnp.where(riota == s, rot[:, :C1], 0)
 
         # ---- level-1 inverse: place values at foreground positions ----
-        dense2 = jnp.zeros((S, SUB), jnp.int32)
-        for j in range(C1):
-            dense2 = dense2 + jnp.where((rank1 == j) & (m2 > 0), c1[:, j:j + 1], 0)
+        # two slots per pass (pair packed in 16-bit halves, values < 2^16),
+        # extracted once at the end by the lane's rank parity; passes above
+        # rank 16 run under a lax.cond on the chunk's max sub-row count
+        # (mirrors the encode-side select; at 1% occupancy they fire in
+        # ~0.2% of chunks)
+        fg = m2 > 0
+        if paired:
+            half = rank1 >> 1
+
+            def passes(j_lo, j_hi):
+                acc_ = jnp.zeros((S, SUB), jnp.int32)
+                for j in range(j_lo, j_hi, 2):
+                    pair = c1[:, j:j + 1] + (c1[:, j + 1:j + 2] << 16)
+                    acc_ = acc_ + jnp.where(half == (j >> 1), pair, 0)
+                return acc_
+
+            acc = passes(0, min(16, C1))
+            maxcnt = jnp.max(cnt1)
+            j = 16
+            while j < C1:
+                j_hi = min(2 * j, C1)
+                acc = acc + jax.lax.cond(
+                    maxcnt > j,
+                    lambda lo=j, hi=j_hi: passes(lo, hi),
+                    lambda: jnp.zeros((S, SUB), jnp.int32))
+                j = j_hi
+            dense2 = jnp.where(fg, (acc >> ((rank1 & 1) << 4)) & 0xFFFF, 0)
+        else:
+            dense2 = jnp.zeros((S, SUB), jnp.int32)
+            for j in range(C1):
+                dense2 = dense2 + jnp.where((rank1 == j) & fg,
+                                            c1[:, j:j + 1], 0)
         dense_ref[0] = dense2.astype(jnp.uint16)
 
         off_sref[0] = off + chunk_cnt
@@ -115,6 +164,8 @@ def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
     i = np.arange(SUB // 8)[:, None]
     j = np.arange(SUB)[None, :]
     expand_mat = (j // 8 == i).astype(np.float32)
+    from .pallas_encode import make_lti_matrix
+    lti_mat = make_lti_matrix(SUB)
 
     call = pl.pallas_call(
         kernel,
@@ -123,6 +174,7 @@ def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
             pl.BlockSpec((1, S, SUB // 8), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, OUT + WIN), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB // 8, SUB), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, SUB), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, S, SUB), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
@@ -135,7 +187,7 @@ def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         interpret=bool(interpret),
     )
-    return lambda bitmap, vals: call(bitmap, vals, expand_mat)
+    return lambda bitmap, vals: call(bitmap, vals, expand_mat, lti_mat)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "bit_depth", "bucket", "interpret"))

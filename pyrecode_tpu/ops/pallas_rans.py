@@ -90,11 +90,18 @@ def _exact_div(x, f, f_f32):
 
 @functools.lru_cache(maxsize=16)
 def _build_rans_encode_kernel(B, NPAD, OUT, interpret, hi_rows=24,
-                              lo_lanes=32, direct=False, lut_rows=96):
+                              lo_lanes=32, direct=False, lut_rows=96,
+                              groups=1):
     """``hi_rows``/``lo_lanes`` set the LUT radix (hi_rows*lo_lanes indices;
     byte mode: 24x32 over the 768-slot token space).  ``direct=True`` codes
     the input as raw symbol values (symbol mode: 64x64 over a 4096-wide
-    alphabet, no NO_TOKEN inversion)."""
+    alphabet, no NO_TOKEN inversion).  ``groups`` > 1 gives each of the
+    ROWS_R rows in a grid step its OWN interleave-state row (format nways =
+    groups * W_LANES): the rows' per-symbol chains become independent, so
+    the scheduler overlaps them — the groups=1 kernel is LATENCY-bound on
+    the serial 1024-lane row chain (~2 us/row on hw); only the scalar byte
+    cursor still chains rows.  Requires groups == ROWS_R."""
+    assert groups in (1, ROWS_R)
     n_steps = NPAD // CH_R
     WIN = EMIT_WIN + 128
 
@@ -104,7 +111,7 @@ def _build_rans_encode_kernel(B, NPAD, OUT, interpret, hi_rows=24,
 
         @pl.when(h == 0)
         def _():
-            x_vref[...] = jnp.full((1, W_LANES), RANS_L, jnp.int32)
+            x_vref[...] = jnp.full((groups, W_LANES), RANS_L, jnp.int32)
             off_sref[0] = 0
             tail_vref[...] = jnp.zeros_like(tail_vref)
             body_ref[...] = jnp.zeros_like(body_ref)
@@ -122,18 +129,30 @@ def _build_rans_encode_kernel(B, NPAD, OUT, interpret, hi_rows=24,
         io_lo = jax.lax.broadcasted_iota(jnp.int32, (lo_lanes, CH_R), 0)
         io_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_rows, CH_R), 0)
         row = idx.reshape(1, CH_R)
-        oh_lo = ((row & (lo_lanes - 1)) == io_lo).astype(jnp.float32)
+        oh_lo = ((row & (lo_lanes - 1)) == io_lo).astype(jnp.bfloat16)
         oh_hi = ((row >> lo_sh) == io_hi).astype(jnp.float32)
         lut = lut_ref[0]                    # (>= 2*hi_rows, lo_lanes) f32
-        m1 = jnp.dot(lut, oh_lo, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)   # (rows, CH_R)
+        # LUT values are 12-bit: byte-plane split keeps the fetch matmul at
+        # full bf16 MXU rate (the one-matmul f32 form needed HIGHEST's
+        # 3-pass path and made the kernel MXU-bound)
+        lut_i = lut.astype(jnp.int32)
+        nlr = lut.shape[0]
+        lut_planes = jnp.concatenate(
+            [(lut_i & 255).astype(jnp.bfloat16),
+             (lut_i >> 8).astype(jnp.bfloat16)], axis=0)
+        m1 = jnp.dot(lut_planes, oh_lo,
+                     preferred_element_type=jnp.float32)    # (2*nlr, CH_R)
         # keep the per-token planes as (1, CH_R) rows; per-row views below
         # are 128-aligned LANE slices (lane->sublane reshapes don't lower)
-        f_all = jnp.sum(oh_hi * m1[0:hi_rows], axis=0, keepdims=True)
-        c_all = jnp.sum(oh_hi * m1[hi_rows:2 * hi_rows], axis=0,
-                        keepdims=True)
-        f_i = f_all.astype(jnp.int32)
-        c_i = c_all.astype(jnp.int32)
+
+        def _fetch(row0):
+            lo = jnp.sum(oh_hi * m1[row0:row0 + hi_rows], axis=0,
+                         keepdims=True).astype(jnp.int32)
+            hi = jnp.sum(oh_hi * m1[nlr + row0:nlr + row0 + hi_rows],
+                         axis=0, keepdims=True).astype(jnp.int32)
+            return lo + (hi << 8)
+        f_i = _fetch(0)
+        c_i = _fetch(hi_rows)
 
         lio = jax.lax.broadcasted_iota(jnp.int32, (1, W_LANES), 1)
 
@@ -145,7 +164,8 @@ def _build_rans_encode_kernel(B, NPAD, OUT, interpret, hi_rows=24,
             f = jnp.where(active, f_i[:, sl], 1)
             ff = f.astype(jnp.float32)
             cum = jnp.where(active, c_i[:, sl], 0)
-            x = x_vref[...]
+            g = r if groups > 1 else 0
+            x = x_vref[g:g + 1, :]
 
             # ---- renormalization: emit while x >= f << 19 (max twice) ----
             xmax = f << 19
@@ -184,7 +204,7 @@ def _build_rans_encode_kernel(B, NPAD, OUT, interpret, hi_rows=24,
             # ---- state update: x' = (x2//f << 12) + x2%f + cum ----
             q, rem = _exact_div(x2, f, ff)
             xn = (q << PROB_BITS) + rem + cum
-            x_vref[...] = jnp.where(active, xn, x)
+            x_vref[g:g + 1, :] = jnp.where(active, xn, x)
 
         @pl.when(h == n_steps - 1)
         def _():
@@ -206,17 +226,17 @@ def _build_rans_encode_kernel(B, NPAD, OUT, interpret, hi_rows=24,
         out_specs=[
             pl.BlockSpec((1, 1, OUT + WIN), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, W_LANES), lambda b, h: (b, 0, 0),
+            pl.BlockSpec((1, groups, W_LANES), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, OUT + WIN), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, W_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, groups, W_LANES), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((1, W_LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((groups, W_LANES), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32),
                         pltpu.VMEM((1, WIN), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
@@ -227,18 +247,19 @@ def _build_rans_encode_kernel(B, NPAD, OUT, interpret, hi_rows=24,
 
 
 @functools.partial(jax.jit, static_argnames=("out_bound", "interpret",
-                                              "hi_rows", "direct"))
+                                              "hi_rows", "direct", "groups"))
 def _rans_encode_call(tok, luts, m, out_bound, interpret, hi_rows=24,
-                      direct=False):
+                      direct=False, groups=1):
     B, NPAD = tok.shape
     call = _build_rans_encode_kernel(B, NPAD, out_bound, bool(interpret),
                                      hi_rows=hi_rows,
                                      lo_lanes=luts.shape[2], direct=direct,
-                                     lut_rows=luts.shape[1])
+                                     lut_rows=luts.shape[1], groups=groups)
     body, states, cnt = call(
         tok.reshape(B, NPAD // CH_R, ROWS_R, W_LANES), luts,
         m.reshape(B, 1, 1).astype(jnp.int32))
-    return (body[:, 0, :out_bound], states[:, 0, :], cnt[:, 0, 0])
+    return (body[:, 0, :out_bound],
+            states.reshape(B, groups * W_LANES), cnt[:, 0, 0])
 
 
 def rans_encode_pallas(tok, luts, m, out_bound, interpret=None):
@@ -263,17 +284,20 @@ def rans_encode_pallas(tok, luts, m, out_bound, interpret=None):
                              bool(interpret))
 
 
-def rans_encode_symbols_pallas(values, luts, m, out_bound, interpret=None):
+def rans_encode_symbols_pallas(values, luts, m, out_bound, interpret=None,
+                               groups=1):
     """Device interleaved-rANS encode of DIRECT symbols (scheme-12 symbol
     mode, flags bit1): ``values`` (B, NPAD) i32 raw symbols < 4096 (pad 0;
     entries beyond ``m`` ignored), ``luts`` (B, 128, 64) f32 from
     :func:`encode_luts_symbols` (radix [sym>>6, sym&63]; rows 0..63 freq,
-    64..127 cum).  Same outputs as :func:`rans_encode_pallas`."""
+    64..127 cum).  Same outputs as :func:`rans_encode_pallas`, with states
+    (B, groups*W_LANES)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     out_bound = -(-out_bound // 128) * 128
     return _rans_encode_call(values, luts, jnp.asarray(m), int(out_bound),
-                             bool(interpret), hi_rows=64, direct=True)
+                             bool(interpret), hi_rows=64, direct=True,
+                             groups=groups)
 
 
 def encode_luts_symbols(freq: np.ndarray) -> np.ndarray:
@@ -338,7 +362,10 @@ WROWS = 16              # decode word window, (WROWS, 128) u32 word rows:
 
 
 @functools.lru_cache(maxsize=16)
-def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret):
+def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret, groups=1):
+    """``groups`` mirrors the encode kernel: per-row interleave-state rows
+    (format nways = groups * W_LANES) break the serial row chain."""
+    assert groups in (1, ROWS_R)
     n_steps = NPAD // CH_R
     NROWS = BWORDS // 128
 
@@ -353,6 +380,14 @@ def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret):
 
         m = m_ref[0, 0, 0]
         tab = tab_ref[0]                                   # (96, 128) f32
+        # table values are 12-bit: split into byte planes so the lookup
+        # matmul runs bf16 (0..255 integers are exact in bf16; the f32
+        # single-matmul form needed precision=HIGHEST = the 3-pass path,
+        # which made this kernel MXU-bound)
+        tab_i = tab.astype(jnp.int32)
+        tab_planes = jnp.concatenate(
+            [(tab_i & 255).astype(jnp.bfloat16),
+             (tab_i >> 8).astype(jnp.bfloat16)], axis=0)   # (192, 128)
         lio = jax.lax.broadcasted_iota(jnp.int32, (1, W_LANES), 1)
         io128 = jax.lax.broadcasted_iota(jnp.int32, (128, W_LANES), 0)
         io32 = jax.lax.broadcasted_iota(jnp.int32, (32, W_LANES), 0)
@@ -363,19 +398,23 @@ def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret):
             gidx0 = (h * ROWS_R + r) * W_LANES
             active = (gidx0 + lio) < m
 
-            x = x_vref[...]
+            g = r if groups > 1 else 0
+            x = x_vref[g:g + 1, :]
             slot = x & (M_TOT - 1)
             # ---- (sym, freq, slot - cum) by slot: bilinear radix lookup ----
-            oh_lo = ((slot & 127) == io128).astype(jnp.float32)
+            oh_lo = ((slot & 127) == io128).astype(jnp.bfloat16)
             oh_hi = ((slot >> 7) == io32).astype(jnp.float32)
-            m1 = jnp.dot(tab, oh_lo, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)  # (96, W)
-            sym = jnp.sum(oh_hi * m1[0:32], axis=0,
-                          keepdims=True).astype(jnp.int32)
-            fs = jnp.sum(oh_hi * m1[32:64], axis=0,
-                         keepdims=True).astype(jnp.int32)
-            rem = jnp.sum(oh_hi * m1[64:96], axis=0,
-                          keepdims=True).astype(jnp.int32)
+            m1 = jnp.dot(tab_planes, oh_lo,
+                         preferred_element_type=jnp.float32)   # (192, W)
+            def _sel(lo_rows, hi_rows_):
+                v = jnp.sum(oh_hi * m1[lo_rows:lo_rows + 32], axis=0,
+                            keepdims=True).astype(jnp.int32)
+                vh = jnp.sum(oh_hi * m1[hi_rows_:hi_rows_ + 32], axis=0,
+                             keepdims=True).astype(jnp.int32)
+                return v + (vh << 8)
+            sym = _sel(0, 96)
+            fs = _sel(32, 128)
+            rem = _sel(64, 160)
             xp = fs * (x >> PROB_BITS) + rem
 
             # ---- renormalization: nb depends on xp alone ----
@@ -402,28 +441,31 @@ def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret):
             widx_b = ((pos + 1) >> 2) - w0w
             widx2 = jnp.concatenate([widx_a, widx_b], axis=1)  # (1, 2W)
             bsel2 = jnp.concatenate([pos & 3, (pos + 1) & 3], axis=1)
-            olo2 = ((widx2 & 127) == io128_2).astype(jnp.float32)
+            olo2 = ((widx2 & 127) == io128_2).astype(jnp.bfloat16)
             ohi2 = widx2 >> 7                        # window row, < WROWS
-            lo = (win_i & 0xFFFF).astype(jnp.float32)
-            hi = ((win_i >> 16) & 0xFFFF).astype(jnp.float32)
-            stacked = jnp.concatenate([lo, hi], axis=0)        # (32, 128)
+            # window words split into FOUR byte planes (exact in bf16);
+            # the byte at pos is then plane_(pos&3) of word pos>>2 — a
+            # 4-way select, no shift reconstruction
+            planes = jnp.concatenate(
+                [((win_i >> (8 * k)) & 255).astype(jnp.bfloat16)
+                 for k in range(4)], axis=0)         # (4*WROWS, 128)
             prod = jax.lax.dot_general(
-                stacked, olo2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)           # (32, 2W)
+                planes, olo2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (4*WROWS, 2W)
             rowsel = (io16_2 == ohi2).astype(jnp.float32)
-            sel_lo = jnp.sum(rowsel * prod[0:WROWS], axis=0, keepdims=True)
-            sel_hi = jnp.sum(rowsel * prod[WROWS:2 * WROWS], axis=0,
-                             keepdims=True)
-            word2 = sel_lo.astype(jnp.int32) \
-                + (sel_hi.astype(jnp.int32) << 16)
-            byte2 = (word2 >> (8 * bsel2)) & 255
+            sels = [jnp.sum(rowsel * prod[k * WROWS:(k + 1) * WROWS],
+                            axis=0, keepdims=True).astype(jnp.int32)
+                    for k in range(4)]
+            byte2 = jnp.where(
+                bsel2 < 2,
+                jnp.where(bsel2 == 0, sels[0], sels[1]),
+                jnp.where(bsel2 == 2, sels[2], sels[3]))
             b1 = byte2[:, :W_LANES]
             b2 = byte2[:, W_LANES:]
 
             x1 = jnp.where(nb >= 1, (xp << 8) | b1, xp)
             x2 = jnp.where(nb == 2, (x1 << 8) | b2, x1)
-            x_vref[...] = jnp.where(active, x2, x)
+            x_vref[g:g + 1, :] = jnp.where(active, x2, x)
             cur_sref[0] = cur_sref[0] + total
 
             syms_ref[0, 0, r, :] = jnp.where(active, sym, 0)[0]
@@ -436,7 +478,7 @@ def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 96, 128), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, W_LANES), lambda b, h: (b, 0, 0),
+            pl.BlockSpec((1, groups, W_LANES), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -448,7 +490,7 @@ def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret):
         out_shape=[
             jax.ShapeDtypeStruct((B, n_steps, ROWS_R, W_LANES), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((1, W_LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((groups, W_LANES), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -457,13 +499,15 @@ def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret):
     return call
 
 
-def rans_decode_pallas(body_rev, states, m, npad, tab, interpret=None):
+def rans_decode_pallas(body_rev, states, m, npad, tab, interpret=None,
+                       groups=1):
     """Device interleaved-rANS symbol decode.
 
     ``body_rev`` (B, BW) u8 — the rANS byte stream REVERSED (so the kernel
     reads forward), zero-padded to a multiple of 512 bytes; internally
-    packed 4 bytes per i32 word.  ``states`` (B, W_LANES) u32/i32 initial
-    states (the stream's ``state[W]`` field).  ``m`` (B,) i32 token counts.
+    packed 4 bytes per i32 word.  ``states`` (B, groups*W_LANES) u32/i32
+    initial states (the stream's ``state[W]`` field, W = groups*W_LANES).
+    ``m`` (B,) i32 token counts.
     ``npad`` — static token capacity (multiple of CH_R) >= max(m).
     ``tab`` (B, 96, 128) f32 slot tables from :func:`decode_tables_radix`.
     Returns syms (B, npad) i32 (pad rows 0).
@@ -483,10 +527,12 @@ def rans_decode_pallas(body_rev, states, m, npad, tab, interpret=None):
     BW = BW + pad
     words = jax.vmap(lambda v: jax.lax.bitcast_convert_type(
         v.reshape(BW // 4, 4), jnp.int32).reshape(BW // 4))(body_rev)
-    call = _build_rans_decode_kernel(B, npad, BW // 4, bool(interpret))
+    call = _build_rans_decode_kernel(B, npad, BW // 4, bool(interpret),
+                                     groups=groups)
     syms = call(words.reshape(B, BW // 512, 128),
                 jnp.asarray(tab),
-                jnp.asarray(states).astype(jnp.int32).reshape(B, 1, W_LANES),
+                jnp.asarray(states).astype(jnp.int32)
+                .reshape(B, groups, W_LANES),
                 jnp.asarray(m).reshape(B, 1, 1).astype(jnp.int32))[0]
     return syms.reshape(B, npad)
 

@@ -220,3 +220,44 @@ def test_label_components_matches_oracle():
         got_labels, got_n = native.label_components(mask)
         assert got_n == ref_n, i
         assert np.array_equal(got_labels, ref_labels), i
+
+
+def test_rans_symbol_mode_native_parity():
+    """The C++ symbol-mode coder is byte-identical to the numpy reference
+    across distributions/widths, and each decodes the other's streams."""
+    import zlib
+
+    from pyrecode_tpu import native, oracle
+    from pyrecode_tpu.codecs import rans
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    cases = []
+    for k, bits in [(5000, 12), (997, 12), (4096, 10), (64, 9), (0, 12)]:
+        vals = np.minimum(1 + np.floor(rng.exponential(5.0, k)), (1 << bits) - 1)
+        cases.append((oracle.bit_pack(vals.astype(np.uint64), bits).tobytes(),
+                      bits))
+    cases.append((((rng.integers(0, 256, 50000)
+                    * (rng.random(50000) < 0.08)).astype(np.uint8)).tobytes(),
+                  8))
+    for raw, bits in cases:
+        m = len(raw) * 8 // bits
+        eff = min(512, max(8, 1 << int(np.log2(max(m // 64, 1)))))
+        nat = native.rans_compress_symbols_native(raw, bits, eff)
+        v = oracle.bit_unpack(raw, bits, m, dtype=np.uint32).astype(np.int64)
+        freq = rans.quantize_freqs(
+            np.bincount(v, minlength=1 << bits)).astype(np.int64)
+        body, states = rans.rans_encode_interleaved(v, freq, eff)
+        sp = np.flatnonzero(freq > 0)
+        ref = rans._finish_stream_symbols(len(raw), m, eff, bits, sp,
+                                          freq[sp], states, body,
+                                          zlib.adler32(raw))
+        assert nat == ref, (len(raw), bits)
+        assert native.rans_decompress(nat) == raw
+        assert rans.decompress(nat) == raw
+    # corrupt native decode raises (shim) / returns error (C)
+    s = bytearray(native.rans_compress_symbols_native(cases[0][0], 12, 8))
+    s[len(s) // 2] ^= 0x10
+    with pytest.raises(ValueError):
+        native.rans_decompress(bytes(s))

@@ -68,9 +68,9 @@ def test_l4_matches_oracle(scheme):
 
 
 def test_big_puddle_overflows_small_halo():
-    frames = np.zeros((1, 64, 128), np.uint16)
-    frames[0, 10:40, 20:25] = 100  # 30 rows tall: geodesic radius > 8
-    thr = np.zeros((64, 128), np.uint16)
+    frames = np.zeros((1, 32, 128), np.uint16)
+    frames[0, 4:28, 20:25] = 100  # 24 rows tall: geodesic radius > 8
+    thr = np.zeros((32, 128), np.uint16)
     _, _, _, ovf0 = encode_l2l4_pallas(frames, thr, 2, out_size=128,
                                        bit_depth=12, halo_bucket=0, interpret=True)
     assert np.asarray(ovf0).any()

@@ -416,3 +416,23 @@ def test_device_symbol_pipeline_roundtrip():
     assert decoded[0] == streams[0]
     assert decoded[1] == streams[1]
     assert decoded[2] == b"abc" * 10
+
+
+def test_wide_interleave_symbol_streams():
+    """m >= 2^21 engages the W=8192 (8-group) kernels: the format records
+    nways=8192 and host/device decodes agree."""
+    from pyrecode_tpu.codecs import rans
+
+    rng = np.random.default_rng(7)
+    raw = ((rng.integers(0, 256, 2_100_000)
+            * (rng.random(2_100_000) < 0.08)).astype(np.uint8)).tobytes()
+    NB = -(-len(raw) // 3072) * 3072
+    packed = np.zeros((1, NB), np.uint8)
+    packed[0, :len(raw)] = np.frombuffer(raw, np.uint8)
+    out = rans.rans_symbols_batch_device(packed, np.array([len(raw)]), 8,
+                                         raw_cb=lambda i: raw,
+                                         interpret=True)[0]
+    h = rans._parse_header(out)
+    assert h["nways"] == 8192
+    assert rans.decompress(out) == raw
+    assert rans.rans_decompress_device_batch([out], interpret=True)[0] == raw

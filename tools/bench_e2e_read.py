@@ -237,11 +237,13 @@ def main_symbol(args):
 
     def batch_inputs(kind):
         metas = [rans._parse_header(streams[i][kind]) for i in range(B)]
+        nways = metas[0]["nways"]
+        assert all(h["nways"] == nways for h in metas)
         m_max = max(h["m"] for h in metas)
         npad = -(-max(m_max, 1) // prk.CH_R) * prk.CH_R
         bw = -(-max(max(len(h["body"]) for h in metas), 4) // 512) * 512
         bodies = np.zeros((B, bw), np.uint8)
-        states = np.zeros((B, prk.W_LANES), np.int32)
+        states = np.zeros((B, nways), np.int32)
         tabs = np.zeros((B, 96, 128), np.float32)
         ms = np.zeros(B, np.int32)
         for i, h in enumerate(metas):
@@ -251,25 +253,26 @@ def main_symbol(args):
             tabs[i] = prk.decode_tables_radix(h["freq"])
             ms[i] = h["m"]
         return jnp.asarray(bodies), jnp.asarray(states), jnp.asarray(tabs), \
-            ms, npad
+            ms, npad, nways // prk.W_LANES
 
-    bod_bm, st_bm, tab_bm, m_bm, npad_bm = batch_inputs(0)
-    bod_pk, st_pk, tab_pk, m_pk, npad_pk = batch_inputs(1)
+    bod_bm, st_bm, tab_bm, m_bm, npad_bm, grp_bm = batch_inputs(0)
+    bod_pk, st_pk, tab_pk, m_pk, npad_pk, grp_pk = batch_inputs(1)
+    print(f"interleave groups: bm {grp_bm}, pk {grp_pk}")
 
-    @functools.partial(jax.jit, static_argnames=("npad",))
-    def dec(bodies, states, tabs, ms, npad):
+    @functools.partial(jax.jit, static_argnames=("npad", "groups"))
+    def dec(bodies, states, tabs, ms, npad, groups):
         syms = prk.rans_decode_pallas(bodies, states, jnp.asarray(ms), npad,
-                                      tabs, interpret=False)
+                                      tabs, interpret=False, groups=groups)
         return jnp.sum(syms[:, :128].astype(jnp.int32)).astype(jnp.float32)
 
     sb_scan = jnp.stack([bod_bm] * args.scan)
     jax.block_until_ready(sb_scan)
-    dt_bm = delta_scan_time(lambda b: dec(b, st_bm, tab_bm, m_bm, npad_bm),
-                            sb_scan)
+    dt_bm = delta_scan_time(
+        lambda b: dec(b, st_bm, tab_bm, m_bm, npad_bm, grp_bm), sb_scan)
     sp_scan = jnp.stack([bod_pk] * args.scan)
     jax.block_until_ready(sp_scan)
-    dt_pk = delta_scan_time(lambda b: dec(b, st_pk, tab_pk, m_pk, npad_pk),
-                            sp_scan)
+    dt_pk = delta_scan_time(
+        lambda b: dec(b, st_pk, tab_pk, m_pk, npad_pk, grp_pk), sp_scan)
     print(f"device rANS symbol decode bm: {dt_bm*1e3:.2f} ms/batch; "
           f"pk: {dt_pk*1e3:.2f} ms/batch")
 

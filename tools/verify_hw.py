@@ -165,6 +165,11 @@ def main() -> int:
                 * (rng.random(1 << 17) < 0.08)).astype(np.uint8).tobytes()
     sraws.append(bm_bytes)
     sbits.append(8)
+    # production bitmap size: m >= 2^21 engages the W=8192 (groups=8) kernel
+    big = (rng.integers(0, 256, 1 << 21)
+           * (rng.random(1 << 21) < 0.08)).astype(np.uint8).tobytes()
+    sraws.append(big)
+    sbits.append(8)
     for i, (raw, sb) in enumerate(zip(sraws, sbits)):
         NB = -(-len(raw) // 3072) * 3072
         pk = np.zeros((1, NB), np.uint8)
