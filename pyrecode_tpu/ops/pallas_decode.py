@@ -48,10 +48,14 @@ def _choose_rpc_decode(height: int, width: int, out_size: int = 0) -> int:
 # hw-bisection flags (tools/probe_decode.py): cumsum via MXU matmul vs
 # log-shift; level-1 inverse via paired+gated passes vs the flat loop.
 # Builders are lru_cached — cache_clear() after flipping.
-# Defaults stay on the hardware-verified baseline until the bisection lands:
-# the True/True build diverged from the oracle on the real chip at 4096^2
-# (interpret mode agreed — the usual Mosaic-lowering hazard).
-_MXU_CUMSUM = False
+# MXU cumsum: hw-verified OK (probe_decode 2026-08-19) and slightly faster
+# (11.50 vs 11.37 GB/s at 4096^2) -> default ON.
+# Paired select: STILL DIVERGES on v5e hardware even after replacing the
+# dynamic right-shift-by-vector extraction with static shifts + where
+# (foreground lanes read 0; interpret agrees with the oracle).  The faulty
+# construct is somewhere in the pair-packed accumulation itself; keep OFF
+# until re-bisected.
+_MXU_CUMSUM = True
 _PAIRED_SELECT = False
 
 
@@ -149,7 +153,13 @@ def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
                     lambda lo=j, hi=j_hi: passes(lo, hi),
                     lambda: jnp.zeros((S, SUB), jnp.int32))
                 j = j_hi
-            dense2 = jnp.where(fg, (acc >> ((rank1 & 1) << 4)) & 0xFFFF, 0)
+            # NOTE: select the half with static shifts + where — the dynamic
+            # right-shift-by-vector form ((acc >> ((rank1&1)<<4)) & 0xFFFF)
+            # was the part that diverged on hw (probe_decode bisection)
+            dense2 = jnp.where(fg,
+                               jnp.where((rank1 & 1) == 1,
+                                         (acc >> 16) & 0xFFFF, acc & 0xFFFF),
+                               0)
         else:
             dense2 = jnp.zeros((S, SUB), jnp.int32)
             for j in range(C1):

@@ -31,8 +31,21 @@ def main():
     parser.add_argument("--frames-per-device", type=int, default=8)
     parser.add_argument("--density", type=float, default=0.01)
     parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--cpu", type=int, default=0, metavar="N",
+                        help="force the CPU backend with N virtual devices "
+                             "(the terminal's sitecustomize pins the axon TPU "
+                             "plugin, so env vars alone cannot switch backends)")
     args = parser.parse_args()
 
+    if args.cpu:
+        import os
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.cpu}"
+            ).strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
