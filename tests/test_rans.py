@@ -418,7 +418,8 @@ def test_device_symbol_pipeline_roundtrip():
     assert decoded[2] == b"abc" * 10
 
 
-def test_wide_interleave_symbol_streams():
+@pytest.mark.slow  # 2M-symbol interpret run; the same config is hw-gated
+def test_wide_interleave_symbol_streams():  # in verify_hw (b=8 n=2097152)
     """m >= 2^21 engages the W=8192 (8-group) kernels: the format records
     nways=8192 and host/device decodes agree."""
     from pyrecode_tpu.codecs import rans
