@@ -263,25 +263,33 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
                 cent_r = round_div_plus(global_row, sdr, wsum)
                 cent_c = round_div_plus(c_io, sdc, wsum)
 
-            # rasterize: pixel p is a centroid iff some root within the box
-            # (roots sit above-or-level with their centroid row, so shifts
-            # go downward only) has its centroid at p.  Halo roots count: a
-            # neighbouring chunk's root can centroid into this chunk; the
-            # Chebyshev/boundary checks guarantee such puddles are fully
-            # visible here or flagged.
+            # rasterize SEPARABLY: pixel p is a centroid iff some root within
+            # the box has its centroid at p.  Roots sit above-or-level with
+            # their centroid row, so the row phase only shifts downward: each
+            # root's mark moves down by its centroid row offset ddr in [0..K]
+            # carrying the pending lane offset ddc as one bit of a
+            # (2K+1)-bit field (colliding marks OR; same bit = same centroid
+            # position, distinct bits stay distinct), then the lane phase
+            # tests each bit with a static shift.  (K+1) + (2K+1) passes
+            # instead of the (K+1)(2K+1) shifted-compare taps this replaces.
+            # Halo roots count: a neighbouring chunk's root can centroid
+            # into this chunk; the Chebyshev/boundary checks guarantee such
+            # puddles are fully visible here or flagged.
             is_root_any = mask & (lbl == lin) & valid
-            centkey = jnp.where(is_root_any, cent_r * W + cent_c, -1)
-            glin = global_row * W + c_io
-            is_cent = centkey == glin
-            for sh_r in range(0, K + 1):
-                rowk = centkey if sh_r == 0 else \
-                    _roll_rows(centkey, sh_r, jnp.int32(-1))
-                for sh_c in range(-K, K + 1):
-                    if sh_r == 0 and sh_c == 0:
-                        continue
-                    shifted = rowk if sh_c == 0 else \
-                        _roll_lanes(rowk, sh_c, jnp.int32(-1))
-                    is_cent = is_cent | (shifted == glin)
+            ddr = cent_r - global_row
+            ddc = cent_c - c_io
+            # dynamic LEFT shift by a vector amount is Mosaic-safe on v5e
+            # (the encode select uses it, hw-gated); dynamic RIGHT shifts
+            # by vector are NOT — the lane phase below uses static shifts
+            markbit = jnp.where(is_root_any, 1 << (ddc + K), 0)
+            mid = jnp.where(ddr == 0, markbit, 0)
+            for dr in range(1, K + 1):
+                mid = mid | _roll_rows(jnp.where(ddr == dr, markbit, 0),
+                                       dr, jnp.int32(0))
+            is_cent = jnp.zeros((R, W), jnp.bool_)
+            for dc in range(-K, K + 1):
+                moved = mid if dc == 0 else _roll_lanes(mid, dc, jnp.int32(0))
+                is_cent = is_cent | (((moved >> (dc + K)) & 1) == 1)
             is_cent = is_cent & valid & in_chunk
 
         # ---- extract the in-chunk rows via a selection matmul ----

@@ -121,90 +121,97 @@ def _build_rans_encode_kernel(B, NPAD, OUT, interpret, hi_rows=24,
         # THE END: grid h=0 maps to the LAST block (see index_map)
         blk = n_steps - 1 - h
 
-        # batched LUT lookup for the whole step: idx = NO_TOKEN - tok
-        # (byte mode) or the raw symbol value (direct/symbol mode)
-        tok = tok_ref[0, 0].astype(jnp.int32)          # (ROWS_R, W_LANES)
-        idx = tok if direct else NO_TOKEN - tok
-        lo_sh = lo_lanes.bit_length() - 1              # lo_lanes is pow2
-        io_lo = jax.lax.broadcasted_iota(jnp.int32, (lo_lanes, CH_R), 0)
-        io_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_rows, CH_R), 0)
-        row = idx.reshape(1, CH_R)
-        oh_lo = ((row & (lo_lanes - 1)) == io_lo).astype(jnp.bfloat16)
-        oh_hi = ((row >> lo_sh) == io_hi).astype(jnp.float32)
-        lut = lut_ref[0]                    # (>= 2*hi_rows, lo_lanes) f32
-        # LUT values are 12-bit: byte-plane split keeps the fetch matmul at
-        # full bf16 MXU rate (the one-matmul f32 form needed HIGHEST's
-        # 3-pass path and made the kernel MXU-bound)
-        lut_i = lut.astype(jnp.int32)
-        nlr = lut.shape[0]
-        lut_planes = jnp.concatenate(
-            [(lut_i & 255).astype(jnp.bfloat16),
-             (lut_i >> 8).astype(jnp.bfloat16)], axis=0)
-        m1 = jnp.dot(lut_planes, oh_lo,
-                     preferred_element_type=jnp.float32)    # (2*nlr, CH_R)
-        # keep the per-token planes as (1, CH_R) rows; per-row views below
-        # are 128-aligned LANE slices (lane->sublane reshapes don't lower)
+        # all-padding blocks (every token >= m) are processed FIRST in the
+        # end-first order; skip them whole — every lane would be inactive,
+        # and _store_window with total == 0 only rewrites its own tail, so
+        # skipping is exactly equivalent.  Streams much shorter than NPAD
+        # (shared-pad batches) then cost O(m), not O(NPAD).
+        @pl.when(blk * CH_R < m)
+        def _step_body():
+            # batched LUT lookup for the whole step: idx = NO_TOKEN - tok
+            # (byte mode) or the raw symbol value (direct/symbol mode)
+            tok = tok_ref[0, 0].astype(jnp.int32)      # (ROWS_R, W_LANES)
+            idx = tok if direct else NO_TOKEN - tok
+            lo_sh = lo_lanes.bit_length() - 1              # lo_lanes is pow2
+            io_lo = jax.lax.broadcasted_iota(jnp.int32, (lo_lanes, CH_R), 0)
+            io_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_rows, CH_R), 0)
+            row = idx.reshape(1, CH_R)
+            oh_lo = ((row & (lo_lanes - 1)) == io_lo).astype(jnp.bfloat16)
+            oh_hi = ((row >> lo_sh) == io_hi).astype(jnp.float32)
+            lut = lut_ref[0]                    # (>= 2*hi_rows, lo_lanes) f32
+            # LUT values are 12-bit: byte-plane split keeps the fetch matmul at
+            # full bf16 MXU rate (the one-matmul f32 form needed HIGHEST's
+            # 3-pass path and made the kernel MXU-bound)
+            lut_i = lut.astype(jnp.int32)
+            nlr = lut.shape[0]
+            lut_planes = jnp.concatenate(
+                [(lut_i & 255).astype(jnp.bfloat16),
+                 (lut_i >> 8).astype(jnp.bfloat16)], axis=0)
+            m1 = jnp.dot(lut_planes, oh_lo,
+                         preferred_element_type=jnp.float32)    # (2*nlr, CH_R)
+            # keep the per-token planes as (1, CH_R) rows; per-row views below
+            # are 128-aligned LANE slices (lane->sublane reshapes don't lower)
 
-        def _fetch(row0):
-            lo = jnp.sum(oh_hi * m1[row0:row0 + hi_rows], axis=0,
-                         keepdims=True).astype(jnp.int32)
-            hi = jnp.sum(oh_hi * m1[nlr + row0:nlr + row0 + hi_rows],
-                         axis=0, keepdims=True).astype(jnp.int32)
-            return lo + (hi << 8)
-        f_i = _fetch(0)
-        c_i = _fetch(hi_rows)
+            def _fetch(row0):
+                lo = jnp.sum(oh_hi * m1[row0:row0 + hi_rows], axis=0,
+                             keepdims=True).astype(jnp.int32)
+                hi = jnp.sum(oh_hi * m1[nlr + row0:nlr + row0 + hi_rows],
+                             axis=0, keepdims=True).astype(jnp.int32)
+                return lo + (hi << 8)
+            f_i = _fetch(0)
+            c_i = _fetch(hi_rows)
 
-        lio = jax.lax.broadcasted_iota(jnp.int32, (1, W_LANES), 1)
+            lio = jax.lax.broadcasted_iota(jnp.int32, (1, W_LANES), 1)
 
-        # rows inside the step, last first (token order is descending)
-        for r in range(ROWS_R - 1, -1, -1):
-            gidx0 = (blk * ROWS_R + r) * W_LANES       # first token of row
-            active = (gidx0 + lio) < m                 # (1, W_LANES)
-            sl = slice(r * W_LANES, (r + 1) * W_LANES)
-            f = jnp.where(active, f_i[:, sl], 1)
-            ff = f.astype(jnp.float32)
-            cum = jnp.where(active, c_i[:, sl], 0)
-            g = r if groups > 1 else 0
-            x = x_vref[g:g + 1, :]
+            # rows inside the step, last first (token order is descending)
+            for r in range(ROWS_R - 1, -1, -1):
+                gidx0 = (blk * ROWS_R + r) * W_LANES       # first token of row
+                active = (gidx0 + lio) < m                 # (1, W_LANES)
+                sl = slice(r * W_LANES, (r + 1) * W_LANES)
+                f = jnp.where(active, f_i[:, sl], 1)
+                ff = f.astype(jnp.float32)
+                cum = jnp.where(active, c_i[:, sl], 0)
+                g = r if groups > 1 else 0
+                x = x_vref[g:g + 1, :]
 
-            # ---- renormalization: emit while x >= f << 19 (max twice) ----
-            xmax = f << 19
-            e0 = active & (x >= xmax)
-            b0 = x & 255
-            x1 = jnp.where(e0, x >> 8, x)
-            e1 = e0 & (x1 >= xmax)
-            b1 = x1 & 255
-            x2 = jnp.where(e1, x1 >> 8, x1)
-            nb = e0.astype(jnp.int32) + e1.astype(jnp.int32)
+                # ---- renormalization: emit while x >= f << 19 (max twice) ----
+                xmax = f << 19
+                e0 = active & (x >= xmax)
+                b0 = x & 255
+                x1 = jnp.where(e0, x >> 8, x)
+                e1 = e0 & (x1 >= xmax)
+                b1 = x1 & 255
+                x2 = jnp.where(e1, x1 >> 8, x1)
+                nb = e0.astype(jnp.int32) + e1.astype(jnp.int32)
 
-            # ---- emit order: descending lane, low byte first per lane ----
-            incl = _cumsum_lanes(nb, W_LANES)
-            total = incl[0, W_LANES - 1]
-            pos0 = total - incl                        # suffix-sum excl self
-            # scatter b0 at pos0, b1 at pos0+1 into the (1, EMIT_WIN) window
-            t_all = pos0
-            io128 = jax.lax.broadcasted_iota(jnp.int32, (128, W_LANES), 0)
-            nwrows = EMIT_WIN // 128
-            io_nw = jax.lax.broadcasted_iota(jnp.int32, (nwrows, W_LANES), 0)
-            oh_tl = ((t_all & 127) == io128).astype(jnp.bfloat16)
-            oh_th = ((t_all >> 7) == io_nw).astype(jnp.bfloat16)
-            blocks = [oh_th * jnp.where(e0, b0, 0).astype(jnp.bfloat16),
-                      oh_th * jnp.where(e1, b1, 0).astype(jnp.bfloat16)]
-            stacked = jnp.concatenate(blocks, axis=0)
-            o2 = jax.lax.dot_general(stacked, oh_tl,
-                                     (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            row0 = o2[0:nwrows].astype(jnp.int32).reshape(1, nwrows * 128)
-            row1 = o2[nwrows: 2 * nwrows].astype(jnp.int32) \
-                .reshape(1, nwrows * 128)
-            local = row0 + pltpu.roll(row1, 1, axis=1)
-            _store_window(body_ref, tail_vref, off_sref, local, total,
-                          OUT, WIN, EMIT_WIN)
+                # ---- emit order: descending lane, low byte first per lane ----
+                incl = _cumsum_lanes(nb, W_LANES)
+                total = incl[0, W_LANES - 1]
+                pos0 = total - incl                        # suffix-sum excl self
+                # scatter b0 at pos0, b1 at pos0+1 into the (1, EMIT_WIN) window
+                t_all = pos0
+                io128 = jax.lax.broadcasted_iota(jnp.int32, (128, W_LANES), 0)
+                nwrows = EMIT_WIN // 128
+                io_nw = jax.lax.broadcasted_iota(jnp.int32, (nwrows, W_LANES), 0)
+                oh_tl = ((t_all & 127) == io128).astype(jnp.bfloat16)
+                oh_th = ((t_all >> 7) == io_nw).astype(jnp.bfloat16)
+                blocks = [oh_th * jnp.where(e0, b0, 0).astype(jnp.bfloat16),
+                          oh_th * jnp.where(e1, b1, 0).astype(jnp.bfloat16)]
+                stacked = jnp.concatenate(blocks, axis=0)
+                o2 = jax.lax.dot_general(stacked, oh_tl,
+                                         (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                row0 = o2[0:nwrows].astype(jnp.int32).reshape(1, nwrows * 128)
+                row1 = o2[nwrows: 2 * nwrows].astype(jnp.int32) \
+                    .reshape(1, nwrows * 128)
+                local = row0 + pltpu.roll(row1, 1, axis=1)
+                _store_window(body_ref, tail_vref, off_sref, local, total,
+                              OUT, WIN, EMIT_WIN)
 
-            # ---- state update: x' = (x2//f << 12) + x2%f + cum ----
-            q, rem = _exact_div(x2, f, ff)
-            xn = (q << PROB_BITS) + rem + cum
-            x_vref[g:g + 1, :] = jnp.where(active, xn, x)
+                # ---- state update: x' = (x2//f << 12) + x2%f + cum ----
+                q, rem = _exact_div(x2, f, ff)
+                xn = (q << PROB_BITS) + rem + cum
+                x_vref[g:g + 1, :] = jnp.where(active, xn, x)
 
         @pl.when(h == n_steps - 1)
         def _():

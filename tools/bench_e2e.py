@@ -36,6 +36,157 @@ from pyrecode_tpu.profiling import enable_compile_cache
 enable_compile_cache()
 
 
+def _adler_partials(packed, lens):
+    """Device half of codecs.rans._adler32_device_chunks: per-2048-byte
+    partial (s1, s2) sums mod 65521; the host combine is O(n_chunks)."""
+    B, NB = packed.shape
+    CH = 2048
+    pad = (-NB) % CH
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, pad)))
+        NB += pad
+    nch = NB // CH
+    d = packed.reshape(B, nch, CH).astype(jnp.int32)
+    gidx = jnp.arange(nch)[:, None] * CH + jnp.arange(CH)[None, :]
+    d = jnp.where(gidx[None] < jnp.asarray(lens, jnp.int32)[:, None, None],
+                  d, 0)
+    jloc = jnp.arange(CH, dtype=jnp.int32)[None, None, :]
+    return jnp.sum(d, axis=2) % 65521, jnp.sum(d * jloc, axis=2) % 65521
+
+
+def run_scheme12(args, frames_all, thr, bucket, out_size, bm0, comp0, cnt0,
+                 pk0):
+    """End-to-end write with the scheme-12 SYMBOL-MODE rANS entropy stage.
+
+    Both streams are device-coded order-0 (bitmap bytes as 8-bit symbols,
+    residual values directly as 12-bit symbols — no LZ pass, no bitstream
+    assembly scatter): fused L1 encode -> bit-pack -> device histogram ->
+    device interleaved-rANS encode + device adler partials, one jitted
+    lax.scan.  The host does O(alphabet) frequency quantization, LUT build,
+    adler combine and header/record assembly per frame (timed separately,
+    mirroring codecs.rans.rans_symbols_batch_device's split)."""
+    import time
+    import zlib
+
+    from pyrecode_tpu.codecs import rans
+    from pyrecode_tpu.ops import bitpack, pallas_encode, pallas_rans as prk
+    from pyrecode_tpu.profiling import delta_scan_time
+
+    size, B = args.size, args.batch
+    n_px = size * size
+    raw_bytes = B * n_px * 2
+    n_bm = bm0.shape[1]
+    npad_bm = -(-n_bm // prk.CH_R) * prk.CH_R
+    npad_pk = -(-out_size // prk.CH_R) * prk.CH_R
+    cnt0_np = int(np.asarray(cnt0)[0])
+    plen0 = (cnt0_np * 12 + 7) // 8
+
+    # representative tables from frame 0 (production rebuilds these per
+    # frame from the device histogram; that host cost is timed below)
+    m_bm = np.full((B,), n_bm, np.int32)
+    bm_vals0 = jnp.pad(bm0[:1].astype(jnp.int32),
+                       ((0, 0), (0, npad_bm - n_bm)))
+    pk_vals0 = jnp.pad(comp0[:1].astype(jnp.int32),
+                       ((0, 0), (0, npad_pk - out_size)))
+    hist_bm0 = np.asarray(prk.hist_symbols_pallas(
+        bm_vals0, np.array([n_bm], np.int32), interpret=False))[0]
+    hist_pk0 = np.asarray(prk.hist_symbols_pallas(
+        pk_vals0, np.array([cnt0_np], np.int32), interpret=False))[0]
+    freq_bm = rans.quantize_freqs(hist_bm0[:256].astype(np.int64))
+    freq_pk = rans.quantize_freqs(hist_pk0.astype(np.int64))
+    elut_bm = jnp.asarray(np.broadcast_to(
+        prk.encode_luts_symbols(freq_bm), (B, 128, 64)).copy())
+    elut_pk = jnp.asarray(np.broadcast_to(
+        prk.encode_luts_symbols(freq_pk), (B, 128, 64)).copy())
+    # interleave-width rule of rans_symbols_batch_device
+    g_bm = prk.ROWS_R if n_bm >= (1 << 21) else 1
+    g_pk = prk.ROWS_R if cnt0_np >= (1 << 21) else 1
+    out_bound_bm = 2 * npad_bm + 4096
+    out_bound_pk = 2 * npad_pk + 4096
+
+    def device_batch(frames):
+        bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
+            frames, thr, out_size=out_size, bucket=bucket, interpret=False)
+        packed = bitpack.bitpack_values(comp.astype(jnp.uint32), 12)
+        plens = ((counts * 12 + 7) // 8).astype(jnp.int32)
+        bm_vals = jnp.pad(bitmap.astype(jnp.int32),
+                          ((0, 0), (0, npad_bm - n_bm)))
+        pk_vals = jnp.pad(comp.astype(jnp.int32),
+                          ((0, 0), (0, npad_pk - out_size)))
+        hist_bm = prk.hist_symbols_pallas(bm_vals, m_bm, interpret=False)
+        body_bm, st_bm, cnt_bm = prk.rans_encode_symbols_pallas(
+            bm_vals, elut_bm, m_bm, out_bound_bm, interpret=False,
+            groups=g_bm)
+        hist_pk = prk.hist_symbols_pallas(pk_vals, counts, interpret=False)
+        body_pk, st_pk, cnt_pk = prk.rans_encode_symbols_pallas(
+            pk_vals, elut_pk, counts, out_bound_pk, interpret=False,
+            groups=g_pk)
+        s1b, s2b = _adler_partials(bitmap, jnp.full((B,), n_bm, jnp.int32))
+        s1p, s2p = _adler_partials(packed, plens)
+        return (jnp.sum(cnt_bm) + jnp.sum(cnt_pk)
+                + jnp.sum(st_bm[:, :1]) + jnp.sum(st_pk[:, :1])
+                + jnp.sum(hist_bm[:, :1]) + jnp.sum(hist_pk[:, :1])
+                + jnp.sum(s1b[:, :1]) + jnp.sum(s1p[:, :1])
+                + jnp.sum(s2b[:, :1]) + jnp.sum(s2p[:, :1])
+                + jnp.sum(counts)).astype(jnp.float32)
+
+    dt_dev = delta_scan_time(device_batch, frames_all)
+    dev_gbps = raw_bytes / dt_dev / 1e9
+    print(f"device chain (encode+pack+rANS both streams): "
+          f"{dt_dev*1e3:.2f} ms/{B}-frame batch -> {dev_gbps:.2f} GB/s raw")
+
+    # ---- host stage per frame: quantize + LUT x2, adler combine, header +
+    # record assembly with real frame-0 compressed bodies ----
+    cbm12 = rans.compress_symbols(np.asarray(bm0[0]).tobytes(), 8)
+    raw_pk = np.asarray(pk0[0, :plen0]).tobytes()
+    cpx12 = rans.compress_symbols(raw_pk, 12)
+    nch_bm = -(-n_bm // 2048)
+    nch_pk = -(-plen0 // 2048)
+    s1 = np.ones(max(nch_bm, nch_pk), np.int64)
+    s2 = np.ones(max(nch_bm, nch_pk), np.int64)
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for hist, bits in ((hist_bm0[:256], 8), (hist_pk0, 12)):
+            fr = rans.quantize_freqs(hist.astype(np.int64))
+            prk.encode_luts_symbols(fr)
+        for nch, n in ((nch_bm, n_bm), (nch_pk, plen0)):
+            a = (1 + int(s1[:nch].sum())) % 65521
+            bacc = n
+            for c in range(nch):
+                bacc += (n - c * 2048) * int(s1[c]) - int(s2[c])
+            _ = ((bacc % 65521) << 16) | a
+        rec = (b"\x00" * 4 + len(cbm12).to_bytes(4, "little")
+               + len(cpx12).to_bytes(4, "little")
+               + plen0.to_bytes(4, "little") + cbm12 + cpx12)
+        del rec
+    dt_host = (time.perf_counter() - t0) / reps
+    print(f"host stage (quantize+LUT x2 + adler combine + record): "
+          f"{dt_host*1e3:.2f} ms/frame")
+
+    per_frame = dt_dev / B + dt_host
+    total_gbps = (n_px * 2) / per_frame / 1e9
+    suffix = " realistic" if args.dist == "peaked" else ""
+    print(f'{{"metric": "end-to-end write (relay-independent) {size}^2'
+          f'{suffix} scheme12", "value": {total_gbps:.2f}, "unit": "GB/s"}}')
+
+    # ---- compression ratio vs the reference's host codecs on frame 0 ----
+    ours = len(cbm12) + len(cpx12)
+    z1 = len(zlib.compress(np.asarray(bm0[0]).tobytes(), 1)) + \
+        len(zlib.compress(raw_pk, 1))
+    report = {"ours_bytes": ours, "zlib1_bytes": z1,
+              "ratio_vs_raw": round(n_px * 2 / ours, 2)}
+    try:
+        import zstandard
+
+        cctx = zstandard.ZstdCompressor(level=1, write_content_size=False)
+        report["zstd1_bytes"] = len(cctx.compress(
+            np.asarray(bm0[0]).tobytes())) + len(cctx.compress(raw_pk))
+    except ImportError:
+        pass
+    print("compressed size frame 0:", report)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=4096)
@@ -52,6 +203,10 @@ def main():
                          "= full-range (incompressible pixvals, stored path)")
     ap.add_argument("--scale", type=float, default=6.0,
                     help="exponential scale for --dist peaked")
+    ap.add_argument("--scheme", type=int, choices=(1, 12), default=1,
+                    help="entropy stage: 1 = device dynamic-Huffman deflate "
+                         "(zlib-compatible), 12 = device symbol-mode rANS "
+                         "(order-0, both streams fully device-coded)")
     args = ap.parse_args()
 
     from pyrecode_tpu import native
@@ -92,6 +247,11 @@ def main():
     npad_bm = -(-n_bm // pdk.CH_A) * pdk.CH_A
     n_pk = pk0.shape[1]
     npad_pk = -(-n_pk // pdk.CH_A) * pdk.CH_A
+
+    if args.scheme == 12:
+        run_scheme12(args, frames_all, thr, bucket, out_size, bm0, comp0,
+                     cnt0, pk0)
+        return
 
     from pyrecode_tpu.codecs.dyndeflate import LEN_EXTRA
 

@@ -341,6 +341,10 @@ def main():
             "tools/bench_e2e.py",
             "end-to-end write (relay-independent) 4096^2 realistic",
             extra_args=("--dist", "peaked"))
+        results += bench_subtool(
+            "tools/bench_e2e.py",
+            "end-to-end write (relay-independent) 4096^2 realistic scheme12",
+            extra_args=("--dist", "peaked", "--scheme", "12"))
         results += bench_subtool("tools/bench_deflate.py",
                                  "device entropy (TPU deflate) 4096^2 L1 bitmap")
         results += bench_rans_subtool()
