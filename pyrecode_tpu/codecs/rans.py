@@ -708,10 +708,14 @@ def rans_symbols_batch_device(packed, plens, sym_bits, raw_cb=None,
     adlers = _adler32_device_chunks(packed, plens)
 
     freqs = np.zeros((B, 1 << sym_bits), np.int64)
-    eluts = np.zeros((B, 128, 64), np.float32)
+    # 8-bit alphabets take the compact (8, 64) radix LUT — the kernel's hi
+    # one-hot and bilinear-fetch intermediate shrink 16x per grid step
+    lut_fn = prk.encode_luts_symbols8 if sym_bits == 8 \
+        else prk.encode_luts_symbols
+    eluts = np.zeros((B,) + lut_fn(np.ones(2, np.int64)).shape, np.float32)
     for i in range(B):
         freqs[i] = quantize_freqs(hist_np[i, : 1 << sym_bits]).astype(np.int64)
-        eluts[i] = prk.encode_luts_symbols(freqs[i])
+        eluts[i] = lut_fn(freqs[i])
 
     # interleave width: 8 independent state rows (W = 8192) break the
     # kernel's serial row chain (it is latency-bound at W = 1024), but cost

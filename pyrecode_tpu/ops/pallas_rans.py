@@ -103,7 +103,10 @@ def _build_rans_encode_kernel(B, NPAD, OUT, interpret, hi_rows=24,
     cursor still chains rows.  Requires groups == ROWS_R."""
     assert groups in (1, ROWS_R)
     n_steps = NPAD // CH_R
-    WIN = EMIT_WIN + 128
+    # step-level emit bound: <= 2 bytes per token over all ROWS_R rows, plus
+    # the per-row scatter window's alignment slack
+    STEP_EMIT = ROWS_R * 2 * W_LANES + 128
+    WIN = STEP_EMIT + 128
 
     def kernel(tok_ref, lut_ref, m_ref, body_ref, states_ref, cnt_ref,
                x_vref, off_sref, tail_vref):
@@ -163,7 +166,12 @@ def _build_rans_encode_kernel(B, NPAD, OUT, interpret, hi_rows=24,
 
             lio = jax.lax.broadcasted_iota(jnp.int32, (1, W_LANES), 1)
 
-            # rows inside the step, last first (token order is descending)
+            # rows inside the step, last first (token order is descending);
+            # each row's emission window is collected and concatenated into
+            # ONE step-level store below — per-row stores chained every row
+            # on the byte cursor, serializing the (otherwise independent)
+            # groups>1 row chains at ~1 us/row
+            emits = []
             for r in range(ROWS_R - 1, -1, -1):
                 gidx0 = (blk * ROWS_R + r) * W_LANES       # first token of row
                 active = (gidx0 + lio) < m                 # (1, W_LANES)
@@ -205,13 +213,30 @@ def _build_rans_encode_kernel(B, NPAD, OUT, interpret, hi_rows=24,
                 row1 = o2[nwrows: 2 * nwrows].astype(jnp.int32) \
                     .reshape(1, nwrows * 128)
                 local = row0 + pltpu.roll(row1, 1, axis=1)
-                _store_window(body_ref, tail_vref, off_sref, local, total,
-                              OUT, WIN, EMIT_WIN)
+                emits.append((local, total))
 
                 # ---- state update: x' = (x2//f << 12) + x2%f + cum ----
                 q, rem = _exact_div(x2, f, ff)
                 xn = (q << PROB_BITS) + rem + cum
                 x_vref[g:g + 1, :] = jnp.where(active, xn, x)
+
+            # ---- ragged concat of the row windows + ONE step store ----
+            # (emits is already in emission order: row ROWS_R-1 first)
+            offs = []
+            run = jnp.zeros((), jnp.int32)
+            for _, total in emits:
+                offs.append(run)
+                run = run + total
+            parts = []
+            for (local, _), off_r in zip(emits, offs):
+                p = jnp.pad(local, ((0, 0), (0, WIN - local.shape[1])))
+                parts.append(pltpu.roll(p, off_r, axis=1))
+            # pairwise tree sum keeps the add chain log-depth
+            while len(parts) > 1:
+                parts = [parts[i] + parts[i + 1] if i + 1 < len(parts)
+                         else parts[i] for i in range(0, len(parts), 2)]
+            _store_window(body_ref, tail_vref, off_sref,
+                          parts[0][:, :STEP_EMIT], run, OUT, WIN, STEP_EMIT)
 
         @pl.when(h == n_steps - 1)
         def _():
@@ -297,13 +322,16 @@ def rans_encode_symbols_pallas(values, luts, m, out_bound, interpret=None,
     mode, flags bit1): ``values`` (B, NPAD) i32 raw symbols < 4096 (pad 0;
     entries beyond ``m`` ignored), ``luts`` (B, 128, 64) f32 from
     :func:`encode_luts_symbols` (radix [sym>>6, sym&63]; rows 0..63 freq,
-    64..127 cum).  Same outputs as :func:`rans_encode_pallas`, with states
+    64..127 cum) — or (B, 8, 64) from :func:`encode_luts_symbols8` for
+    8-bit alphabets (the hi one-hot and the fetch intermediate shrink 16x).
+    Same outputs as :func:`rans_encode_pallas`, with states
     (B, groups*W_LANES)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     out_bound = -(-out_bound // 128) * 128
     return _rans_encode_call(values, luts, jnp.asarray(m), int(out_bound),
-                             bool(interpret), hi_rows=64, direct=True,
+                             bool(interpret), hi_rows=luts.shape[1] // 2,
+                             direct=True,
                              groups=groups)
 
 
@@ -320,6 +348,22 @@ def encode_luts_symbols(freq: np.ndarray) -> np.ndarray:
     out = np.zeros((128, 64), np.float32)
     out[0:64] = np.maximum(full, 1).reshape(64, 64)   # pad-safe freq >= 1
     out[64:128] = cum[:4096].reshape(64, 64)
+    return out
+
+
+def encode_luts_symbols8(freq: np.ndarray) -> np.ndarray:
+    """(8, 64) f32 radix LUT for 8-bit alphabets: rows 0..3 freq, 4..7 cum
+    for symbols hi*64 + lo (hi < 4).  The encode kernel's hi one-hot and
+    bilinear-fetch intermediate shrink 16x vs the 4096-wide LUT."""
+    freq = np.asarray(freq, np.int64)
+    assert freq.size <= 256
+    full = np.zeros(256, np.int64)
+    full[: freq.size] = freq
+    cum = np.zeros(257, np.int64)
+    cum[1:] = np.cumsum(full)
+    out = np.zeros((8, 64), np.float32)
+    out[0:4] = np.maximum(full, 1).reshape(4, 64)
+    out[4:8] = cum[:256].reshape(4, 64)
     return out
 
 

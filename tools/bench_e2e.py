@@ -95,7 +95,7 @@ def run_scheme12(args, frames_all, thr, bucket, out_size, bm0, comp0, cnt0,
     freq_bm = rans.quantize_freqs(hist_bm0[:256].astype(np.int64))
     freq_pk = rans.quantize_freqs(hist_pk0.astype(np.int64))
     elut_bm = jnp.asarray(np.broadcast_to(
-        prk.encode_luts_symbols(freq_bm), (B, 128, 64)).copy())
+        prk.encode_luts_symbols8(freq_bm), (B, 8, 64)).copy())
     elut_pk = jnp.asarray(np.broadcast_to(
         prk.encode_luts_symbols(freq_pk), (B, 128, 64)).copy())
     # interleave-width rule of rans_symbols_batch_device
@@ -149,7 +149,8 @@ def run_scheme12(args, frames_all, thr, bucket, out_size, bm0, comp0, cnt0,
     for _ in range(reps):
         for hist, bits in ((hist_bm0[:256], 8), (hist_pk0, 12)):
             fr = rans.quantize_freqs(hist.astype(np.int64))
-            prk.encode_luts_symbols(fr)
+            (prk.encode_luts_symbols8 if bits == 8
+             else prk.encode_luts_symbols)(fr)
         for nch, n in ((nch_bm, n_bm), (nch_pk, plen0)):
             a = (1 + int(s1[:nch].sum())) % 65521
             bacc = n

@@ -68,7 +68,7 @@ def main():
     freq_bm = rans.quantize_freqs(hist_bm0[:256].astype(np.int64))
     freq_pk = rans.quantize_freqs(hist_pk0.astype(np.int64))
     elut_bm = jnp.asarray(np.broadcast_to(
-        prk.encode_luts_symbols(freq_bm), (B, 128, 64)).copy())
+        prk.encode_luts_symbols8(freq_bm), (B, 8, 64)).copy())
     elut_pk = jnp.asarray(np.broadcast_to(
         prk.encode_luts_symbols(freq_pk), (B, 128, 64)).copy())
     g_bm = prk.ROWS_R if n_bm >= (1 << 21) else 1
