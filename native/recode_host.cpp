@@ -1224,64 +1224,21 @@ static void rans_quantize_n(const uint64_t *counts, uint16_t *q, int A) {
     for (int s = 0; s < A; ++s) q[s] = (uint16_t)qi[s];
 }
 
-extern "C" {
-
-// Symbol-mode encode of a packed value stream.  nways is the FINAL lane
-// count (the caller applies the adaptive rule).  Returns the coded stream
-// length (never the stored/byte fallback — the caller compares), or -1 when
-// symbol coding is inapplicable (trailing pad bits nonzero, or more than
-// 4096 distinct symbols).  out capacity >= 2*n + 64 + 4*nways + 4*4096.
-int64_t rans_compress_symbols(const uint8_t *src, uint64_t n,
-                              uint32_t sym_bits, uint32_t nways,
-                              uint8_t *out) {
-    if (sym_bits < 8 || sym_bits > 16 || nways < 8 ||
-        (nways & (nways - 1)) != 0)
-        return -1;
-    const uint64_t m = n * 8 / sym_bits;
+// Shared symbol/gap-mode encode core: histogram -> quantize -> header
+// (flags byte as given) -> rANS body -> adler over adler_src[0..n).
+// Returns the stream length, or -1 when the alphabet cannot be coded
+// (> 4096 distinct symbols).  Byte layout mirrors
+// codecs/rans._finish_stream_symbols exactly.
+static int64_t rans_encode_vals_stream(const uint32_t *vals, uint64_t m,
+                                       const uint8_t *adler_src, uint64_t n,
+                                       uint32_t sym_bits, uint8_t flags,
+                                       uint32_t nways, uint8_t *out) {
     const int A = 1 << sym_bits;
-
-    // unpack + histogram; then verify the repack reproduces src exactly
-    static thread_local std::vector<uint32_t> vals;
-    vals.resize(m);
-    {
-        uint64_t bit = 0;
-        for (uint64_t k = 0; k < m; ++k, bit += sym_bits) {
-            const uint64_t byte = bit >> 3;
-            const uint32_t sh = (uint32_t)(bit & 7);
-            uint32_t v = (uint32_t)src[byte] >> sh;
-            uint32_t got = 8 - sh;
-            uint64_t b2 = byte + 1;
-            while (got < sym_bits) {
-                v |= (uint32_t)(b2 < n ? src[b2] : 0) << got;
-                got += 8;
-                ++b2;
-            }
-            vals[k] = v & (uint32_t)(A - 1);
-        }
-        // trailing pad bits must be zero (else re-pack cannot reproduce)
-        const uint64_t used_bits = m * sym_bits;
-        if (used_bits < n * 8) {
-            const uint8_t tail = src[n - 1];
-            const uint32_t keep = (uint32_t)(used_bits - (n - 1) * 8);
-            if (keep < 8 && (tail >> keep) != 0) return -1;
-            if (used_bits <= (n - 1) * 8) {
-                // whole trailing bytes beyond the last value must be zero
-                for (uint64_t b = used_bits / 8; b < n; ++b)
-                    if ((b == used_bits / 8 && (used_bits & 7))
-                            ? (src[b] >> (used_bits & 7)) != 0
-                            : src[b] != 0)
-                        return -1;
-            }
-        }
-    }
     std::vector<uint64_t> counts(A, 0);
     for (uint64_t k = 0; k < m; ++k) ++counts[vals[k]];
     uint32_t n_used = 0;
     for (int s = 0; s < A; ++s) n_used += counts[s] != 0;
-    if (n_used > RANS_M12 || n_used == 0) {
-        if (n_used != 0) return -1;
-        n_used = 0;                 // empty stream: freq table puts all
-    }                               // mass on symbol 0 (quantizer rule)
+    if (n_used > RANS_M12) return -1;
 
     std::vector<uint16_t> freq(A);
     rans_quantize_n(counts.data(), freq.data(), A);
@@ -1295,7 +1252,7 @@ int64_t rans_compress_symbols(const uint8_t *src, uint64_t n,
     out[p++] = 0xA5;
     out[p++] = 1;
     out[p++] = (uint8_t)lg;
-    out[p++] = 2;                   // flags: symbol mode
+    out[p++] = flags;
     auto put32 = [&](uint64_t v) {
         out[p++] = (uint8_t)v; out[p++] = (uint8_t)(v >> 8);
         out[p++] = (uint8_t)(v >> 16); out[p++] = (uint8_t)(v >> 24);
@@ -1362,9 +1319,97 @@ int64_t rans_compress_symbols(const uint8_t *src, uint64_t n,
     out[body_len_pos + 1] = (uint8_t)(body_bytes >> 8);
     out[body_len_pos + 2] = (uint8_t)(body_bytes >> 16);
     out[body_len_pos + 3] = (uint8_t)(body_bytes >> 24);
-    rans_adler(src, n, out + p);
+    rans_adler(adler_src, n, out + p);
     p += 4;
     return (int64_t)p;
+}
+
+extern "C" {
+
+// Symbol-mode encode of a packed value stream.  nways is the FINAL lane
+// count (the caller applies the adaptive rule).  Returns the coded stream
+// length (never the stored/byte fallback — the caller compares), or -1 when
+// symbol coding is inapplicable (trailing pad bits nonzero, or more than
+// 4096 distinct symbols).  out capacity >= 2*n + 64 + 4*nways + 4*4096.
+int64_t rans_compress_symbols(const uint8_t *src, uint64_t n,
+                              uint32_t sym_bits, uint32_t nways,
+                              uint8_t *out) {
+    if (sym_bits < 8 || sym_bits > 16 || nways < 8 ||
+        (nways & (nways - 1)) != 0)
+        return -1;
+    const uint64_t m = n * 8 / sym_bits;
+    const int A = 1 << sym_bits;
+
+    // unpack + histogram; then verify the repack reproduces src exactly
+    static thread_local std::vector<uint32_t> vals;
+    vals.resize(m);
+    {
+        uint64_t bit = 0;
+        for (uint64_t k = 0; k < m; ++k, bit += sym_bits) {
+            const uint64_t byte = bit >> 3;
+            const uint32_t sh = (uint32_t)(bit & 7);
+            uint32_t v = (uint32_t)src[byte] >> sh;
+            uint32_t got = 8 - sh;
+            uint64_t b2 = byte + 1;
+            while (got < sym_bits) {
+                v |= (uint32_t)(b2 < n ? src[b2] : 0) << got;
+                got += 8;
+                ++b2;
+            }
+            vals[k] = v & (uint32_t)(A - 1);
+        }
+        // trailing pad bits must be zero (else re-pack cannot reproduce)
+        const uint64_t used_bits = m * sym_bits;
+        if (used_bits < n * 8) {
+            const uint8_t tail = src[n - 1];
+            const uint32_t keep = (uint32_t)(used_bits - (n - 1) * 8);
+            if (keep < 8 && (tail >> keep) != 0) return -1;
+            if (used_bits <= (n - 1) * 8) {
+                // whole trailing bytes beyond the last value must be zero
+                for (uint64_t b = used_bits / 8; b < n; ++b)
+                    if ((b == used_bits / 8 && (used_bits & 7))
+                            ? (src[b] >> (used_bits & 7)) != 0
+                            : src[b] != 0)
+                        return -1;
+            }
+        }
+    }
+    return rans_encode_vals_stream(vals.data(), m, src, n, sym_bits, 2,
+                                   nways, out);
+}
+
+// GAP-mode encode of an LSB-first bitmap (flags 2|4): one 12-bit symbol
+// per SET BIT (plus rare 4095-escapes for runs >= 4095 clear bits) instead
+// of one per byte.  Returns the stream length, or -1 when gap coding
+// cannot win (no set bits, or set bits outnumber bytes).  out capacity
+// >= 2*n + 64 + 4*nways + 4*4096 (m <= n is enforced).
+int64_t rans_compress_gaps(const uint8_t *src, uint64_t n, uint32_t nways,
+                           uint8_t *out) {
+    if (nways < 8 || (nways & (nways - 1)) != 0) return -1;
+    static thread_local std::vector<uint32_t> vals;
+    vals.clear();
+    const uint64_t cap_m = n;       // beyond this gap coding loses anyway
+    uint64_t prev_end = 0;          // position after the previous set bit
+    for (uint64_t byte = 0; byte < n; ++byte) {
+        uint8_t b = src[byte];
+        while (b) {
+            const uint32_t k = (uint32_t)__builtin_ctz((uint32_t)b);
+            b = (uint8_t)(b & (b - 1));
+            const uint64_t pos = byte * 8 + k;
+            uint64_t gap = pos - prev_end;
+            prev_end = pos + 1;
+            while (gap >= 4095) {
+                vals.push_back(4095);
+                gap -= 4095;
+                if (vals.size() > cap_m) return -1;
+            }
+            vals.push_back((uint32_t)gap);
+            if (vals.size() > cap_m) return -1;
+        }
+    }
+    if (vals.empty()) return -1;
+    return rans_encode_vals_stream(vals.data(), vals.size(), src, n, 12, 6,
+                                   nways, out);
 }
 
 // Symbol-mode decode (flags bit1 streams).  Returns original length or -1.
@@ -1383,8 +1428,10 @@ int64_t rans_decompress_symbols(const uint8_t *src, uint64_t len,
     const uint64_t body_bytes = get32(12);
     uint64_t p = 20;
     if (n > cap) return -1;
+    const bool gapmode = (src[3] & 4) != 0;
     const uint32_t sym_bits = src[p];
     if (sym_bits < 8 || sym_bits > 16) return -1;
+    if (gapmode && sym_bits != 12) return -1;
     const int A = 1 << sym_bits;
     const uint32_t n_used = (uint32_t)src[p + 2] | ((uint32_t)src[p + 3] << 8);
     p += 4;
@@ -1436,6 +1483,7 @@ int64_t rans_decompress_symbols(const uint8_t *src, uint64_t len,
     std::memset(out, 0, n);
     int64_t bpos = (int64_t)body_bytes - 1;
     uint64_t bit = 0;
+    uint64_t cur = 0;               // gap mode: next candidate bit index
     for (uint64_t k = 0; k < m; ++k, bit += sym_bits) {
         const uint32_t lane = (uint32_t)(k & (nways - 1));
         uint32_t x = xs[lane];
@@ -1447,6 +1495,19 @@ int64_t rans_decompress_symbols(const uint8_t *src, uint64_t len,
             x = (x << 8) | body[bpos--];
         }
         xs[lane] = x;
+        if (gapmode) {
+            // escape advances 4095 clear bits; a literal advances sym
+            // clear bits and sets the next bit
+            if (sym == 4095) {
+                cur += 4095;
+            } else {
+                const uint64_t pos = cur + sym;
+                if (pos >= n * 8) return -1;
+                out[pos >> 3] |= (uint8_t)(1u << (pos & 7));
+                cur = pos + 1;
+            }
+            continue;
+        }
         // LSB-first pack of sym at bit offset
         uint64_t byte = bit >> 3;
         uint32_t sh = (uint32_t)(bit & 7);

@@ -25,6 +25,17 @@ lacks:
                             u16 n_used, n_used x u16 symbol ids,
                             n_used x u16 freqs] instead of the byte-mode
                             used-bitmap + freq table
+                            bit2 (with bit1): GAP transform — the decoded
+                            symbols are not the payload itself but the runs
+                            of clear bits of an LSB-first BITMAP of n_bytes
+                            bytes: symbol s < 4095 advances the cursor by s
+                            and sets one bit; s == 4095 advances 4095 and
+                            sets nothing (escape).  Same size as byte-mode
+                            coding of the bitmap (the entropy is identical)
+                            but ~1/occupancy fewer symbols through the
+                            serial rANS chain — 12.5x at the 1% operating
+                            point, which is pure throughput on both encode
+                            and decode.  sym_bits is always 12.
     u32  n_bytes            original length
     u32  n_tokens           LZ token count m
     u32  body_bytes         rANS byte-stream length
@@ -71,6 +82,8 @@ RANS_L = 1 << 23              # state lower bound
 NWAYS_DEFAULT = 512
 N_SYM = 286                   # 0..255 literals, 256 unused (EOB slot kept
 #                               for table parity with deflate), 257..284 len
+GAP_BITS = 12                 # gap-mode symbol width (alphabet 4096)
+GAP_ESCAPE = (1 << GAP_BITS) - 1   # 4095: advance 4095 positions, no bit
 
 _HDR_FIXED = 4 + 4 * 4        # magic..xbits_bytes
 
@@ -258,7 +271,8 @@ def _finish_stream(n, m, nways, freq, states, body, xbits, adler) -> bytes:
 
 
 def _finish_stream_symbols(n, m, nways, sym_bits, freq_sparse_syms,
-                           freq_sparse_vals, states, body, adler) -> bytes:
+                           freq_sparse_vals, states, body, adler,
+                           gap: bool = False) -> bytes:
     """Assemble a SYMBOL-MODE (flags bit1) scheme-12 stream.
 
     Symbol mode codes the pixel-value stream directly over ``sym_bits``-wide
@@ -270,7 +284,7 @@ def _finish_stream_symbols(n, m, nways, sym_bits, freq_sparse_syms,
     (u16 symbol ids + u16 freqs), since peaked data uses few of the 2^b
     symbols."""
     hdr = bytearray()
-    hdr += bytes([MAGIC, VERSION, int(np.log2(nways)), 2])
+    hdr += bytes([MAGIC, VERSION, int(np.log2(nways)), 6 if gap else 2])
     hdr += int(n).to_bytes(4, "little")
     hdr += int(m).to_bytes(4, "little")
     hdr += len(body).to_bytes(4, "little")
@@ -331,6 +345,8 @@ def _parse_header(stream: bytes) -> dict:
         sym_bits = stream[p]
         if not 8 <= sym_bits <= 16:
             raise ValueError("TPU-rANS stream corrupt (symbol width)")
+        if (flags & 4) and sym_bits != GAP_BITS:
+            raise ValueError("TPU-rANS stream corrupt (gap symbol width)")
         n_used = int.from_bytes(stream[p + 2: p + 4], "little")
         p += 4
         if n_used == 0 or n_used > (1 << sym_bits) or \
@@ -352,7 +368,7 @@ def _parse_header(stream: bytes) -> dict:
         adler = int.from_bytes(stream[p: p + 4], "big")
         return {"nways": nways, "n": n, "m": m, "freq": freq,
                 "states": states, "body": body, "adler": adler,
-                "sym_bits": sym_bits}
+                "sym_bits": sym_bits, "gap": bool(flags & 4)}
     bm_len = (N_SYM + 7) // 8
     if p + bm_len > len(stream):
         raise ValueError("TPU-rANS stream truncated")
@@ -512,6 +528,81 @@ def compress_symbols(data: bytes, sym_bits: int,
     return stream
 
 
+def bitmap_to_gaps(bitmap: np.ndarray) -> np.ndarray:
+    """LSB-first bitmap bytes -> gap-mode symbol stream (int64).
+
+    For each set bit at linear position ``p`` (previous set position
+    ``prev``, starting at -1), the run of clear bits ``g = p - prev - 1`` is
+    emitted as ``g // 4095`` escape symbols (4095) followed by the literal
+    ``g % 4095``.  Trailing clear bits after the last set bit are implied by
+    the bitmap length (the stream header's ``n_bytes``)."""
+    bits = np.unpackbits(np.ascontiguousarray(bitmap, dtype=np.uint8),
+                         bitorder="little")
+    pos = np.flatnonzero(bits).astype(np.int64)
+    if pos.size == 0:
+        return np.zeros(0, np.int64)
+    gaps = np.diff(pos, prepend=np.int64(-1)) - 1
+    esc = gaps // GAP_ESCAPE
+    m = int(esc.sum()) + gaps.size
+    syms = np.full(m, GAP_ESCAPE, np.int64)
+    syms[np.cumsum(esc + 1) - 1] = gaps % GAP_ESCAPE
+    return syms
+
+
+def gaps_to_bitmap(syms: np.ndarray, n_bytes: int) -> bytes:
+    """Inverse of :func:`bitmap_to_gaps` (raises ValueError on overrun)."""
+    syms = np.asarray(syms, np.int64)
+    is_lit = syms != GAP_ESCAPE
+    adv = np.where(is_lit, syms + 1, np.int64(GAP_ESCAPE))
+    ends = np.cumsum(adv)
+    pos = ends[is_lit] - 1
+    if pos.size and int(pos[-1]) >= n_bytes * 8:
+        raise ValueError("TPU-rANS stream corrupt (gap overrun)")
+    bits = np.zeros(n_bytes * 8, np.uint8)
+    bits[pos] = 1
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+def compress_gaps(bitmap: bytes, nways: int = NWAYS_DEFAULT) -> bytes:
+    """Compress an LSB-first BITMAP via the gap transform (flags 2|4).
+
+    Size-equivalent to byte-symbol coding of the same bitmap (identical
+    entropy) but with one symbol per SET BIT instead of one per byte —
+    ~1/occupancy fewer trips through the serial rANS chain.  Falls back to
+    byte-symbol mode when the transform cannot win (empty or dense bitmaps,
+    where set bits outnumber bytes)."""
+    bitmap = bytes(bitmap)
+    n = len(bitmap)
+    syms = bitmap_to_gaps(np.frombuffer(bitmap, np.uint8))
+    m = syms.size
+    if m == 0 or m > n:
+        return compress_symbols(bitmap, 8, nways)
+    adler = zlib.adler32(bitmap)
+    eff = min(nways, max(8, 1 << int(np.log2(max(m // 64, 1)))))
+
+    from .. import native
+
+    if native.available():
+        stream = native.rans_compress_gaps_native(bitmap, eff)
+    else:
+        counts = np.bincount(syms, minlength=1 << GAP_BITS)
+        freq = quantize_freqs(counts).astype(np.int64)
+        body, states = rans_encode_interleaved(syms, freq, eff)
+        sp = np.flatnonzero(counts > 0)
+        stream = _finish_stream_symbols(n, m, eff, GAP_BITS, sp, freq[sp],
+                                        states, body, adler, gap=True)
+    if stream is None:
+        return compress_symbols(bitmap, 8, nways)
+    # the sparse gap table (4 bytes/used symbol, up to 4096 entries) can
+    # outweigh the transform at very low occupancy — keep whichever wins
+    alt = compress_symbols(bitmap, 8, nways)
+    if len(alt) < len(stream):
+        return alt
+    if len(stream) > n + _STORED_OVERHEAD:
+        return _stored_stream(bitmap, adler)
+    return stream
+
+
 def decompress(stream: bytes) -> bytes:
     """Decompress a TPU-rANS stream (numpy reference path)."""
     h = _parse_header(stream)
@@ -520,6 +611,11 @@ def decompress(stream: bytes) -> bytes:
     syms = rans_decode_interleaved(h["body"], h["states"], h["m"], h["freq"],
                                    h["nways"])
     if "sym_bits" in h:
+        if h.get("gap"):
+            raw = gaps_to_bitmap(syms, h["n"])
+            if zlib.adler32(raw) != h["adler"]:
+                raise ValueError("TPU-rANS stream corrupt (adler mismatch)")
+            return raw
         from .. import oracle
 
         raw = oracle.bit_pack(syms.astype(np.uint64), h["sym_bits"]).tobytes()
@@ -789,6 +885,11 @@ def rans_decompress_device(stream: bytes, interpret=None) -> bytes:
         np.array([m], np.int32), npad, tab, interpret=interpret,
         groups=groups))[0, :m]
     if "sym_bits" in h:
+        if h.get("gap"):
+            raw = gaps_to_bitmap(syms, h["n"])
+            if zlib.adler32(raw) != h["adler"]:
+                raise ValueError("TPU-rANS stream corrupt (adler mismatch)")
+            return raw
         from .. import oracle
 
         raw = oracle.bit_pack(syms.astype(np.uint64),
@@ -850,7 +951,13 @@ def rans_decompress_device_batch(streams_in, interpret=None):
             groups=groups))
         for k, i in enumerate(idxs):
             h = metas[i]
-            if "sym_bits" in h:   # symbol mode: re-pack, no LZ layer
+            if "sym_bits" in h and h.get("gap"):
+                raw = gaps_to_bitmap(syms_all[k, : h["m"]], h["n"])
+                if zlib.adler32(raw) != h["adler"]:
+                    raise ValueError(
+                        "TPU-rANS stream corrupt (adler mismatch)")
+                outs[i] = raw
+            elif "sym_bits" in h:  # symbol mode: re-pack, no LZ layer
                 from .. import oracle
 
                 raw = oracle.bit_pack(

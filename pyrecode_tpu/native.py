@@ -108,6 +108,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.rans_decompress_symbols.restype = ctypes.c_int64
         lib.rans_decompress_symbols.argtypes = [u8p, ctypes.c_uint64, u8p,
                                                 ctypes.c_uint64]
+        lib.rans_compress_gaps.restype = ctypes.c_int64
+        lib.rans_compress_gaps.argtypes = [u8p, ctypes.c_uint64,
+                                           ctypes.c_uint32, u8p]
         _lib = lib
         return _lib
 
@@ -283,6 +286,25 @@ def rans_compress_symbols_native(data, sym_bits: int, nways: int
     n = lib.rans_compress_symbols(
         _u8ptr(src), ctypes.c_uint64(src.size), ctypes.c_uint32(sym_bits),
         ctypes.c_uint32(nways), _u8ptr(out))
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def rans_compress_gaps_native(bitmap, nways: int) -> Optional[bytes]:
+    """Gap-mode (flags 2|4) scheme-12 stream of an LSB-first bitmap via the
+    C encoder, or None when the library is missing / gap coding cannot win
+    (empty bitmap, or set bits outnumber bytes)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = bytes(bitmap)
+    src = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8))
+    out = np.empty(2 * len(buf) + 64 + 4 * max(int(nways), 8) + 4 * 4096
+                   + 4096, dtype=np.uint8)
+    n = lib.rans_compress_gaps(
+        _u8ptr(src), ctypes.c_uint64(src.size), ctypes.c_uint32(nways),
+        _u8ptr(out))
     if n < 0:
         return None
     return out[:n].tobytes()

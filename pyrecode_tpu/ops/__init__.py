@@ -22,6 +22,7 @@ from .bitpack import (
     pack_bits,
     unpack_bits,
     bitpack_values,
+    bitpack_values_device,
     bitunpack_values,
     packed_group_shape,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "pack_bits",
     "unpack_bits",
     "bitpack_values",
+    "bitpack_values_device",
     "bitunpack_values",
     "packed_group_shape",
     "stream_compact",

@@ -93,6 +93,22 @@ def bitpack_values(values: jax.Array, bit_depth: int) -> jax.Array:
     return out.reshape(*lead, (n // g_vals) * g_bytes)
 
 
+def bitpack_values_device(values: jax.Array, bit_depth: int) -> jax.Array:
+    """:func:`bitpack_values` with the Pallas 12-bit fast path on TPU.
+
+    The XLA formulation pays a ~2.9 ms/4-frame-4096^2-batch relayout when
+    the values come out of a Pallas kernel (tools/probe_bitpack_chain.py);
+    the kernel in ops/pallas_bitpack.py packs at +0.02 ms.  Falls back to
+    the XLA path off-TPU, for other depths, or unaligned lengths."""
+    from . import pallas_bitpack
+
+    if (bit_depth == 12 and values.ndim == 2
+            and pallas_bitpack.supports(values.shape[-1], bit_depth)
+            and jax.devices()[0].platform == "tpu"):
+        return pallas_bitpack.bitpack12_pallas(values)
+    return bitpack_values(values.astype(jnp.uint32), bit_depth)
+
+
 def packed_word_group_shape(bit_depth: int):
     """(values per group, i32 words per group) for a ``bit_depth``-bit stream."""
     l = math.lcm(32, bit_depth)

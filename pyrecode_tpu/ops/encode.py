@@ -28,7 +28,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .bitpack import bitpack_values, pack_bits, packed_group_shape
+from .bitpack import (bitpack_values, bitpack_values_device,
+                      pack_bits, packed_group_shape)
 from .cc_label import label_components
 from .compact import stream_compact
 from .segment import centroid_pixels_to_mask, l2_summary_stats, l4_centroid_pixels
@@ -174,7 +175,7 @@ def encode_frames_auto(frames, threshold, reduction_level: int, bit_depth: int,
                 frames, threshold, out_size, bucket=bucket, with_values=with_values)
             if not bool(jnp.any(ovf)):
                 if with_values:
-                    packed = bitpack_values(comp.astype(jnp.uint32), bit_depth)
+                    packed = bitpack_values_device(comp, bit_depth)
                     packed_len = (counts * bit_depth + 7) // 8
                 else:
                     packed = packed_len = None
@@ -194,7 +195,7 @@ def encode_frames_auto(frames, threshold, reduction_level: int, bit_depth: int,
                     cap_bucket=cap_bucket)
                 if not bool(jnp.any(ovf)):
                     if reduction_level == 2:
-                        packed = bitpack_values(stats.astype(jnp.uint32), bit_depth)
+                        packed = bitpack_values_device(stats, bit_depth)
                         packed_len = (counts * bit_depth + 7) // 8
                     else:
                         packed = packed_len = None

@@ -56,8 +56,13 @@ from .pallas_encode import (_compact_chunk, _store_window, make_lti_matrix,
 
 _BIG = 1 << 30  # plain int: jnp scalars would be captured as kernel constants
 
-# halo sizes to escalate through (puddle geodesic radius bound)
-HALO_BUCKETS = (4, 8)
+# halo sizes to escalate through (puddle geodesic radius bound).  K=3 is
+# overflow-free on the 1%-uniform bench fixture (tools/probe_label_k.py,
+# 0/256 frames) and 17-37% faster than K=4 (L2 14.26 vs 10.62 GB/s, L4
+# 6.91 vs 5.80 at 512^2); K=2 is faster still but overflows 9% of frames,
+# which at per-batch escalation re-runs nearly every batch.  Electron
+# puddles are a few px across, so real data sits even safer inside K=3.
+HALO_BUCKETS = (3, 8)
 
 
 def _roll_rows(x, down: int, fill):

@@ -49,7 +49,7 @@ def make_pallas_encode_step(mesh: Mesh, out_size: int, bucket: int = 0,
             with_values=with_values,
             interpret=jax.devices()[0].platform != "tpu")
         if with_values:
-            packed = bitpack.bitpack_values(comp.astype(jnp.uint32), bit_depth)
+            packed = bitpack.bitpack_values_device(comp, bit_depth)
         else:
             packed = jnp.zeros((frames.shape[0], 1), jnp.uint8)
         return bitmap, packed, counts, ovf

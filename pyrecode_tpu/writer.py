@@ -507,7 +507,7 @@ class ReCoDeWriter:
                         jax.lax.dynamic_slice(comp[0], (int(starts[i]),),
                                               (bound,))
                         for i in range(B)])
-                    packed = ops.bitpack_values(rows.astype(jnp.uint32),
+                    packed = ops.bitpack_values_device(rows,
                                                 self._bit_depth)
                 return ("pallas", (bitmap, packed, jnp.asarray(counts), ovf,
                                    bucket))
@@ -517,7 +517,7 @@ class ReCoDeWriter:
             bitmap, comp, counts_dev, ovf = out
             packed = None
             if with_values:
-                packed = ops.bitpack_values(comp.astype(jnp.uint32), self._bit_depth)
+                packed = ops.bitpack_values_device(comp, self._bit_depth)
             return ("pallas", (bitmap, packed, counts_dev, ovf, bucket))
 
         res = ops.encode_frames(
@@ -715,12 +715,14 @@ class ReCoDeWriter:
             codec = compress()
             t0 = datetime.now()
             if sym12:
-                # order-0 byte-symbol rANS: 23-25% smaller than the LZ+rANS
-                # byte mode on sparse bitmaps at 0.002-0.05 occupancy, and
-                # decode needs no LZ reconstruction (symbols ARE the bytes)
+                # gap transform (flags 2|4): one symbol per SET BIT instead
+                # of one per byte — identical entropy (size-neutral at 1%
+                # occupancy) but ~1/occupancy fewer symbols through the
+                # serial rANS chain; compress_gaps falls back to the
+                # byte-symbol coder when gaps cannot win (dense/empty maps)
                 from .codecs import rans as _rans
 
-                cbm = _rans.compress_symbols(bitmap, 8)
+                cbm = _rans.compress_gaps(bitmap)
             else:
                 cbm = codec.compress(bitmap)
             t1 = datetime.now()

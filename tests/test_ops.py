@@ -232,3 +232,22 @@ def test_bitpack_word_fastpath_matches_byte_path():
         # decode side agrees
         back = np.asarray(bitpack.bitunpack_values(got, b))
         assert np.array_equal(back[:, :n], v), b
+
+
+@pytest.mark.slow  # one 262144-value interpret build; hw-gated in verify_hw
+def test_bitpack12_pallas_matches_xla():
+    """The Pallas 12-bit pack kernel is byte-identical to bitpack_values."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pyrecode_tpu.ops import bitpack
+    from pyrecode_tpu.ops.pallas_bitpack import (VALS_STEP, bitpack12_pallas,
+                                                 bitpack12_words_pallas)
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 4096, (1, VALS_STEP)).astype(np.uint16)
+    ref = np.asarray(bitpack.bitpack_values(jnp.asarray(v).astype(jnp.uint32),
+                                            12))
+    got = np.asarray(bitpack12_pallas(jnp.asarray(v), interpret=True))
+    assert np.array_equal(ref, got)
+    w = np.asarray(bitpack12_words_pallas(jnp.asarray(v), interpret=True))
+    assert np.array_equal(w.view(np.uint8).reshape(1, -1), ref)

@@ -37,12 +37,18 @@ def test_l2_matches_oracle(statistic):
 
 
 def test_l2_nonzero_threshold():
+    # 5% density grows accidental chains past the first halo bucket (K=3):
+    # escalate exactly like the production loop (ops/encode.py) does
     frames = _frames(seed=3, density=0.05)
     rng = np.random.default_rng(4)
     thr = rng.integers(0, 64, size=frames.shape[1:]).astype(np.uint16)
-    bitmap, stats, counts, ovf = encode_l2l4_pallas(
-        frames, thr, 2, out_size=2048, bit_depth=12, statistic="sum",
-        interpret=True)
+    from pyrecode_tpu.ops.pallas_label import HALO_BUCKETS
+    for hb in range(len(HALO_BUCKETS)):
+        bitmap, stats, counts, ovf = encode_l2l4_pallas(
+            frames, thr, 2, out_size=2048, bit_depth=12, statistic="sum",
+            halo_bucket=hb, interpret=True)
+        if not np.asarray(ovf).any():
+            break
     assert not np.asarray(ovf).any()
     for i in range(frames.shape[0]):
         enc = oracle.reduce_frame(frames[i], thr, 2, 12, l2_statistic="sum")

@@ -437,3 +437,90 @@ def test_wide_interleave_symbol_streams():  # in verify_hw (b=8 n=2097152)
     assert h["nways"] == 8192
     assert rans.decompress(out) == raw
     assert rans.rans_decompress_device_batch([out], interpret=True)[0] == raw
+
+
+# ------------------------------------------------------------- gap mode
+
+
+def test_gap_transform_roundtrip():
+    rng = np.random.default_rng(11)
+    for occ in (0.0, 0.001, 0.01, 0.3, 1.0):
+        bits = rng.random(64 * 1024) < occ
+        bm = np.packbits(bits, bitorder="little")
+        syms = rans.bitmap_to_gaps(bm)
+        assert rans.gaps_to_bitmap(syms, bm.size) == bm.tobytes()
+        # every literal < escape, escapes only where runs >= 4095
+        lits = syms[syms != rans.GAP_ESCAPE]
+        assert (lits < rans.GAP_ESCAPE).all()
+        assert syms.size == int(bits.sum()) + int(
+            ((np.diff(np.concatenate([[-1], np.flatnonzero(bits)])) - 1)
+             // rans.GAP_ESCAPE).sum())
+
+
+def test_gap_escape_runs():
+    # runs of exactly 4095, 4096 and ~3x escape length between set bits
+    bits = np.zeros(32768, np.uint8)
+    bits[[0, 4096, 8192 + 4095, 8192 + 4095 + 4096 + 12285 + 1]] = 1
+    bm = np.packbits(bits, bitorder="little")
+    syms = rans.bitmap_to_gaps(bm)
+    assert rans.gaps_to_bitmap(syms, bm.size) == bm.tobytes()
+    stream = rans.compress_gaps(bm.tobytes())
+    assert rans.decompress(stream) == bm.tobytes()
+
+
+def test_gap_stream_roundtrip_all_paths():
+    rng = np.random.default_rng(12)
+    bits = rng.random(256 * 1024) < 0.01
+    bm = np.packbits(bits, bitorder="little").tobytes()
+    stream = rans.compress_gaps(bm)
+    assert stream[3] == 6          # flags: symbol | gap
+    assert rans.decompress(stream) == bm
+    if native.available():
+        assert native.rans_decompress(stream) == bm
+        # numpy and native encoders emit byte-identical streams
+        avail = native.available
+        try:
+            native.available = lambda: False
+            np_stream = rans.compress_gaps(bm)
+        finally:
+            native.available = avail
+        assert np_stream == stream
+
+
+def test_gap_fallbacks():
+    # empty bitmap -> byte-symbol mode; dense random -> byte/stored mode
+    s_empty = rans.compress_gaps(b"\x00" * 2048)
+    assert s_empty[3] != 6 and rans.decompress(s_empty) == b"\x00" * 2048
+    rng = np.random.default_rng(13)
+    dense = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    s_dense = rans.compress_gaps(dense)
+    assert rans.decompress(s_dense) == dense
+
+
+def test_gap_corrupt_rejected():
+    rng = np.random.default_rng(14)
+    bits = rng.random(1024 * 1024) < 0.05
+    bm = np.packbits(bits, bitorder="little").tobytes()
+    stream = bytearray(rans.compress_gaps(bm))
+    assert stream[3] == 6
+    # flip a body byte: decoded positions must either overrun (ValueError)
+    # or fail the adler check — never return wrong bytes silently
+    stream[len(stream) - 20] ^= 0xFF
+    with pytest.raises(ValueError):
+        rans.decompress(bytes(stream))
+    if native.available():
+        with pytest.raises(ValueError):
+            native.rans_decompress(bytes(stream))
+
+
+def test_gap_device_batch_decode():
+    """Gap streams decode through the batched device symbol path
+    (interpret): symbols on 'device', inverse transform + adler on host."""
+    rng = np.random.default_rng(15)
+    bits = rng.random(512 * 1024) < 0.02
+    bm = np.packbits(bits, bitorder="little").tobytes()
+    stream = rans.compress_gaps(bm)
+    assert stream[3] == 6
+    got = rans.rans_decompress_device_batch([stream], interpret=True)
+    assert got[0] == bm
+    assert rans.rans_decompress_device(stream, interpret=True) == bm

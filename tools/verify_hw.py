@@ -197,6 +197,31 @@ def main() -> int:
     check("pallas L1 decode vs input", np.array_equal(np.asarray(dense),
                                                       frames))
 
+    # ---- Pallas 12-bit pack kernel vs the XLA word-stack path ----
+    from pyrecode_tpu.ops import bitpack, pallas_bitpack
+
+    pv = rng.integers(0, 4096, (2, pallas_bitpack.VALS_STEP)
+                      ).astype(np.uint16)
+    ref_pk = np.asarray(bitpack.bitpack_values(
+        jnp.asarray(pv).astype(jnp.uint32), 12))
+    got_pk = np.asarray(pallas_bitpack.bitpack12_pallas(jnp.asarray(pv)))
+    got_w = np.asarray(pallas_bitpack.bitpack12_words_pallas(
+        jnp.asarray(pv)))
+    check("pallas bitpack12 bytes vs XLA", np.array_equal(ref_pk, got_pk))
+    check("pallas bitpack12 words vs XLA",
+          np.array_equal(got_w.view(np.uint8).reshape(2, -1), ref_pk))
+
+    # ---- gap-mode (flags 2|4) bitmap coding: device symbol decode path ----
+    from pyrecode_tpu.codecs import rans as _rans
+
+    gbits = rng.random(1 << 21) < 0.01
+    gbm = np.packbits(gbits, bitorder="little").tobytes()
+    gstream = _rans.compress_gaps(gbm)
+    check("gap stream device decode vs bitmap",
+          gstream[3] == 6 and
+          _rans.rans_decompress_device_batch([gstream],
+                                             interpret=False)[0] == gbm)
+
     print("ALL OK" if failures == 0 else f"{failures} FAILURES")
     return 0 if failures == 0 else 1
 
