@@ -854,6 +854,116 @@ def rans_symbols_batch_device(packed, plens, sym_bits, raw_cb=None,
     return results
 
 
+def rans_gaps_batch_device(bitmaps, blens, raw_cb=None, out_bound=None,
+                           interpret=None):
+    """Device GAP-mode (flags 2|4) scheme-12 encode of a bitmap batch.
+
+    ``bitmaps`` (B, NB) u8 device array of LSB-first bitmaps; ``blens``
+    (B,) true byte lengths (padding bytes must be zero).  The set-bit
+    position extraction (ops/pallas_gaps.py), first-order gaps, 4096-bin
+    histogram and interleaved-rANS coding all run on device; the host does
+    O(alphabet) table work and header assembly.  Frames where gap coding
+    cannot win (set bits outnumber bytes, small streams, or a >= 4095-bit
+    run needing escape symbols — impossible at the occupancies where the
+    device path engages) fall back to the host coder via ``raw_cb``.
+    Returns a list of B scheme-12 streams, decodable by :func:`decompress`
+    and the device batch path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pallas_gaps as pgk, pallas_rans as prk
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    bitmaps = jnp.asarray(bitmaps, jnp.uint8)
+    B, NB = bitmaps.shape
+    blens = np.asarray(blens, np.int64)
+    padb = (-NB) % pgk.CHUNK_BYTES
+    if padb:
+        bitmaps = jnp.pad(bitmaps, ((0, 0), (0, padb)))
+
+    def _raw(i):
+        return raw_cb(i) if raw_cb is not None else \
+            np.asarray(bitmaps[i, : int(blens[i])]).tobytes()
+
+    if out_bound is None:
+        out_bound = NB * 2                 # one position per 4 bits
+    out_bound = -(-out_bound // prk.CH_R) * prk.CH_R
+    pos = cnt = None
+    for bucket in range(len(_CAP_BUCKETS_GAPS())):
+        pos, cnt, ovf = pgk.bitmap_positions_pallas(
+            bitmaps, out_bound, bucket=bucket, interpret=bool(interpret))
+        if not bool(jnp.any(ovf)):
+            break
+    else:
+        return [compress_gaps(_raw(i)) for i in range(B)]
+
+    # first-order gaps on the compacted stream (m-scale XLA work)
+    io = jnp.arange(pos.shape[1], dtype=jnp.int32)[None, :]
+    valid = io < cnt[:, None]
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), pos[:, :-1]], axis=1)
+    syms = jnp.where(valid, pos - prev - 1, 0)
+    ms = np.asarray(cnt).astype(np.int64)
+
+    # escapes (a run of >= 4095 clear bits between set bits) cannot be
+    # expanded on device without data-dependent insertion; they are
+    # vanishingly rare at device-path occupancies — fall back per frame
+    needs_escape = np.asarray(
+        jnp.any(jnp.where(valid, syms, 0) >= GAP_ESCAPE, axis=1))
+
+    hist = prk.hist_symbols_pallas(syms, ms.astype(np.int32),
+                                   interpret=interpret)
+    hist_np = np.asarray(hist).astype(np.int64)
+    adlers = _adler32_device_chunks(bitmaps, blens)
+
+    freqs = np.zeros((B, 1 << GAP_BITS), np.int64)
+    eluts = np.zeros((B,) + prk.encode_luts_symbols(
+        np.ones(2, np.int64)).shape, np.float32)
+    for i in range(B):
+        freqs[i] = quantize_freqs(hist_np[i, : 1 << GAP_BITS]
+                                  ).astype(np.int64)
+        eluts[i] = prk.encode_luts_symbols(freqs[i])
+
+    dev_ms = ms[ms >= 65536]
+    groups = prk.ROWS_R if dev_ms.size and int(dev_ms.min()) >= (1 << 21) \
+        else 1
+    ob = 2 * out_bound + 4096
+    body, states, cnts = prk.rans_encode_symbols_pallas(
+        syms, jnp.asarray(eluts), ms.astype(np.int32), ob,
+        interpret=interpret, groups=groups)
+
+    cnts_np = np.asarray(cnts)
+    states_np = np.asarray(states)
+    results = []
+    for i in range(B):
+        n = int(blens[i])
+        m = int(ms[i])
+        if needs_escape[i] or m < 65536 or m > n:
+            # host coder: adaptive lanes for small streams, escape
+            # expansion, and the gap-vs-byte size comparison
+            results.append(compress_gaps(_raw(i)))
+            continue
+        bc = int(cnts_np[i])
+        body_i = np.asarray(body[i, :bc]).astype(np.uint8).tobytes()
+        sp = np.flatnonzero(freqs[i] > 0)
+        stream = _finish_stream_symbols(
+            n, m, groups * prk.W_LANES, GAP_BITS, sp, freqs[i][sp],
+            states_np[i].astype(np.int64) & 0xFFFFFFFF, body_i, adlers[i],
+            gap=True)
+        if len(stream) > n + _STORED_OVERHEAD:
+            stream = _stored_stream(_raw(i), adlers[i])
+        results.append(stream)
+    return results
+
+
+def _CAP_BUCKETS_GAPS():
+    from ..ops.pallas_encode import CAPACITY_BUCKETS
+
+    return CAPACITY_BUCKETS
+
+
 def rans_decompress_device(stream: bytes, interpret=None) -> bytes:
     """Decode one scheme-12 stream with the device symbol kernel.
 

@@ -237,3 +237,145 @@ def decode_l1_pallas(bitmap, packed, height: int, width: int, bit_depth: int,
         values = jnp.pad(values, ((0, 0), (0, out_aligned - out)))
     return _decode_call(bitmap, values, height, width, bit_depth, bucket,
                         bool(interpret))
+
+
+# ------------------------------------------------ positions-driven decode
+
+
+@functools.lru_cache(maxsize=32)
+def _build_posdecode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
+    """Dense reconstruction straight from (position, value) PAIRS.
+
+    The gap-mode read chain (scheme 12, flags 2|4) decodes the bitmap
+    stream to set-bit POSITIONS, so the bitmap never materializes: this
+    kernel replaces the bitmap-driven one above for that chain.  Each
+    stream element packs the sub-row-relative position in the low 9 bits
+    and the 12-bit pixel value above it ((pos % SUB) | (val << 9), exact in
+    f32/i32); per-sub-row counts arrive precomputed (an m-scale searchsorted
+    at the XLA level).  The kernel keeps the window fetch and the S-roll
+    level-2 inverse of the bitmap kernel, but needs NO byte expansion, NO
+    rank cumsum and NO foreground mask — placement is one compare against
+    the lane iota per capacity slot.
+    """
+    S = RPC * W // SUB
+    n_chunks = H // RPC
+    C2 = S * C1
+    WIN = C2 + 128
+
+    def kernel(cnt_ref, pairs_ref, dense_ref, ovf_ref, off_sref):
+        h = pl.program_id(1)
+
+        @pl.when(h == 0)
+        def _():
+            off_sref[0] = 0
+            ovf_ref[0, 0, 0] = 0
+
+        cnt1 = cnt_ref[0].astype(jnp.int32)                   # (S, 1)
+        ovf1 = jnp.max(cnt1) > C1
+
+        r_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        c_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        ltri = (r_io > c_io).astype(jnp.float32)
+        off1 = jnp.dot(ltri, cnt1.astype(jnp.float32),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+        chunk_cnt = jnp.sum(cnt1)
+
+        off = jnp.minimum(off_sref[0], OUT)
+        pend = jax.lax.rem(off, 128)
+        aligned = off - pend
+        window = pairs_ref[0, :, pl.ds(pl.multiple_of(aligned, 128), WIN)]
+        window = pltpu.roll(window, WIN - pend, axis=1)
+
+        riota = jax.lax.broadcasted_iota(jnp.int32, (S, C1), 0)
+        c1p = jnp.zeros((S, C1), jnp.int32)
+        for s in range(S):
+            rot = pltpu.roll(window, WIN - off1[s, 0], axis=1)
+            c1p = c1p + jnp.where(riota == s, rot[:, :C1], 0)
+
+        # mask pad slots (slot j of sub-row s is dead when j >= cnt1[s]):
+        # a dead slot's packed value is 0 = (pos 0, val 0) and would
+        # otherwise write value 0 at lane 0 — harmless, but only because
+        # the dense buffer starts at 0; keep the mask so a real (0, v)
+        # pair and pad slots cannot collide
+        jslots = jax.lax.broadcasted_iota(jnp.int32, (S, C1), 1)
+        live = jslots < cnt1
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, SUB), 1)
+        dense2 = jnp.zeros((S, SUB), jnp.int32)
+        for j in range(C1):
+            pj = c1p[:, j:j + 1]
+            lv = live[:, j:j + 1]
+            dense2 = dense2 + jnp.where(lv & (lane == (pj & (SUB - 1))),
+                                        pj >> 9, 0)
+        dense_ref[0] = dense2.astype(jnp.uint16)
+
+        off_sref[0] = off + chunk_cnt
+        ovf_ref[0, 0, 0] |= jnp.int32(ovf1 | (off + chunk_cnt > OUT))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, S, 1), lambda b, h: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, OUT + WIN), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, SUB), lambda b, h: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H * W // SUB, SUB), jnp.uint16),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=bool(interpret),
+    )
+    return call
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "bucket",
+                                             "interpret"))
+def decode_l1_from_positions(positions, values, counts, height, width,
+                             bucket=0, interpret=False):
+    """Dense (B, H, W) u16 frames from sorted set-bit positions + values.
+
+    ``positions`` (B, OUT) i32 ascending (zeros beyond the count),
+    ``values`` (B, OUT) i32 (< 4096, rank-aligned with positions),
+    ``counts`` (B,) i32.  The gap-mode read chain's final stage: no bitmap
+    is ever materialized.  Returns (dense, overflow) with the same
+    escalation contract as decode_l1_pallas.
+    """
+    B, OUT = positions.shape
+    sub = _choose_sub(width)
+    rpc = _choose_rpc_decode(height, width, OUT)
+    S = rpc * width // sub
+    c1 = CAPACITY_BUCKETS[bucket]
+    n_subrows = height * width // sub
+
+    pairs = jnp.where(
+        jnp.arange(OUT, dtype=jnp.int32)[None, :] < counts[:, None],
+        (positions % sub) | (values << 9), 0).astype(jnp.int32)
+
+    # per-sub-row counts: positions are sorted, so one searchsorted per
+    # frame against the sub-row boundaries (m-scale work)
+    bounds = jnp.arange(1, n_subrows + 1, dtype=jnp.int32) * sub
+    # pad positions beyond the count to H*W so they fall past every boundary
+    pos_sorted = jnp.where(
+        jnp.arange(OUT, dtype=jnp.int32)[None, :] < counts[:, None],
+        positions, height * width)
+    ends = jax.vmap(lambda p: jnp.searchsorted(p, bounds))(pos_sorted)
+    cnt1 = jnp.diff(ends, prepend=jnp.zeros((B, 1), ends.dtype),
+                    axis=1).astype(jnp.int32)
+
+    WIN = S * c1 + 128
+    pairs_pad = jnp.pad(pairs, ((0, 0), (0, WIN)))
+    call = _build_posdecode_kernel(B, height, width, OUT, rpc, sub, c1,
+                                   interpret)
+    dense, ovf = call(cnt1.reshape(B, n_subrows, 1),
+                      pairs_pad.reshape(B, 1, OUT + WIN))
+    return dense.reshape(B, height, width), ovf[:, 0, 0] != 0

@@ -604,12 +604,25 @@ class ReCoDeWriter:
         from .ops import pallas_deflate as pdk
 
         if self._scheme == 12:
-            # order-0 symbol mode for BOTH streams (matches the host path):
-            # smaller than byte-LZ on sparse bitmaps and the decode chain is
-            # fully device-side (symbols are the bytes / the pixel values)
+            # bitmap: GAP mode (flags 2|4) — one symbol per set bit instead
+            # of one per byte, ~1/occupancy fewer trips through the serial
+            # rANS chain; pixvals: order-0 symbol mode.  Both match the
+            # host coders byte-for-byte at the same lane count, and
+            # rans_gaps_batch_device falls back per frame (small streams,
+            # dense maps, escape runs) to the size-comparing host coder.
             def deflate(streams, lens, raw_cb, hint_state):
-                return rans.rans_symbols_batch_device(streams, lens, 8,
-                                                      raw_cb=raw_cb)
+                ob = None
+                if plens is not None and self._reduction_level == 1:
+                    cnts = np.asarray(plens, np.int64) * 8 // self._bit_depth
+                    if int(cnts.max()) >= streams.shape[1]:
+                        # dense: set bits outnumber bitmap bytes, gap
+                        # coding cannot win — byte-symbol mode directly
+                        return rans.rans_symbols_batch_device(
+                            streams, lens, 8, raw_cb=raw_cb)
+                    ob = int(cnts.max()) + 4096
+                return rans.rans_gaps_batch_device(streams, lens,
+                                                   raw_cb=raw_cb,
+                                                   out_bound=ob)
         else:
             def deflate(streams, lens, raw_cb, hint_state):
                 return dyndeflate.deflate_batch_device(

@@ -107,7 +107,7 @@ def run_scheme12(args, frames_all, thr, bucket, out_size, bm0, comp0, cnt0,
     def device_batch(frames):
         bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
             frames, thr, out_size=out_size, bucket=bucket, interpret=False)
-        packed = bitpack.bitpack_values(comp.astype(jnp.uint32), 12)
+        packed = bitpack.bitpack_values_device(comp, 12)
         plens = ((counts * 12 + 7) // 8).astype(jnp.int32)
         bm_vals = jnp.pad(bitmap.astype(jnp.int32),
                           ((0, 0), (0, npad_bm - n_bm)))
@@ -243,7 +243,7 @@ def main():
     out_size = 1 << (int(np.ceil(np.log2(n_px * args.occupancy * 2))))
     bm0, comp0, cnt0, _ = pallas_encode.encode_l1_pallas(
         frames_all[0], thr, out_size=out_size, bucket=bucket, interpret=False)
-    pk0 = bitpack.bitpack_values(comp0.astype(jnp.uint32), 12)
+    pk0 = bitpack.bitpack_values_device(comp0, 12)
     n_bm = bm0.shape[1]
     npad_bm = -(-n_bm // pdk.CH_A) * pdk.CH_A
     n_pk = pk0.shape[1]
@@ -320,7 +320,7 @@ def main():
     def device_batch(frames):
         bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
             frames, thr, out_size=out_size, bucket=bucket, interpret=False)
-        packed = bitpack.bitpack_values(comp.astype(jnp.uint32), 12)
+        packed = bitpack.bitpack_values_device(comp, 12)
         bm = jnp.pad(bitmap, ((0, 0), (0, npad_bm - n_bm)))
         pk = jnp.pad(packed, ((0, 0), (0, npad_pk - n_pk)))
         lens_bm = jnp.full((B,), n_bm, jnp.int32)

@@ -43,12 +43,15 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--occupancy", type=float, default=0.01)
     ap.add_argument("--scan", type=int, default=10)
-    ap.add_argument("--mode", choices=("symbol", "byte"), default="symbol",
+    ap.add_argument("--mode", choices=("gap", "symbol", "byte"),
+                    default="gap",
                     help="scheme-12 stream mode: 'symbol' = the production "
                          "order-0 direct-symbol streams (fully device "
                          "decode), 'byte' = the legacy LZ byte mode with "
                          "host reconstruction")
     args = ap.parse_args()
+    if args.mode == "gap":
+        return main_gap(args)
     if args.mode == "symbol":
         return main_symbol(args)
 
@@ -322,6 +325,146 @@ def main_symbol(args):
     gbps = n_px * 2 / per_frame / 1e9
     print(f'{{"metric": "end-to-end read (relay-independent) {size}^2 '
           f'scheme12 symbol-mode", "value": {gbps:.2f}, "unit": "GB/s"}}')
+
+
+
+
+def main_gap(args):
+    """Gap-mode scheme-12 read chain: the bitmap stream decodes to set-bit
+    POSITIONS (1/occupancy fewer rANS symbols than byte/symbol modes), the
+    pixval stream to values, and the dense frames come from the
+    positions-driven Pallas decode — the bitmap never materializes.
+    """
+    import functools
+
+    from pyrecode_tpu import oracle
+    from pyrecode_tpu.codecs import rans
+    from pyrecode_tpu.ops import pallas_decode, pallas_rans as prk
+    from pyrecode_tpu.profiling import delta_scan_time
+
+    size, B = args.size, args.batch
+    n_px = size * size
+    frames = oracle.synthetic_frames(B, size, size, args.occupancy, 12,
+                                     "peaked", rng=0)
+    thr = np.zeros((size, size), np.uint16)
+
+    bitmaps, packeds, streams = [], [], []
+    for i in range(B):
+        red = oracle.reduce_frame(frames[i], thr, 1, 12)
+        bitmaps.append(np.frombuffer(red["packed_binary_map"], np.uint8))
+        packeds.append(np.frombuffer(red["packed_pixvals"], np.uint8))
+        # force gap mode (compress_gaps may pick byte mode when it is a
+        # fraction of a percent smaller; this bench measures the gap chain)
+        from pyrecode_tpu import native as _native
+
+        sb = _native.rans_compress_gaps_native(red["packed_binary_map"],
+                                               1024)
+        if sb is None:
+            sb = rans.compress_gaps(red["packed_binary_map"], nways=1024)
+        NP_ = -(-len(red["packed_pixvals"]) // 3072) * 3072
+        pkp = np.zeros((1, NP_), np.uint8)
+        pkp[0, : len(red["packed_pixvals"])] = packeds[i]
+        sp = rans.rans_symbols_batch_device(
+            pkp, np.array([len(packeds[i])]), 12,
+            raw_cb=lambda k: packeds[i].tobytes(), interpret=False)[0]
+        streams.append((sb, sp))
+    print(f"bm stream {len(bitmaps[0])} B -> {len(streams[0][0])} B "
+          f"(flags {streams[0][0][3]}), pk stream {len(packeds[0])} B -> "
+          f"{len(streams[0][1])} B (flags {streams[0][1][3]})")
+    assert all(s[0][3] == 6 for s in streams), "fixture not gap mode"
+
+    def batch_inputs(kind):
+        metas = [rans._parse_header(streams[i][kind]) for i in range(B)]
+        nways = metas[0]["nways"]
+        assert all(h["nways"] == nways for h in metas)
+        m_max = max(h["m"] for h in metas)
+        npad = -(-max(m_max, 1) // prk.CH_R) * prk.CH_R
+        bw = -(-max(max(len(h["body"]) for h in metas), 4) // 512) * 512
+        bodies = np.zeros((B, bw), np.uint8)
+        states = np.zeros((B, nways), np.int32)
+        tabs = np.zeros((B, 96, 128), np.float32)
+        ms = np.zeros(B, np.int32)
+        for i, h in enumerate(metas):
+            body_rev = np.frombuffer(h["body"], np.uint8)[::-1]
+            bodies[i, : body_rev.size] = body_rev
+            states[i] = h["states"].astype(np.int64).astype(np.int32)
+            tabs[i] = prk.decode_tables_radix(h["freq"])
+            ms[i] = h["m"]
+        return jnp.asarray(bodies), jnp.asarray(states), jnp.asarray(tabs), \
+            ms, npad, nways // prk.W_LANES
+
+    bod_bm, st_bm, tab_bm, m_bm, npad_bm, grp_bm = batch_inputs(0)
+    bod_pk, st_pk, tab_pk, m_pk, npad_pk, grp_pk = batch_inputs(1)
+    print(f"gap symbols/frame: {m_bm.tolist()} (byte mode would code "
+          f"{len(bitmaps[0])}); interleave groups: bm {grp_bm}, pk {grp_pk}")
+
+    @functools.partial(jax.jit, static_argnames=("npad", "groups"))
+    def dec_syms(bodies, states, tabs, ms, npad, groups):
+        syms = prk.rans_decode_pallas(bodies, states, jnp.asarray(ms), npad,
+                                      tabs, interpret=False, groups=groups)
+        return jnp.sum(syms[:, :128].astype(jnp.int32)).astype(jnp.float32)
+
+    sb_scan = jnp.stack([bod_bm] * args.scan)
+    jax.block_until_ready(sb_scan)
+    dt_bm = delta_scan_time(
+        lambda b: dec_syms(b, st_bm, tab_bm, m_bm, npad_bm, grp_bm), sb_scan)
+    sp_scan = jnp.stack([bod_pk] * args.scan)
+    jax.block_until_ready(sp_scan)
+    dt_pk = delta_scan_time(
+        lambda b: dec_syms(b, st_pk, tab_pk, m_pk, npad_pk, grp_pk), sp_scan)
+    print(f"device rANS decode gaps: {dt_bm*1e3:.2f} ms/batch; "
+          f"pixvals: {dt_pk*1e3:.2f} ms/batch")
+
+    # correctness of the gap stream through the batch path once
+    dec_bm0 = rans.rans_decompress_device_batch([streams[0][0]],
+                                                interpret=False)[0]
+    assert dec_bm0 == bitmaps[0].tobytes(), "device gap decode mismatch"
+
+    # ---- positions from gap symbols (XLA, m-scale) + posdecode kernel ----
+    @functools.partial(jax.jit, static_argnames=("npad", "groups", "H", "W",
+                                                 "bucket"))
+    def full_chain(b_bm, s_bm, t_bm, mb, b_pk, s_pk, t_pk, mp, npad,
+                   groups, H, W, bucket):
+        gaps = prk.rans_decode_pallas(b_bm, s_bm, jnp.asarray(mb), npad[0],
+                                      t_bm, interpret=False,
+                                      groups=groups[0])
+        vals = prk.rans_decode_pallas(b_pk, s_pk, jnp.asarray(mp), npad[1],
+                                      t_pk, interpret=False,
+                                      groups=groups[1])
+        mbj = jnp.asarray(mb)[:, None]
+        io_b = jnp.arange(gaps.shape[1], dtype=jnp.int32)[None, :]
+        adv = jnp.where(io_b < mbj, gaps + 1, 0)
+        pos = jnp.cumsum(adv, axis=1, dtype=jnp.int32) - 1
+        OUT = -(-gaps.shape[1] // 128) * 128
+        pos = jnp.pad(pos, ((0, 0), (0, OUT - pos.shape[1])))
+        valsp = jnp.pad(vals.astype(jnp.int32),
+                        ((0, 0), (0, OUT - vals.shape[1])))
+        dense, ovf = pallas_decode.decode_l1_from_positions(
+            pos, valsp, jnp.asarray(mb), H, W, bucket=bucket,
+            interpret=False)
+        return dense, ovf
+
+    dense0, ovf0 = full_chain(bod_bm, st_bm, tab_bm, m_bm, bod_pk, st_pk,
+                              tab_pk, m_pk, (npad_bm, npad_pk),
+                              (grp_bm, grp_pk), size, size, 0)
+    assert not bool(np.asarray(ovf0).any()), "posdecode capacity overflow"
+    assert np.array_equal(np.asarray(dense0).astype(np.uint16), frames), \
+        "gap chain decoded frames differ from source"
+    print("full gap chain (syms -> positions -> dense) verified vs source")
+
+    def chain_t(b_bm):
+        dense, ovf = full_chain(b_bm, st_bm, tab_bm, m_bm, bod_pk, st_pk,
+                                tab_pk, m_pk, (npad_bm, npad_pk),
+                                (grp_bm, grp_pk), size, size, 0)
+        return (jnp.sum(dense[:, ::997, ::997].astype(jnp.int32))
+                + jnp.sum(ovf.astype(jnp.int32))).astype(jnp.float32)
+
+    dt_full = delta_scan_time(chain_t, sb_scan)
+    print(f"full device gap chain: {dt_full*1e3:.2f} ms/batch")
+    per_frame = dt_full / B
+    gbps = n_px * 2 / per_frame / 1e9
+    print(f'{{"metric": "end-to-end read (relay-independent) {size}^2 '
+          f'scheme12 gap-mode", "value": {gbps:.2f}, "unit": "GB/s"}}')
 
 
 if __name__ == "__main__":

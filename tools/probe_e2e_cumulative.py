@@ -52,7 +52,7 @@ def main():
     out_size = 1 << (int(np.ceil(np.log2(n_px * args.occupancy * 2))))
     bm0, comp0, cnt0, _ = pallas_encode.encode_l1_pallas(
         frames_all[0], thr, out_size=out_size, bucket=bucket, interpret=False)
-    pk0 = bitpack.bitpack_values(comp0.astype(jnp.uint32), 12)
+    pk0 = bitpack.bitpack_values_device(comp0, 12)
     n_bm = bm0.shape[1]
     npad_bm = -(-n_bm // pdk.CH_A) * pdk.CH_A
     n_pk = pk0.shape[1]
@@ -94,14 +94,14 @@ def main():
     def p2(frames):
         bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
             frames, thr, out_size=out_size, bucket=bucket, interpret=False)
-        packed = bitpack.bitpack_values(comp.astype(jnp.uint32), 12)
+        packed = bitpack.bitpack_values_device(comp, 12)
         return (jnp.sum(bitmap[:, :128].astype(jnp.int32)),
                 jnp.sum(packed[:, :128].astype(jnp.int32)), counts)
 
     def p3(frames):
         bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
             frames, thr, out_size=out_size, bucket=bucket, interpret=False)
-        packed = bitpack.bitpack_values(comp.astype(jnp.uint32), 12)
+        packed = bitpack.bitpack_values_device(comp, 12)
         bm = jnp.pad(bitmap, ((0, 0), (0, npad_bm - n_bm)))
         lens_bm = jnp.full((B,), n_bm, jnp.int32)
         dense_bm, hist_bm, ad_bm, dcnt, covf = pdk.tokenize_compact_pallas(
@@ -113,7 +113,7 @@ def main():
     def p4(frames):
         bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
             frames, thr, out_size=out_size, bucket=bucket, interpret=False)
-        packed = bitpack.bitpack_values(comp.astype(jnp.uint32), 12)
+        packed = bitpack.bitpack_values_device(comp, 12)
         bm = jnp.pad(bitmap, ((0, 0), (0, npad_bm - n_bm)))
         lens_bm = jnp.full((B,), n_bm, jnp.int32)
         dense_bm, hist_bm, ad_bm, dcnt, covf = pdk.tokenize_compact_pallas(
@@ -127,7 +127,7 @@ def main():
     def p5(frames):
         bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
             frames, thr, out_size=out_size, bucket=bucket, interpret=False)
-        packed = bitpack.bitpack_values(comp.astype(jnp.uint32), 12)
+        packed = bitpack.bitpack_values_device(comp, 12)
         bm = jnp.pad(bitmap, ((0, 0), (0, npad_bm - n_bm)))
         pk = jnp.pad(packed, ((0, 0), (0, npad_pk - n_pk)))
         lens_bm = jnp.full((B,), n_bm, jnp.int32)

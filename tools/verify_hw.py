@@ -222,6 +222,42 @@ def main() -> int:
           _rans.rans_decompress_device_batch([gstream],
                                              interpret=False)[0] == gbm)
 
+    # ---- bitmap -> positions kernel (gap-mode device encode front) ----
+    from pyrecode_tpu.ops import pallas_gaps as pgk
+
+    pbits = rng.random((2, 2 * pgk.CHUNK_BYTES * 8)) < 0.03
+    pbm = np.stack([np.packbits(pbits[i], bitorder="little")
+                    for i in range(2)])
+    posd, cntd, ovfd = pgk.bitmap_positions_pallas(
+        jnp.asarray(pbm), 1 << 14, bucket=1, interpret=False)
+    ok_pos = not np.asarray(ovfd).any()
+    for i in range(2):
+        ref = np.flatnonzero(pbits[i])
+        ok_pos = ok_pos and int(np.asarray(cntd)[i]) == ref.size and \
+            np.array_equal(np.asarray(posd)[i, : ref.size], ref)
+    check("pallas bitmap->positions vs flatnonzero", ok_pos)
+
+    # ---- positions-driven dense decode (gap-mode read chain tail) ----
+    from pyrecode_tpu.ops.pallas_decode import decode_l1_from_positions
+
+    flat = frames.reshape(4, -1)
+    OUTP = 1 << int(np.ceil(np.log2(max(int((flat > 0).sum(1).max()), 1)
+                                    * 2)))
+    posq = np.zeros((4, OUTP), np.int32)
+    valq = np.zeros((4, OUTP), np.int32)
+    cntq = np.zeros(4, np.int32)
+    for i in range(4):
+        p = np.flatnonzero(flat[i])
+        cntq[i] = p.size
+        posq[i, : p.size] = p
+        valq[i, : p.size] = flat[i][p]
+    densep, ovfp = decode_l1_from_positions(
+        jnp.asarray(posq), jnp.asarray(valq), jnp.asarray(cntq), H, W,
+        bucket=0, interpret=False)
+    check("pallas positions decode vs input",
+          not np.asarray(ovfp).any() and
+          np.array_equal(np.asarray(densep).astype(np.uint16), frames))
+
     print("ALL OK" if failures == 0 else f"{failures} FAILURES")
     return 0 if failures == 0 else 1
 
