@@ -244,25 +244,28 @@ def decode_l1_pallas(bitmap, packed, height: int, width: int, bit_depth: int,
 
 @functools.lru_cache(maxsize=32)
 def _build_posdecode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
-    """Dense reconstruction straight from (position, value) PAIRS.
+    """Dense reconstruction straight from packed (position, value) PAIRS.
 
     The gap-mode read chain (scheme 12, flags 2|4) decodes the bitmap
     stream to set-bit POSITIONS, so the bitmap never materializes: this
     kernel replaces the bitmap-driven one above for that chain.  Each
-    stream element packs the sub-row-relative position in the low 9 bits
-    and the 12-bit pixel value above it ((pos % SUB) | (val << 9), exact in
-    f32/i32); per-sub-row counts arrive precomputed (an m-scale searchsorted
-    at the XLA level).  The kernel keeps the window fetch and the S-roll
-    level-2 inverse of the bitmap kernel, but needs NO byte expansion, NO
-    rank cumsum and NO foreground mask — placement is one compare against
-    the lane iota per capacity slot.
+    stream element packs the CHUNK-relative position in the low 15 bits
+    (RPC*W = 32768 px per chunk) and the 12-bit pixel value above it —
+    27 bits, i32-safe.  Only per-CHUNK element counts arrive precomputed
+    (a 512-bound searchsorted at the XLA level; the per-SUB-ROW counts a
+    first draft precomputed the same way cost 29 ms/batch in XLA's
+    gather-serial searchsorted over 32768 bounds — tools/probe_gap_read.py
+    — so sub-row counts are derived IN-KERNEL with one (S, WIN) compare
+    against the fetched window).  No byte expansion, no rank cumsum, no
+    foreground mask: placement is one compare per capacity slot.
     """
     S = RPC * W // SUB
     n_chunks = H // RPC
     C2 = S * C1
     WIN = C2 + 128
+    assert RPC * W <= (1 << 15), "chunk-relative positions must fit 15 bits"
 
-    def kernel(cnt_ref, pairs_ref, dense_ref, ovf_ref, off_sref):
+    def kernel(ccnt_ref, pairs_ref, dense_ref, ovf_ref, off_sref):
         h = pl.program_id(1)
 
         @pl.when(h == 0)
@@ -270,7 +273,23 @@ def _build_posdecode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
             off_sref[0] = 0
             ovf_ref[0, 0, 0] = 0
 
-        cnt1 = cnt_ref[0].astype(jnp.int32)                   # (S, 1)
+        chunk_cnt = ccnt_ref[0, 0, h]
+
+        off = jnp.minimum(off_sref[0], OUT)
+        pend = jax.lax.rem(off, 128)
+        aligned = off - pend
+        window = pairs_ref[0, :, pl.ds(pl.multiple_of(aligned, 128), WIN)]
+        window = pltpu.roll(window, WIN - pend, axis=1)
+
+        # per-sub-row counts from the window itself: the first chunk_cnt
+        # lanes belong to this chunk (positions ascend; the XLA side packs
+        # elements in stream order)
+        wio = jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+        live_w = wio < chunk_cnt
+        s_w = jnp.where(live_w, (window >> 9) & (S - 1), S)   # dead -> S
+        rio_s = jax.lax.broadcasted_iota(jnp.int32, (S, WIN), 0)
+        cnt1 = jnp.sum((s_w == rio_s).astype(jnp.int32), axis=1,
+                       keepdims=True)                          # (S, 1)
         ovf1 = jnp.max(cnt1) > C1
 
         r_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
@@ -279,13 +298,6 @@ def _build_posdecode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
         off1 = jnp.dot(ltri, cnt1.astype(jnp.float32),
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
-        chunk_cnt = jnp.sum(cnt1)
-
-        off = jnp.minimum(off_sref[0], OUT)
-        pend = jax.lax.rem(off, 128)
-        aligned = off - pend
-        window = pairs_ref[0, :, pl.ds(pl.multiple_of(aligned, 128), WIN)]
-        window = pltpu.roll(window, WIN - pend, axis=1)
 
         riota = jax.lax.broadcasted_iota(jnp.int32, (S, C1), 0)
         c1p = jnp.zeros((S, C1), jnp.int32)
@@ -293,11 +305,8 @@ def _build_posdecode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
             rot = pltpu.roll(window, WIN - off1[s, 0], axis=1)
             c1p = c1p + jnp.where(riota == s, rot[:, :C1], 0)
 
-        # mask pad slots (slot j of sub-row s is dead when j >= cnt1[s]):
-        # a dead slot's packed value is 0 = (pos 0, val 0) and would
-        # otherwise write value 0 at lane 0 — harmless, but only because
-        # the dense buffer starts at 0; keep the mask so a real (0, v)
-        # pair and pad slots cannot collide
+        # slot j of sub-row s is dead when j >= cnt1[s]: a dead slot's
+        # packed value would otherwise write its value at some lane
         jslots = jax.lax.broadcasted_iota(jnp.int32, (S, C1), 1)
         live = jslots < cnt1
 
@@ -307,7 +316,7 @@ def _build_posdecode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
             pj = c1p[:, j:j + 1]
             lv = live[:, j:j + 1]
             dense2 = dense2 + jnp.where(lv & (lane == (pj & (SUB - 1))),
-                                        pj >> 9, 0)
+                                        pj >> 15, 0)
         dense_ref[0] = dense2.astype(jnp.uint16)
 
         off_sref[0] = off + chunk_cnt
@@ -317,8 +326,8 @@ def _build_posdecode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
         kernel,
         grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, S, 1), lambda b, h: (b, h, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_chunks), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, OUT + WIN), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -353,29 +362,28 @@ def decode_l1_from_positions(positions, values, counts, height, width,
     B, OUT = positions.shape
     sub = _choose_sub(width)
     rpc = _choose_rpc_decode(height, width, OUT)
-    S = rpc * width // sub
     c1 = CAPACITY_BUCKETS[bucket]
-    n_subrows = height * width // sub
+    chunk_px = rpc * width
+    n_chunks = height // rpc
 
-    pairs = jnp.where(
-        jnp.arange(OUT, dtype=jnp.int32)[None, :] < counts[:, None],
-        (positions % sub) | (values << 9), 0).astype(jnp.int32)
+    io = jnp.arange(OUT, dtype=jnp.int32)[None, :]
+    valid = io < counts[:, None]
+    pairs = jnp.where(valid,
+                      (positions % chunk_px) | (values << 15),
+                      0).astype(jnp.int32)
 
-    # per-sub-row counts: positions are sorted, so one searchsorted per
-    # frame against the sub-row boundaries (m-scale work)
-    bounds = jnp.arange(1, n_subrows + 1, dtype=jnp.int32) * sub
-    # pad positions beyond the count to H*W so they fall past every boundary
-    pos_sorted = jnp.where(
-        jnp.arange(OUT, dtype=jnp.int32)[None, :] < counts[:, None],
-        positions, height * width)
+    # per-CHUNK counts: 512-bound searchsorted on the sorted positions
+    bounds = jnp.arange(1, n_chunks + 1, dtype=jnp.int32) * chunk_px
+    pos_sorted = jnp.where(valid, positions, height * width)
     ends = jax.vmap(lambda p: jnp.searchsorted(p, bounds))(pos_sorted)
-    cnt1 = jnp.diff(ends, prepend=jnp.zeros((B, 1), ends.dtype),
+    ccnt = jnp.diff(ends, prepend=jnp.zeros((B, 1), ends.dtype),
                     axis=1).astype(jnp.int32)
 
+    S = rpc * width // sub
     WIN = S * c1 + 128
     pairs_pad = jnp.pad(pairs, ((0, 0), (0, WIN)))
     call = _build_posdecode_kernel(B, height, width, OUT, rpc, sub, c1,
                                    interpret)
-    dense, ovf = call(cnt1.reshape(B, n_subrows, 1),
+    dense, ovf = call(ccnt.reshape(B, 1, n_chunks),
                       pairs_pad.reshape(B, 1, OUT + WIN))
     return dense.reshape(B, height, width), ovf[:, 0, 0] != 0

@@ -319,6 +319,36 @@ def bench_rans_subtool():
     return out
 
 
+def bench_scaling_subtool():
+    """Multi-device weak-scaling harness on the 8-device virtual CPU mesh.
+
+    Real multi-chip hardware is not reachable from this terminal; these
+    rows prove the shard_map harness runs and record the methodology.
+    Virtual CPU devices SHARE one host's cores, so efficiency-vs-linear is
+    bounded by host parallelism, not ICI — run tools/scaling_bench.py on a
+    pod slice for meaningful numbers (BASELINE v5e-16 target >= 85%)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "tools/scaling_bench.py", "--cpu", "8",
+         "--size", "512", "--frames-per-device", "4"],
+        capture_output=True, text=True, timeout=3000)
+    if proc.returncode != 0:
+        print(f"scaling_bench failed:\n{proc.stderr[-2000:]}",
+              file=sys.stderr)
+        return []
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith('{"metric"'):
+            d = json.loads(line)
+            return [{"config": "weak-scaling encode (VIRTUAL cpu mesh, "
+                               "methodology only) "
+                               f"{r['devices']} dev",
+                     "value": r["GBps"], "unit": "GB/s",
+                     "efficiency_vs_linear": r["efficiency_vs_linear"]}
+                    for r in d["results"]]
+    return []
+
+
 def main():
     from pyrecode_tpu.profiling import enable_compile_cache
     enable_compile_cache()
@@ -349,6 +379,15 @@ def main():
                                  "device entropy (TPU deflate) 4096^2 L1 bitmap")
         results += bench_rans_subtool()
         results += bench_batch_scaling()
+        results += bench_subtool(
+            "tools/bench_e2e_read.py",
+            "end-to-end read (relay-independent) 4096^2 scheme12 gap-mode",
+            extra_args=("--mode", "gap"))
+        results += bench_subtool(
+            "tools/bench_e2e_read.py",
+            "end-to-end read (relay-independent) 4096^2 scheme12 symbol-mode",
+            extra_args=("--mode", "symbol"))
+        results += bench_scaling_subtool()
 
     for r in results:
         print(json.dumps(r), file=sys.stderr)
