@@ -912,6 +912,11 @@ def rans_gaps_batch_device(bitmaps, blens, raw_cb=None, out_bound=None,
     # vanishingly rare at device-path occupancies — fall back per frame
     needs_escape = np.asarray(
         jnp.any(jnp.where(valid, syms, 0) >= GAP_ESCAPE, axis=1))
+    # escape frames take the host fallback and their kernel outputs are
+    # discarded — but clamp their symbols anyway so the encode kernel never
+    # sees an out-of-alphabet symbol (freq-0 LUT fetch -> in-kernel division
+    # by zero -> backend-dependent garbage)
+    syms = jnp.minimum(syms, GAP_ESCAPE - 1)
 
     hist = prk.hist_symbols_pallas(syms, ms.astype(np.int32),
                                    interpret=interpret)

@@ -264,6 +264,8 @@ def _build_posdecode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
     C2 = S * C1
     WIN = C2 + 128
     assert RPC * W <= (1 << 15), "chunk-relative positions must fit 15 bits"
+    SHIFT = int(np.log2(SUB))
+    assert (1 << SHIFT) == SUB, "SUB must be a power of two"
 
     def kernel(ccnt_ref, pairs_ref, dense_ref, ovf_ref, off_sref):
         h = pl.program_id(1)
@@ -286,7 +288,9 @@ def _build_posdecode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
         # elements in stream order)
         wio = jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
         live_w = wio < chunk_cnt
-        s_w = jnp.where(live_w, (window >> 9) & (S - 1), S)   # dead -> S
+        # sub-row index = chunk-relative position (low 15 bits) // SUB;
+        # positions are < RPC*W = S*SUB so the result is < S by construction
+        s_w = jnp.where(live_w, (window & 0x7FFF) >> SHIFT, S)  # dead -> S
         rio_s = jax.lax.broadcasted_iota(jnp.int32, (S, WIN), 0)
         cnt1 = jnp.sum((s_w == rio_s).astype(jnp.int32), axis=1,
                        keepdims=True)                          # (S, 1)

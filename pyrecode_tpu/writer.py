@@ -77,8 +77,13 @@ class ReCoDeWriter:
         the dynamic-Huffman deflate kernels (ops/pallas_deflate.py), scheme
         12 the interleaved-rANS kernels (ops/pallas_rans.py); the reduced
         streams never come back to the host raw — only the compressed bytes
-        do.  Output is byte-identical to the corresponding native host
-        encoder.  Default (None) enables it automatically on a real TPU for
+        do.  Scheme-0 output is byte-identical to the native host encoder
+        (the dryrun asserts merged dev==host); scheme-12 device streams are
+        self-describing and decodable by every scheme-12 decoder but NOT
+        byte-identical to the host coder — the kernels use fixed lane counts
+        (1024/8192) where the host picks adaptive lanes, and the device path
+        only falls back to stored blocks (no byte-mode size comparison).
+        Default (None) enables it automatically on a real TPU for
         scheme-0/12 mode-1 runs at every reduction level — both the fused
         L1/L3 kernel path and the XLA L2/L4 path feed device arrays to the
         entropy kernels; True forces it (tests use interpret mode); False
@@ -594,9 +599,11 @@ class ReCoDeWriter:
         ``plens`` — valid byte count of each frame's packed stream (None
         when there is no value stream).  Only the compressed bytes come back
         to the host (the raw streams are read back solely for the rare
-        stored-block fallback).  Output is byte-identical to the
-        corresponding native host encoder, hence to what the host path
-        would have written.
+        stored-block fallback).  Scheme-0 output is byte-identical to the
+        native host encoder, hence to what the host path would have written;
+        scheme-12 output is valid and decodable but differs from the host
+        coder (fixed kernel lane counts, stored-only fallback — see
+        ``device_entropy`` in the ctor docstring).
         """
         import jax.numpy as jnp
 

@@ -214,9 +214,22 @@ def main() -> int:
     # ---- gap-mode (flags 2|4) bitmap coding: device symbol decode path ----
     from pyrecode_tpu.codecs import rans as _rans
 
+    # build the gap stream EXPLICITLY (numpy gap branch): compress_gaps
+    # size-compares against byte mode and, at 1% random occupancy, the two
+    # sit within a few bytes of each other — the winner is data-dependent
+    # and a byte-mode win is not a decode failure
     gbits = rng.random(1 << 21) < 0.01
-    gbm = np.packbits(gbits, bitorder="little").tobytes()
-    gstream = _rans.compress_gaps(gbm)
+    gbm_b = np.packbits(gbits, bitorder="little")
+    gbm = gbm_b.tobytes()
+    gsyms = _rans.bitmap_to_gaps(gbm_b)
+    gcounts = np.bincount(gsyms, minlength=1 << _rans.GAP_BITS)
+    gfreq = _rans.quantize_freqs(gcounts).astype(np.int64)
+    gbody, gstates = _rans.rans_encode_interleaved(gsyms, gfreq, 32)
+    gsp = np.flatnonzero(gcounts > 0)
+    import zlib as _zlib
+    gstream = _rans._finish_stream_symbols(
+        len(gbm), gsyms.size, 32, _rans.GAP_BITS, gsp, gfreq[gsp], gstates,
+        gbody, _zlib.adler32(gbm), gap=True)
     check("gap stream device decode vs bitmap",
           gstream[3] == 6 and
           _rans.rans_decompress_device_batch([gstream],
@@ -257,6 +270,29 @@ def main() -> int:
     check("pallas positions decode vs input",
           not np.asarray(ovfp).any() and
           np.array_equal(np.asarray(densep).astype(np.uint16), frames))
+
+    # sub-512-width geometry (SUB = width < 512): covers the posdecode
+    # sub-row shift derivation the H=W=512 case cannot (ADVICE r3 high)
+    nH, nW = 128, 256
+    nfr = (rng.integers(0, 4096, (2, nH, nW)) *
+           (rng.random((2, nH, nW)) < 0.02)).astype(np.uint16)
+    nflat = nfr.reshape(2, -1)
+    OUTN = 1 << int(np.ceil(np.log2(max(int((nflat > 0).sum(1).max()), 1)
+                                    * 2)))
+    posn = np.zeros((2, OUTN), np.int32)
+    valn = np.zeros((2, OUTN), np.int32)
+    cntn = np.zeros(2, np.int32)
+    for i in range(2):
+        p = np.flatnonzero(nflat[i])
+        cntn[i] = p.size
+        posn[i, : p.size] = p
+        valn[i, : p.size] = nflat[i][p]
+    densen, ovfn = decode_l1_from_positions(
+        jnp.asarray(posn), jnp.asarray(valn), jnp.asarray(cntn), nH, nW,
+        bucket=0, interpret=False)
+    check("pallas positions decode 128x256 (SUB<512)",
+          not np.asarray(ovfn).any() and
+          np.array_equal(np.asarray(densen).astype(np.uint16), nfr))
 
     print("ALL OK" if failures == 0 else f"{failures} FAILURES")
     return 0 if failures == 0 else 1
