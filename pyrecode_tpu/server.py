@@ -115,6 +115,13 @@ class NodeClient:
         request_id = f"{self._token.node_id}-{time.monotonic_ns()}"
         md = MessageData(self._session_id, rc.MESSAGE_TYPE_INFO, message, mapped_data)
         md.set("request_id", request_id)
+        # drop stale acks from a previous timed-out request (a slow worker
+        # may ack after the head already gave up and retried)
+        try:
+            while True:
+                self._token.reply_queue.get_nowait()
+        except queue.Empty:
+            pass
         self._token.command_queue.put(md.serialize())
         try:
             raw = self._token.reply_queue.get(timeout=self._timeout)
@@ -304,12 +311,163 @@ class ReCoDeNode:
         self._writer.close()
         self._log("writer closed")
 
+    def completed_chunk_offset(self) -> int:
+        """Cumulative frame count of chunks this node has fully written."""
+        w = self._writer
+        return int(w._chunk_offset) if w is not None else 0
+
+
+# -------------------------------------------------- crash-isolated workers
+
+
+def _process_node_main(node_id, init_params, input_params, session_id,
+                       command_q, reply_q, log_q, status_val, chunk_off_val,
+                       metrics_q, dark_data, data, fail_on_command,
+                       resume, resume_chunk_offset):
+    """Entry point of a crash-isolated worker (``isolation="process"``).
+
+    Runs the same ``ReCoDeNode`` state machine as the thread mode, but in
+    its own OS process: a segfault in native code, an OOM kill, or a
+    SIGKILL takes down only this worker — the head node detects the death
+    (liveness + status), spawns a replacement, and the part-file resume
+    machinery recovers (reference nodes are OS processes too,
+    recode_server.py:350-363, with the replacement left as a stub).
+
+    Workers encode on the HOST path (``use_tpu=False``): exactly one
+    process may own the TPU chip, and that is the head's — process
+    isolation trades device batching for crash containment.
+    """
+    os.environ["JAX_PLATFORMS"] = "cpu"   # defensive: never grab the chip
+    init_params._use_tpu = False
+
+    class _MPLogger:
+        @staticmethod
+        def push(source, message, message_type=rc.MESSAGE_TYPE_INFO):
+            try:
+                log_q.put((source, message, message_type))
+            except Exception:
+                pass
+
+    class _SharedStatusNode(ReCoDeNode):
+        @property
+        def status(self):
+            return status_val.value
+
+        @status.setter
+        def status(self, value):
+            status_val.value = int(value)
+
+        def _process_file(self, request):
+            super()._process_file(request)
+            chunk_off_val.value = self.completed_chunk_offset()
+
+    node = _SharedStatusNode(node_id, init_params, input_params, _MPLogger(),
+                             session_id, fail_on_command=fail_on_command,
+                             resume=resume,
+                             resume_chunk_offset=resume_chunk_offset)
+    node.token = NodeToken(node_id, command_q, reply_q)
+    node._dark_data = dark_data
+    node._data = data
+    try:
+        node.run()
+    finally:
+        try:
+            metrics_q.put(node.run_metrics)
+        except Exception:
+            pass
+
+
+class ProcessNodeHandle:
+    """Head-side handle of a crash-isolated worker; duck-types ReCoDeNode
+    (token / status / start_thread / join / run_metrics /
+    completed_chunk_offset) so the broadcast, replacement, and queue-manager
+    machinery is shared between the thread and process modes."""
+
+    def __init__(self, node_id: int, init_params: InitParams,
+                 input_params: InputParams, log_queue, session_id: str,
+                 fail_on_command=None, resume: bool = False,
+                 resume_chunk_offset: int = 0):
+        import multiprocessing as mp
+
+        self._ctx = mp.get_context("spawn")
+        self.node_id = node_id
+        self._init_params = init_params
+        self._input_params = input_params
+        self._log_queue = log_queue
+        self._session_id = session_id
+        self._fail_on_command = fail_on_command
+        self._resume = resume
+        self._resume_chunk_offset = resume_chunk_offset
+        self._status = self._ctx.Value("i", rc.STATUS_CODE_NOT_READY)
+        self._chunk_off = self._ctx.Value("i", int(resume_chunk_offset))
+        self._metrics_q = self._ctx.Queue()
+        self.token = NodeToken(node_id, self._ctx.Queue(), self._ctx.Queue())
+        self._proc = None
+        self._forced_status: Optional[int] = None
+        self.run_metrics: dict = {}
+
+    def start_thread(self, dark_data=None, data=None) -> None:
+        """Name-parity with ReCoDeNode; starts the worker *process*."""
+        self._proc = self._ctx.Process(
+            target=_process_node_main,
+            args=(self.node_id, self._init_params, self._input_params,
+                  self._session_id, self.token.command_queue,
+                  self.token.reply_queue, self._log_queue, self._status,
+                  self._chunk_off, self._metrics_q, dark_data, data,
+                  self._fail_on_command, self._resume,
+                  self._resume_chunk_offset),
+            daemon=True, name=f"recode-node-{self.node_id}")
+        self._proc.start()
+
+    @property
+    def pid(self) -> Optional[int]:
+        return self._proc.pid if self._proc is not None else None
+
+    @property
+    def status(self) -> int:
+        if self._forced_status is not None:
+            return self._forced_status
+        value = self._status.value
+        if (self._proc is not None and not self._proc.is_alive()
+                and value != rc.STATUS_CODE_IS_CLOSED):
+            return rc.STATUS_CODE_ERROR   # died without closing
+        return value
+
+    @status.setter
+    def status(self, value) -> None:
+        # the head only ever forces ERROR on an unresponsive node
+        self._forced_status = int(value)
+
+    def completed_chunk_offset(self) -> int:
+        return int(self._chunk_off.value)
+
+    def join(self, timeout=None) -> None:
+        if self._proc is not None:
+            self._proc.join(timeout)
+        try:
+            while True:
+                self.run_metrics = self._metrics_q.get_nowait()
+        except queue.Empty:
+            pass
+        except Exception:
+            pass
+
 
 class ReCoDeServer:
     """Head node: orchestrates N nodes + logger for batch or stream runs."""
 
-    def __init__(self, mode: str = "batch"):
+    def __init__(self, mode: str = "batch", isolation: str = "thread"):
+        """``isolation``: "thread" (default — nodes share the process and
+        the TPU runtime; a Python-level node failure is recovered in place)
+        or "process" (each node is a spawned OS process on the host encode
+        path — a hard crash/SIGKILL of a worker cannot take down the head,
+        which detects the death and resumes the part file; matches the
+        reference's process-per-node resilience, recode_server.py:350-363).
+        """
         self._mode = str(mode).strip().lower()
+        self._isolation = str(isolation).strip().lower()
+        if self._isolation not in ("thread", "process"):
+            raise ValueError("isolation must be 'thread' or 'process'")
         self._max_attempts = 10
         self._session_id = f"rc-{os.getpid()}-{int(time.time())}"
 
@@ -337,14 +495,36 @@ class ReCoDeServer:
         logger.push("head", f"session {self._session_id} starting "
                             f"({input_params.num_threads} nodes, mode={self._mode})")
 
-        nodes = [
-            ReCoDeNode(i, init_params, input_params, logger, self._session_id,
-                       fail_on_command=fail_node_on_command if i in fail_node_ids else None)
-            for i in range(int(input_params.num_threads))
-        ]
+        self._log_mp_queue = None
+        self._log_drainer = None
+        if self._isolation == "process":
+            import multiprocessing as mp
+
+            self._log_mp_queue = mp.get_context("spawn").Queue()
+            self._log_drainer = threading.Thread(
+                target=self._drain_worker_logs, args=(logger,),
+                name="recode-log-drain", daemon=True)
+            self._log_drainer.start()
+            nodes = [
+                ProcessNodeHandle(
+                    i, init_params, input_params, self._log_mp_queue,
+                    self._session_id,
+                    fail_on_command=fail_node_on_command if i in fail_node_ids else None)
+                for i in range(int(input_params.num_threads))
+            ]
+        else:
+            nodes = [
+                ReCoDeNode(i, init_params, input_params, logger, self._session_id,
+                           fail_on_command=fail_node_on_command if i in fail_node_ids else None)
+                for i in range(int(input_params.num_threads))
+            ]
+        self._nodes = nodes  # exposed for tests/monitoring
         for node in nodes:
             node.start_thread(dark_data=dark_data, data=data)
-        clients = [NodeClient(node.token, self._session_id) for node in nodes]
+        client_timeout = 30.0 if self._isolation == "process" else 5.0
+        clients = [NodeClient(node.token, self._session_id, timeout=client_timeout)
+                   for node in nodes]
+        self._client_timeout = client_timeout
         self._dark_data, self._data = dark_data, data
         self._init_params_live, self._input_params_live = init_params, input_params
 
@@ -366,10 +546,29 @@ class ReCoDeServer:
         finally:
             for node in nodes:
                 node.join(timeout=30)
+            if self._log_mp_queue is not None:
+                self._log_mp_queue.put(None)
+                if self._log_drainer is not None:
+                    self._log_drainer.join(timeout=10)
             logger.push("head", "session closed")
             logger.close()
 
         return {node.node_id: node.run_metrics for node in nodes}
+
+    def _drain_worker_logs(self, logger: Logger) -> None:
+        """Forward worker-process log records into the head's Logger."""
+        while True:
+            try:
+                record = self._log_mp_queue.get()
+            except Exception:
+                return
+            if record is None:
+                return
+            try:
+                source, message, message_type = record
+                logger.push(source, message, message_type)
+            except Exception:
+                pass
 
     # -------------------------------------------------------------- broadcast
 
@@ -416,13 +615,20 @@ class ReCoDeServer:
         logger.push("head", f"spawning replacement for node-{index}",
                     rc.MESSAGE_TYPE_ERROR)
         resume = self._mode == "stream"
-        replacement = ReCoDeNode(
-            index, self._init_params_live, self._input_params_live,
-            logger, self._session_id, resume=resume,
-            resume_chunk_offset=getattr(self, "_stream_chunk_offset", 0))
+        if self._isolation == "process":
+            replacement = ProcessNodeHandle(
+                index, self._init_params_live, self._input_params_live,
+                self._log_mp_queue, self._session_id, resume=resume,
+                resume_chunk_offset=getattr(self, "_stream_chunk_offset", 0))
+        else:
+            replacement = ReCoDeNode(
+                index, self._init_params_live, self._input_params_live,
+                logger, self._session_id, resume=resume,
+                resume_chunk_offset=getattr(self, "_stream_chunk_offset", 0))
         replacement.start_thread(dark_data=self._dark_data, data=self._data)
         nodes[index] = replacement
-        clients[index] = NodeClient(replacement.token, self._session_id)
+        clients[index] = NodeClient(replacement.token, self._session_id,
+                                    timeout=getattr(self, "_client_timeout", 5.0))
         clients[index].send_request("start")
 
     @staticmethod
@@ -474,13 +680,25 @@ class ReCoDeServer:
                 logger.push("head", "nodes unresponsive during stream",
                             rc.MESSAGE_TYPE_ERROR)
                 break
+            # a node that died DURING the chunk (after acking — e.g. a
+            # hard-killed worker process) surfaces here as ERROR: replace
+            # it and have only the replacement redo the current chunk (the
+            # chunk file still exists; its part file resumes at the
+            # completed-chunk boundary, so no duplicate records)
+            for index, node in enumerate(nodes):
+                if node.status == rc.STATUS_CODE_ERROR:
+                    self._spawn_replacement_node(index, clients, nodes, logger)
+                    clients[index].send_request("process_file")
+            if not self._wait_until_available(nodes, timeout=idle_timeout):
+                logger.push("head", "nodes unresponsive during stream",
+                            rc.MESSAGE_TYPE_ERROR)
+                break
             next_name.unlink(missing_ok=True)
             processed += 1
             # all healthy nodes share the chunk sequence, so any writer's
             # advanced frame counter is the completed-chunk total
             for node in nodes:
-                writer = node._writer
-                if writer is not None and node.status != rc.STATUS_CODE_ERROR:
+                if node.status != rc.STATUS_CODE_ERROR:
                     self._stream_chunk_offset = max(self._stream_chunk_offset,
-                                                    writer._chunk_offset)
+                                                    node.completed_chunk_offset())
             logger.push("head", f"processed stream chunk {processed} ({chunk.name})")

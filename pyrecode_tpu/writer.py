@@ -255,7 +255,8 @@ class ReCoDeWriter:
         self._intermediate_file_name = os.path.join(
             self._init_params.output_directory,
             f"{base_filename}.rc{self._reduction_level}_part{self._node_id:03d}")
-        resumed = resume and self._resume_part_file()
+        resumed = resume and self._resume_part_file(
+            max_frame_id_exclusive=int(chunk_offset) if chunk_offset else None)
         if not resumed:
             self._intermediate_file = open(self._intermediate_file_name, "wb")
             self._rc_header.serialize_to(self._intermediate_file)
@@ -273,11 +274,19 @@ class ReCoDeWriter:
         self._out_buffer_limit = max(frame_bytes * self._batch_size, 1 << 20)
         self._chunk_offset = int(chunk_offset) if resumed else 0
 
-    def _resume_part_file(self) -> bool:
+    def _resume_part_file(self, max_frame_id_exclusive=None) -> bool:
         """Reopen an existing part file for append; restore frame count.
 
         Returns False (caller falls back to a fresh file) when the file is
         missing or its header is unreadable.
+
+        ``max_frame_id_exclusive`` (the head node's completed-chunk frame
+        counter) truncates the file at the first record whose frame_id
+        belongs to the in-flight chunk: a worker hard-killed MID-chunk may
+        have written complete records for part of its slice, and the
+        replacement re-encodes the whole chunk — keeping those records
+        would duplicate frame_ids in the merge.  Completed chunks' ids are
+        all < the counter, the current chunk's all >= it.
         """
         path = self._intermediate_file_name
         if not os.path.exists(path):
@@ -292,7 +301,13 @@ class ReCoDeWriter:
                 scan.close()
                 return False  # torn inside the headers: start fresh
             n = 0
-            while scan.get_next_frame_raw(read_data=False) is not None:
+            while True:
+                rec = scan.get_next_frame_raw(read_data=False)
+                if rec is None:
+                    break
+                if max_frame_id_exclusive is not None and \
+                        min(rec.keys()) >= max_frame_id_exclusive:
+                    break  # in-flight chunk record: drop it and the rest
                 n += 1
                 end_pos = scan.get_file_position()
             scan.close()

@@ -241,3 +241,100 @@ def test_stream_server_real_seq_chunks(tmp_path):
         fd = reader.get_next_frame()
         assert np.array_equal(fd[i]["data"].todense(), expected[i]), i
     reader.close()
+
+
+# ----------------------------------------------- crash-isolated process mode
+
+
+def test_process_isolation_batch_roundtrip(tmp_path):
+    """isolation="process": nodes are OS processes (host encode path) and
+    the container output is identical to the thread mode's."""
+    data = _fixture(shape=(6, 64, 64), seed=31)
+    dark = np.zeros(data.shape[1:], dtype=np.uint16)
+    init_params = InitParams(
+        "batch", str(tmp_path), image_filename="test_data",
+        log_filename=str(tmp_path / "recode.log"), run_name="proc_batch",
+        verbosity=0)
+    params = _input_params(data.shape, num_threads=2)
+
+    server = ReCoDeServer("batch", isolation="process")
+    metrics = server.run(init_params, input_params=params, dark_data=dark,
+                         data=data)
+    assert sum(m.get("run_frames", 0) for m in metrics.values()) == 6
+
+    merged = merge_parts(str(tmp_path), "test_data.rc1", 2)
+    reader = ReCoDeReader(merged)
+    reader.open()
+    assert reader.get_shape()[0] == 6
+    for i in range(6):
+        fd = reader.get_next_frame()
+        assert np.array_equal(fd[i]["data"].todense(), data[i]), i
+    reader.close()
+
+
+def test_process_isolation_sigkill_stream(tmp_path):
+    """A hard-killed (SIGKILL) worker process must not take down the head:
+    the head detects the death, spawns a replacement process that resumes
+    the part file at the completed-chunk boundary, and the merged container
+    is complete — at most the in-flight chunk is re-encoded, nothing lost.
+    (The reference's process-per-node design has this resilience property
+    but leaves _spawn_replacement_node as an empty stub.)"""
+    import signal
+    import threading
+
+    shape_chunk = (4, 64, 64)
+    chunks = [_fixture(shape_chunk, seed=40 + i) for i in range(3)]
+    dark = np.zeros(shape_chunk[1:], dtype=np.uint16)
+
+    watch = tmp_path / "acquisition"
+    watch.mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+    for i, chunk in enumerate(chunks):
+        (watch / f"chunk_{i:03d}.seq").write_bytes(chunk.tobytes())
+        time.sleep(0.02)
+
+    init_params = InitParams(
+        "stream", str(out), image_filename="ignored",
+        directory_path=str(watch),
+        log_filename=str(tmp_path / "recode.log"), run_name="proc_sigkill",
+        verbosity=0, max_count=3, chunk_time_in_sec=1)
+    params = _input_params(shape_chunk, num_threads=2)
+
+    server = ReCoDeServer("stream", isolation="process")
+    result = {}
+
+    def _run():
+        result["metrics"] = server.run(init_params, input_params=params,
+                                       dark_data=dark)
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+
+    # wait until the first chunk is fully processed, then SIGKILL node 1
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if getattr(server, "_stream_chunk_offset", 0) >= shape_chunk[0]:
+            break
+        time.sleep(0.01)
+    else:
+        raise AssertionError("stream never processed chunk 1")
+    victim = server._nodes[1]
+    pid = victim.pid
+    assert pid is not None
+    os.kill(pid, signal.SIGKILL)
+
+    t.join(timeout=180)
+    assert not t.is_alive(), "server did not finish after worker SIGKILL"
+
+    merged = merge_parts(str(out), "proc_sigkill.rc1", 2)
+    reader = ReCoDeReader(merged)
+    reader.open()
+    expected = np.concatenate(chunks, axis=0)
+    assert reader.get_shape()[0] == 12  # nothing lost
+    for i in range(12):
+        fd = reader.get_next_frame()
+        assert np.array_equal(fd[i]["data"].todense(), expected[i]), i
+    reader.close()
+    log = (tmp_path / "recode.log").read_text()
+    assert "replacement" in log
