@@ -146,3 +146,62 @@ def bitpack12_pallas(values: jax.Array, interpret: bool = False) -> jax.Array:
         interpret=interpret,
     )(x)
     return out.reshape(B, 3 * n // 2)
+
+
+# ----------------------------------------------------------------- unpack
+
+
+def _kernel_unpack(x_ref, o_ref):
+    """Inverse of _kernel_bytes: (SEG, 3V/2) u8 bytes -> (SEG, V) values.
+
+    The XLA bitunpack (ops/bitpack.bitunpack_values) needs an (m/3, 3)-group
+    relayout that costs ~2.9 ms per 4-frame 4096^2 batch in the decode
+    chain (tools/probe_decode_rpc.py: full decode 7.0 ms vs kernel 4.1 ms);
+    this kernel regroups in VMEM with the same transpose + lane-merge
+    reshape + stride-1 slice tricks as the pack direction."""
+    a = x_ref[0].astype(jnp.int32)            # (SEG, 3V/2) bytes
+    t = a.T                                   # (3V/2, SEG)
+    # byte 12q+k of each segment -> contiguous lane span k (12 bytes per
+    # 8-value group)
+    g = t.reshape(V_SEG // 8, 12 * SEG_STEP)
+    by = [g[:, k * SEG_STEP:(k + 1) * SEG_STEP] for k in range(12)]
+    v = []
+    for p in range(4):                        # byte triple p -> values 2p, 2p+1
+        b0, b1, b2 = by[3 * p], by[3 * p + 1], by[3 * p + 2]
+        v.append(b0 | ((b1 & 0xF) << 8))
+        v.append((b1 >> 4) | (b2 << 4))
+    vals = jnp.concatenate(v, axis=1).reshape(V_SEG, SEG_STEP)
+    o_ref[0] = vals.T                         # (SEG, V), natural layout
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bitunpack12_pallas(packed: jax.Array, interpret: bool = False
+                       ) -> jax.Array:
+    """(B, m) u8 LSB-first 12-bit stream -> (B, 2m/3) i32 values.
+
+    ``m`` must be a multiple of 3*VALS_STEP/2 (= 393216 bytes).  Inverse of
+    bitpack12_pallas; wire format of bitunpack_values(packed, 12).
+    """
+    B, m = packed.shape
+    step_bytes = 3 * VALS_STEP // 2
+    if m % step_bytes:
+        raise ValueError(f"m={m} must be a multiple of {step_bytes}")
+    nseg = 2 * m // 3 // V_SEG
+    x = packed.reshape(B, nseg, 3 * V_SEG // 2)
+    grid = (B, nseg // SEG_STEP)
+    out = pl.pallas_call(
+        _kernel_unpack,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, SEG_STEP, 3 * V_SEG // 2),
+                               lambda b, h: (b, h, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, SEG_STEP, V_SEG), lambda b, h: (b, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nseg, V_SEG), jnp.int32),
+        interpret=interpret,
+    )(x)
+    return out.reshape(B, 2 * m // 3)
+
+
+def supports_unpack(m: int, bit_depth: int) -> bool:
+    return bit_depth == 12 and m % (3 * VALS_STEP // 2) == 0

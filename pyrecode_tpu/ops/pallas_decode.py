@@ -101,11 +101,14 @@ def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
         r_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
         c_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
         ltri = (r_io > c_io).astype(jnp.float32)
-        # HIGHEST: default-precision MXU f32 rounds to bf16, corrupting
-        # counts > 256 (see _compact_chunk in pallas_encode.py)
+        # DEFAULT precision is exact HERE (unlike _compact_chunk's encode
+        # concat, where sub-row counts can legitimately exceed 256): decode
+        # capacity buckets cap C1 at 128 < 256, so any cnt1 > 256 implies
+        # bucket overflow and the whole chunk's output is discarded by the
+        # escalation retry — the HIGHEST 3-pass f32 matmul cost ~0.4 ms of
+        # a 7.9 ms batch in the hw phase split (tools/probe_decode_phases).
         off1 = jnp.dot(ltri, cnt1.astype(jnp.float32),
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
         chunk_cnt = jnp.sum(cnt1)
 
         # ---- fetch this chunk's slice of the value stream ----
@@ -119,12 +122,41 @@ def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
         # ---- level-2 inverse: per-sub-row runs via dynamic rotates ----
         # (accumulate into rows with a mask rather than concatenating 64
         # sublane pieces — concat forces relayouts)
+        #
+        # Hierarchical (mirror of _compact_chunk's grouped concat, and the
+        # round-3 verdict's #1 ask): the flat loop is S rolls of the full
+        # (1, WIN) window — 58% of the decode batch in the hw phase split
+        # (tools/probe_decode_phases.py: 4.6 of 7.9 ms).  Instead extract
+        # NG = S/g group windows of GW = g*C1 lanes with NG big rolls, then
+        # extract each sub-row's run from its group window with S SMALL
+        # (1, GW) rolls — roll traffic drops from S*WIN to NG*WIN + S*GW
+        # lanes (~6.5x at S=64, C1=32).  A live lane k of run s satisfies
+        # k + (off1[s]-base) < GW (group content <= GW), so the modular
+        # wrap of the small roll only ever feeds DEAD lanes (masked by
+        # rank1 < cnt1 in the level-1 inverse below).
         riota = jax.lax.broadcasted_iota(jnp.int32, (S, C1), 0)
         c1 = jnp.zeros((S, C1), jnp.int32)
-        for s in range(S):
-            # lane k of the rotated window holds value off1[s] + k
-            rot = pltpu.roll(window, WIN - off1[s, 0], axis=1)
-            c1 = c1 + jnp.where(riota == s, rot[:, :C1], 0)
+        g = 1
+        while g * g < S:
+            g *= 2
+        if 16 <= S and S % g == 0 and g * C1 < C2:
+            GW = g * C1
+            NG = S // g
+            gio = jax.lax.broadcasted_iota(jnp.int32, (NG, GW), 0)
+            gmat = jnp.zeros((NG, GW), jnp.int32)
+            for gi in range(NG):
+                grot = pltpu.roll(window, WIN - off1[gi * g, 0], axis=1)
+                gmat = gmat + jnp.where(gio == gi, grot[:, :GW], 0)
+            for s in range(S):
+                gi = s // g
+                rot = pltpu.roll(gmat[gi:gi + 1, :],
+                                 GW - (off1[s, 0] - off1[gi * g, 0]), axis=1)
+                c1 = c1 + jnp.where(riota == s, rot[:, :C1], 0)
+        else:
+            for s in range(S):
+                # lane k of the rotated window holds value off1[s] + k
+                rot = pltpu.roll(window, WIN - off1[s, 0], axis=1)
+                c1 = c1 + jnp.where(riota == s, rot[:, :C1], 0)
 
         # ---- level-1 inverse: place values at foreground positions ----
         # two slots per pass (pair packed in 16-bit halves, values < 2^16),
@@ -161,10 +193,27 @@ def _build_decode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
                                          (acc >> 16) & 0xFFFF, acc & 0xFFFF),
                                0)
         else:
-            dense2 = jnp.zeros((S, SUB), jnp.int32)
-            for j in range(C1):
-                dense2 = dense2 + jnp.where((rank1 == j) & fg,
+            # density-adaptive early-out (mirrors the encode select): passes
+            # above rank 16 run under a lax.cond on the chunk's max sub-row
+            # count — at the 1% occupancy the capacity ladder targets they
+            # fire in ~0.2% of chunks
+            def flat_passes(j_lo, j_hi):
+                acc_ = jnp.zeros((S, SUB), jnp.int32)
+                for j in range(j_lo, j_hi):
+                    acc_ = acc_ + jnp.where((rank1 == j) & fg,
                                             c1[:, j:j + 1], 0)
+                return acc_
+
+            dense2 = flat_passes(0, min(16, C1))
+            maxcnt = jnp.max(cnt1)
+            j = 16
+            while j < C1:
+                j_hi = min(2 * j, C1)
+                dense2 = dense2 + jax.lax.cond(
+                    maxcnt > j,
+                    lambda lo=j, hi=j_hi: flat_passes(lo, hi),
+                    lambda: jnp.zeros((S, SUB), jnp.int32))
+                j = j_hi
         dense_ref[0] = dense2.astype(jnp.uint16)
 
         off_sref[0] = off + chunk_cnt
@@ -227,9 +276,23 @@ def decode_l1_pallas(bitmap, packed, height: int, width: int, bit_depth: int,
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    from . import pallas_bitpack
     from .bitpack import bitunpack_values
 
-    values = bitunpack_values(packed, bit_depth, out_dtype=jnp.int32)
+    if bit_depth == 12:
+        # Pallas unpack: the XLA formulation's (m/3, 3)-group relayout cost
+        # ~2.9 ms per 4-frame 4096^2 batch — 40% of the whole decode chain
+        # (tools/probe_decode_rpc.py).  Zero-pad to the kernel's step size;
+        # padding bytes unpack to zero values, same as the XLA path.
+        step = 3 * pallas_bitpack.VALS_STEP // 2
+        m = packed.shape[-1]
+        m_pad = max(step, -(-m // step) * step)
+        if m_pad != m:
+            packed = jnp.pad(packed, ((0, 0), (0, m_pad - m)))
+        values = pallas_bitpack.bitunpack12_pallas(packed,
+                                                   interpret=bool(interpret))
+    else:
+        values = bitunpack_values(packed, bit_depth, out_dtype=jnp.int32)
     # round the stream up to a 128-multiple for aligned window reads
     out = values.shape[-1]
     out_aligned = max(128, -(-out // 128) * 128)
@@ -299,9 +362,10 @@ def _build_posdecode_kernel(B, H, W, OUT, RPC, SUB, C1, interpret):
         r_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
         c_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
         ltri = (r_io > c_io).astype(jnp.float32)
+        # default precision: cnt1 > 256 implies C1-bucket overflow and the
+        # chunk's output is discarded by escalation (see the decode kernel)
         off1 = jnp.dot(ltri, cnt1.astype(jnp.float32),
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
 
         riota = jax.lax.broadcasted_iota(jnp.int32, (S, C1), 0)
         c1p = jnp.zeros((S, C1), jnp.int32)

@@ -252,21 +252,30 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
                     if dc:
                         sdc = sdc + dc * g
 
-                def round_div_plus(base, num, den):
+                def round_div_plus(base, num, den, q_lo, q_hi):
                     # round-half-even((base*den + num) / den) in base+offset
                     # form so the full numerator (which can exceed int32 for
                     # large rows x heavy puddles) is never materialised.
                     # Matches the oracle's exact integer rounding.
+                    #
+                    # The quotient is BOUNDED: |num| <= K*den by construction
+                    # (centroids lie within Chebyshev distance K of the
+                    # root), so floor(num/den) comes from a (q_hi - q_lo)-
+                    # compare ladder instead of a vector integer division —
+                    # Mosaic has no VPU divide and lowers // and % to long
+                    # multiword sequences.
                     den_safe = jnp.maximum(den, 1)
-                    q = num // den_safe          # floor: num may be negative
+                    q = jnp.full_like(num, q_lo)
+                    for t in range(q_lo + 1, q_hi + 1):
+                        q = q + (num >= t * den_safe).astype(jnp.int32)
                     rem = num - q * den_safe     # in [0, den)
                     qt = base + q
                     down = den_safe - rem
-                    up = (rem > down) | ((rem == down) & (qt % 2 == 1))
+                    up = (rem > down) | ((rem == down) & ((qt & 1) == 1))
                     return qt + up.astype(jnp.int32)
 
-                cent_r = round_div_plus(global_row, sdr, wsum)
-                cent_c = round_div_plus(c_io, sdc, wsum)
+                cent_r = round_div_plus(global_row, sdr, wsum, 0, K)
+                cent_c = round_div_plus(c_io, sdc, wsum, -K, K)
 
             # rasterize SEPARABLY: pixel p is a centroid iff some root within
             # the box has its centroid at p.  Roots sit above-or-level with

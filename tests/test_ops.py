@@ -253,6 +253,24 @@ def test_bitpack12_pallas_matches_xla():
     assert np.array_equal(w.view(np.uint8).reshape(1, -1), ref)
 
 
+def test_bitunpack12_pallas_matches_xla():
+    """The Pallas 12-bit unpack kernel inverts the pack byte-exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pyrecode_tpu.ops import bitpack
+    from pyrecode_tpu.ops.pallas_bitpack import VALS_STEP, bitunpack12_pallas
+
+    rng = np.random.default_rng(6)
+    v = rng.integers(0, 4096, (2, VALS_STEP)).astype(np.uint16)
+    packed = np.asarray(
+        bitpack.bitpack_values(jnp.asarray(v).astype(jnp.uint32), 12))
+    ref = np.asarray(bitpack.bitunpack_values(jnp.asarray(packed), 12,
+                                              out_dtype=jnp.int32))
+    got = np.asarray(bitunpack12_pallas(jnp.asarray(packed), interpret=True))
+    assert np.array_equal(ref, got)
+    assert np.array_equal(got.astype(np.uint16), v)
+
+
 @pytest.mark.slow  # interpret Pallas builds; hw-gated in verify_hw
 def test_bitmap_positions_pallas():
     """Set-bit position extraction matches flatnonzero at several

@@ -93,7 +93,9 @@ def build_phase_kernel(B, H, W, OUT, RPC, SUB, C1, phase):
         window = vals_ref[0, :, pl.ds(pl.multiple_of(aligned, 128), WIN)]
         window = pltpu.roll(window, WIN - pend, axis=1)
         if phase == "fetch":
-            dense_ref[0] = (rank1 + window[:1, :1]).astype(jnp.uint16)
+            # (1, SUB) -> (S, SUB) is a sublane-only broadcast (a (1,1)
+            # scalar source would need both axes — unimplemented in Mosaic)
+            dense_ref[0] = (rank1 + window[:1, :SUB]).astype(jnp.uint16)
             off_sref[0] = off + chunk_cnt
             ovf_ref[0, 0, 0] |= jnp.int32(ovf1)
             return

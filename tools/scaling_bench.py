@@ -35,7 +35,14 @@ def main():
                         help="force the CPU backend with N virtual devices "
                              "(the terminal's sitecustomize pins the axon TPU "
                              "plugin, so env vars alone cannot switch backends)")
+    parser.add_argument("--tpu-batch", action="store_true",
+                        help="single-chip batch weak-scaling: encode "
+                             "throughput vs frames-per-dispatch on the real "
+                             "chip (the measured half of SCALING.md's story)")
     args = parser.parse_args()
+
+    if args.tpu_batch:
+        return batch_weak_scaling(args)
 
     if args.cpu:
         import os
@@ -90,6 +97,56 @@ def main():
 
     print(json.dumps({"metric": "weak-scaling encode efficiency",
                       "platform": jax.devices()[0].platform,
+                      "results": results}))
+
+
+def batch_weak_scaling(args):
+    """Per-frame encode time vs frames-per-dispatch on ONE chip.
+
+    Flat per-frame time across batch sizes is the measured half of the
+    multi-chip weak-scaling argument (SCALING.md §2): each chip in a mesh
+    runs exactly this kernel on its frame shard with zero cross-chip
+    traffic, so per-chip throughput at batch B equals the B-frame number
+    here and efficiency loss can only come from the gather (§1).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pyrecode_tpu.ops.pallas_encode import encode_l1_pallas
+    from pyrecode_tpu.profiling import delta_scan_time
+
+    size = args.size
+    n_px = size * size
+    out_size = max(1024, 1 << (int(args.density * n_px * 2) - 1).bit_length())
+    thr = jnp.zeros((size, size), jnp.uint16)
+    results = []
+    base = None
+    for B in (1, 2, 4, 8):
+        key = jax.random.key(B)
+        u = jax.random.uniform(key, (8, B, size, size), jnp.float32)
+        vals = jax.random.randint(jax.random.key(B + 100),
+                                  (8, B, size, size), 1, 4096, jnp.int32)
+        pool = jnp.where(u < args.density, vals, 0).astype(jnp.uint16)
+        jax.block_until_ready(pool)
+
+        def step(frames, thr=thr):
+            bm, comp, counts, ovf = encode_l1_pallas(frames, thr, out_size,
+                                                     bucket=0)
+            return (jnp.sum(bm[:, ::997].astype(jnp.int32))
+                    + jnp.sum(counts) + jnp.sum(ovf))
+
+        t = delta_scan_time(step, pool)
+        gbps = B * n_px * 2 / t / 1e9
+        per_frame_ms = t * 1e3 / B
+        if base is None:
+            base = per_frame_ms
+        results.append({"frames_per_dispatch": B,
+                        "GBps": round(gbps, 2),
+                        "ms_per_frame": round(per_frame_ms, 3),
+                        "efficiency_vs_b1": round(base / per_frame_ms, 3)})
+        print(json.dumps(results[-1]), file=sys.stderr)
+    print(json.dumps({"metric": "batch weak-scaling encode (single chip)",
+                      "platform": "tpu", "size": size,
                       "results": results}))
 
 

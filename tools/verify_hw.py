@@ -210,6 +210,10 @@ def main() -> int:
     check("pallas bitpack12 bytes vs XLA", np.array_equal(ref_pk, got_pk))
     check("pallas bitpack12 words vs XLA",
           np.array_equal(got_w.view(np.uint8).reshape(2, -1), ref_pk))
+    got_unp = np.asarray(pallas_bitpack.bitunpack12_pallas(
+        jnp.asarray(ref_pk), interpret=False))
+    check("pallas bitunpack12 vs input values",
+          np.array_equal(got_unp.astype(pv.dtype), pv))
 
     # ---- gap-mode (flags 2|4) bitmap coding: device symbol decode path ----
     from pyrecode_tpu.codecs import rans as _rans
