@@ -1087,3 +1087,144 @@ def rans_decompress_device_batch(streams_in, interpret=None):
                 outs[i] = _reconstruct_bytes(syms_all[k, : h["m"]],
                                              h["xbits"], h["n"], h["adler"])
     return outs
+
+
+def gap_chain_inputs(streams, kind):
+    """Host-side prep (O(tables)) for the fully-device gap read chain.
+
+    ``streams`` — per-frame scheme-12 byte streams, all of the SAME kind:
+    kind="gap" (bitmap as clear-run gaps, flags 2|4) or kind="sym"
+    (12-bit pixel values, flags 2).  Returns the padded device arrays for
+    :func:`decode_l1_gap_device`'s jitted core, or None when any stream is
+    stored / host-coded / uses a non-kernel lane count (caller falls back
+    to :func:`rans_decompress_device_batch` + bitmap decode).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import pallas_rans as prk
+
+    kernel_ways = (prk.W_LANES, prk.ROWS_R * prk.W_LANES)
+    metas = []
+    for st in streams:
+        h = _parse_header(st)
+        if "stored" in h or "sym_bits" not in h:
+            return None
+        if kind == "gap" and not h.get("gap"):
+            return None
+        if kind == "sym" and (h.get("gap") or h["sym_bits"] != 12):
+            return None
+        if h["nways"] not in kernel_ways or h["nways"] != streams_nways(
+                metas, h):
+            return None
+        metas.append(h)
+    B = len(metas)
+    nways = metas[0]["nways"]
+    m_max = max(h["m"] for h in metas)
+    npad = -(-max(m_max, 1) // prk.CH_R) * prk.CH_R
+    bw = -(-max(max(len(h["body"]) for h in metas), 4) // 512) * 512
+    bodies = np.zeros((B, bw), np.uint8)
+    states = np.zeros((B, nways), np.int64)
+    tabs = np.zeros((B, 96, 128), np.float32)
+    ms = np.zeros(B, np.int32)
+    ns = np.zeros(B, np.int64)
+    for k, h in enumerate(metas):
+        rev = np.frombuffer(h["body"], np.uint8)[::-1]
+        bodies[k, : rev.size] = rev
+        states[k] = h["states"].astype(np.int64)
+        tabs[k] = prk.decode_tables_radix(h["freq"])
+        ms[k] = h["m"]
+        ns[k] = h["n"]
+    return (jnp.asarray(bodies), jnp.asarray(states.astype(np.int32)),
+            jnp.asarray(tabs), ms, npad, nways // prk.W_LANES, ns)
+
+
+def streams_nways(metas, h):
+    """All streams of a batch must share one lane count (kernel batch)."""
+    return metas[0]["nways"] if metas else h["nways"]
+
+
+def gap_chain_dense(bm_in, pk_in, height, width, bucket=0, interpret=False):
+    """Jitted core of the fully-device scheme-12 gap read chain.
+
+    gaps -> positions (device cumsum), values -> rank-aligned ints, then
+    the positions-driven Pallas decode — the BITMAP NEVER MATERIALIZES
+    (compare the reference's per-bit C loop, reader.h:10-68, and our own
+    byte-mode path which reconstructs bitmap bytes on host).  Returns
+    (dense (B, H, W) u16 device array, overflow flags (B,) bool).
+    """
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pallas_decode, pallas_rans as prk
+
+    bod_bm, st_bm, tab_bm, m_bm, npad_bm, grp_bm, _ = bm_in
+    bod_pk, st_pk, tab_pk, m_pk, npad_pk, grp_pk, _ = pk_in
+
+    @_ft.partial(jax.jit, static_argnames=("npad_b", "npad_p", "grp_b",
+                                           "grp_p", "H", "W", "bucket",
+                                           "interpret"))
+    def chain(b_bm, s_bm, t_bm, mb, b_pk, s_pk, t_pk, mp, npad_b, npad_p,
+              grp_b, grp_p, H, W, bucket, interpret):
+        gaps = prk.rans_decode_pallas(b_bm, s_bm, jnp.asarray(mb), npad_b,
+                                      t_bm, interpret=interpret, groups=grp_b)
+        vals = prk.rans_decode_pallas(b_pk, s_pk, jnp.asarray(mp), npad_p,
+                                      t_pk, interpret=interpret, groups=grp_p)
+        mbj = jnp.asarray(mb)[:, None]
+        io_b = jnp.arange(gaps.shape[1], dtype=jnp.int32)[None, :]
+        adv = jnp.where(io_b < mbj, gaps + 1, 0)
+        pos = jnp.cumsum(adv, axis=1, dtype=jnp.int32) - 1
+        OUT = -(-max(gaps.shape[1], vals.shape[1]) // 128) * 128
+        pos = jnp.pad(pos, ((0, 0), (0, OUT - pos.shape[1])))
+        valsp = jnp.pad(vals.astype(jnp.int32),
+                        ((0, 0), (0, OUT - vals.shape[1])))
+        return pallas_decode.decode_l1_from_positions(
+            pos, valsp, jnp.asarray(mb), H, W, bucket=bucket,
+            interpret=interpret)
+
+    return chain(bod_bm, st_bm, tab_bm, m_bm, bod_pk, st_pk, tab_pk, m_pk,
+                 npad_bm, npad_pk, grp_bm, grp_pk, height, width, bucket,
+                 bool(interpret))
+
+
+def decode_l1_gap_device(bm_streams, pk_streams, height, width,
+                         interpret=None):
+    """Fully-device scheme-12 L1 read chain (gap bitmap + symbol pixvals).
+
+    Returns dense (B, H, W) uint16 numpy frames, or None when the stream
+    mix is not kernel-decodable (stored blocks, host lane counts, byte
+    mode — caller falls back to the byte-reconstruction path).  Capacity
+    overflow escalates through the posdecode bucket ladder.
+
+    Integrity note: this chain never materializes the bitmap bytes, so the
+    stream's adler32 (computed over bytes) is NOT checked here — the
+    byte-mode paths check it; kernel-vs-oracle byte identity is enforced
+    by tools/verify_hw.py.
+    """
+    import jax
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if len(bm_streams) != len(pk_streams) or not bm_streams:
+        return None
+    bm_in = gap_chain_inputs(bm_streams, "gap")
+    pk_in = gap_chain_inputs(pk_streams, "sym")
+    if bm_in is None or pk_in is None:
+        return None
+    # gap symbol counts = set-bit counts; the value count must match.  This
+    # also catches ESCAPE symbols (a >= 4095-bit clear run codes one extra
+    # gap symbol with no value symbol, making m_bm > m_pk) — the chain's
+    # cumsum would misplace every later position, so such frames fall back
+    # to the byte-reconstruction path.
+    if not np.array_equal(bm_in[3], pk_in[3]):
+        return None
+    from ..ops import pallas_encode
+
+    for bucket in range(len(pallas_encode.CAPACITY_BUCKETS)):
+        dense, ovf = gap_chain_dense(bm_in, pk_in, height, width,
+                                     bucket=bucket,
+                                     interpret=bool(interpret))
+        if not bool(np.asarray(ovf).any()):
+            return np.asarray(dense).astype(np.uint16)
+    return None

@@ -355,6 +355,20 @@ class ReCoDeReader:
                 dev12 = jax.devices()[0].platform == "tpu"
             except Exception:
                 dev12 = False
+        if dev12 and level == 1:
+            # fully-device gap chain: gap-mode bitmap stream decodes to
+            # set-bit POSITIONS and symbol-mode pixvals to values; the
+            # dense frames come straight from the positions-driven Pallas
+            # decode — no bitmap bytes, no host reconstruction at all
+            # (reference: one scalar C loop per frame, reader.h:10-68)
+            from .codecs import rans as _rans
+
+            if all(pv is not None for _, pv in raw_blobs):
+                dense = _rans.decode_l1_gap_device(
+                    [bm for bm, _ in raw_blobs],
+                    [pv for _, pv in raw_blobs], ny, nx)
+                if dense is not None:
+                    return dense.astype(self._numpy_dtype)
         if dev12:
             from .codecs import rans as _rans
 

@@ -36,6 +36,19 @@ def test_l2_matches_oracle(statistic):
     _check_l2(frames, np.zeros(frames.shape[1:], np.uint16), bitmap, stats, counts, statistic)
 
 
+def test_l2_nonzero_threshold_quick():
+    """Nonzero per-pixel threshold, no escalation (K=3 handles 1%)."""
+    frames = _frames(seed=5, density=0.01)
+    rng = np.random.default_rng(6)
+    thr = rng.integers(0, 64, size=frames.shape[1:]).astype(np.uint16)
+    bitmap, stats, counts, ovf = encode_l2l4_pallas(
+        frames, thr, 2, out_size=1024, bit_depth=12, statistic="sum",
+        halo_bucket=0, interpret=True)
+    assert not np.asarray(ovf).any()
+    _check_l2(frames, thr, bitmap, stats, counts, "sum")
+
+
+@pytest.mark.slow  # K=8 interpret build ~30 s; hw gate covers L2 at 5%
 def test_l2_nonzero_threshold():
     # 5% density grows accidental chains past the first halo bucket (K=3):
     # escalate exactly like the production loop (ops/encode.py) does
@@ -73,6 +86,7 @@ def test_l4_matches_oracle(scheme):
         assert np.asarray(bitmap)[i].tobytes() == enc["packed_binary_map"], (scheme, i)
 
 
+@pytest.mark.slow  # ~30 s interpret; line-puddle test covers flag+fallback
 def test_big_puddle_overflows_small_halo():
     frames = np.zeros((1, 32, 128), np.uint16)
     frames[0, 4:28, 20:25] = 100  # 24 rows tall: geodesic radius > 8
@@ -89,7 +103,10 @@ def test_big_puddle_overflows_small_halo():
     assert np.asarray(res.packed)[0][:plen].tobytes() == enc["packed_pixvals"]
 
 
-@pytest.mark.parametrize("length", [6, 12])
+@pytest.mark.parametrize("length", [
+    pytest.param(6, marks=pytest.mark.slow),   # same kernel build as 12;
+    12,                                        # one length in default tier
+])
 @pytest.mark.parametrize("lvl,stat,scheme", [
     # the overflow flag is computed BEFORE the mode-specific stats, so one
     # L2 and one L4 mode cover the semantics; the other modes only re-pay

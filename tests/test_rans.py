@@ -524,3 +524,83 @@ def test_gap_device_batch_decode():
     got = rans.rans_decompress_device_batch([stream], interpret=True)
     assert got[0] == bm
     assert rans.rans_decompress_device(stream, interpret=True) == bm
+
+
+@pytest.mark.slow  # interpret Pallas builds for 4 kernels; hw-gated path
+def test_decode_l1_gap_device_full_chain():
+    """The fully-device gap read chain (gap bitmap stream + symbol pixval
+    stream -> positions-driven dense decode, NO bitmap materialization)
+    reproduces the source frames."""
+    import jax.numpy as jnp
+
+    from pyrecode_tpu import oracle
+    from pyrecode_tpu.codecs import rans
+
+    H, W, B = 128, 512, 2
+    frames = oracle.synthetic_frames(B, H, W, 0.03, 12, "peaked", rng=3)
+    thr = np.zeros((H, W), np.uint16)
+    bms, pks, plens = [], [], []
+    for i in range(B):
+        red = oracle.reduce_frame(frames[i], thr, 1, 12)
+        bms.append(np.frombuffer(red["packed_binary_map"], np.uint8))
+        pks.append(np.frombuffer(red["packed_pixvals"], np.uint8))
+        plens.append(len(red["packed_pixvals"]))
+    bm_a = np.stack(bms)
+    NP_ = -(-max(plens) // 3072) * 3072
+    pk_a = np.zeros((B, NP_), np.uint8)
+    for i in range(B):
+        pk_a[i, : plens[i]] = pks[i]
+
+    # kernel-lane (W_LANES) streams via the numpy coder: the device batch
+    # encoders only engage at m >= 65536, far too slow for interpret tests
+    import zlib
+
+    from pyrecode_tpu.ops import pallas_rans as prk
+
+    def gap_stream(bm_bytes):
+        syms = rans.bitmap_to_gaps(np.frombuffer(bm_bytes, np.uint8))
+        counts = np.bincount(syms, minlength=1 << rans.GAP_BITS)
+        freq = rans.quantize_freqs(counts).astype(np.int64)
+        body, states = rans.rans_encode_interleaved(syms, freq, prk.W_LANES)
+        sp = np.flatnonzero(counts > 0)
+        return rans._finish_stream_symbols(
+            len(bm_bytes), syms.size, prk.W_LANES, rans.GAP_BITS, sp,
+            freq[sp], states, body, zlib.adler32(bm_bytes), gap=True)
+
+    def sym_stream(pk_bytes, nvals):
+        import jax.numpy as _jnp
+
+        from pyrecode_tpu.ops import bitpack
+
+        pk_pad = np.frombuffer(pk_bytes, np.uint8)
+        if pk_pad.size % 3:
+            pk_pad = np.concatenate(
+                [pk_pad, np.zeros(3 - pk_pad.size % 3, np.uint8)])
+        vals = np.asarray(bitpack.bitunpack_values(
+            _jnp.asarray(pk_pad)[None], 12,
+            out_dtype=_jnp.int32))[0][:nvals].astype(np.int64)
+        counts = np.bincount(vals, minlength=1 << 12)
+        freq = rans.quantize_freqs(counts).astype(np.int64)
+        body, states = rans.rans_encode_interleaved(vals, freq, prk.W_LANES)
+        sp = np.flatnonzero(counts > 0)
+        return rans._finish_stream_symbols(
+            len(pk_bytes), vals.size, prk.W_LANES, 12, sp, freq[sp],
+            states, body, zlib.adler32(pk_bytes))
+
+    nvals = [(frames[i] > 0).sum() for i in range(B)]
+    bm_streams = [gap_stream(bms[i].tobytes()) for i in range(B)]
+    pk_streams = [sym_stream(pks[i].tobytes(), int(nvals[i]))
+                  for i in range(B)]
+    assert all(s[3] == 6 for s in bm_streams), "fixture must be gap mode"
+    assert all(s[3] == 2 for s in pk_streams), "fixture must be symbol mode"
+
+    dense = rans.decode_l1_gap_device(bm_streams, pk_streams, H, W,
+                                      interpret=True)
+    assert dense is not None, "gap chain unexpectedly fell back"
+    assert np.array_equal(dense, frames)
+
+    # byte-mode / host-lane streams must fall back (None), not crash
+    host_streams = [rans.compress_symbols(bm_a[i].tobytes(), 8)
+                    for i in range(B)]
+    assert rans.decode_l1_gap_device(host_streams, pk_streams, H, W,
+                                     interpret=True) is None

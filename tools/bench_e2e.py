@@ -104,19 +104,62 @@ def run_scheme12(args, frames_all, thr, bucket, out_size, bm0, comp0, cnt0,
     out_bound_bm = 2 * npad_bm + 4096
     out_bound_pk = 2 * npad_pk + 4096
 
+    # GAP-mode bitmap stream (writer default for scheme 12): set-bit
+    # positions -> first-order gaps -> 12-bit-symbol rANS — one symbol per
+    # SET BIT instead of one per byte (~12.5x fewer at 1% occupancy), so
+    # the serial rANS chain almost vanishes from the bitmap stream's cost.
+    gap_mode = getattr(args, "bm_mode", "gap") == "gap"
+    if gap_mode:
+        from pyrecode_tpu.ops import pallas_gaps as pgk
+
+        npad_g = -(-out_size // prk.CH_R) * prk.CH_R
+        out_bound_g = 2 * npad_g + 4096
+        # representative gap tables + positions bucket from frame 0
+        for pbucket in range(len(pallas_encode.CAPACITY_BUCKETS)):
+            pos0, pcnt0, povf0 = pgk.bitmap_positions_pallas(
+                bm0[:1], out_size, bucket=pbucket, interpret=False)
+            if not bool(np.asarray(povf0).any()):
+                break
+        io_g = jnp.arange(out_size, dtype=jnp.int32)[None, :]
+        prev0 = jnp.concatenate(
+            [jnp.full((1, 1), -1, jnp.int32), pos0[:, :-1]], axis=1)
+        gaps0 = jnp.where(io_g < pcnt0[:, None], pos0 - prev0 - 1, 0)
+        gaps0 = jnp.minimum(gaps0, 4094)
+        gaps0p = jnp.pad(gaps0, ((0, 0), (0, npad_g - out_size)))
+        hist_g0 = np.asarray(prk.hist_symbols_pallas(
+            gaps0p, np.asarray(pcnt0, np.int32), interpret=False))[0]
+        freq_g = rans.quantize_freqs(hist_g0.astype(np.int64))
+        elut_g = jnp.asarray(np.broadcast_to(
+            prk.encode_luts_symbols(freq_g), (B, 128, 64)).copy())
+
     def device_batch(frames):
         bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
             frames, thr, out_size=out_size, bucket=bucket, interpret=False)
         packed = bitpack.bitpack_values_device(comp, 12)
         plens = ((counts * 12 + 7) // 8).astype(jnp.int32)
-        bm_vals = jnp.pad(bitmap.astype(jnp.int32),
-                          ((0, 0), (0, npad_bm - n_bm)))
         pk_vals = jnp.pad(comp.astype(jnp.int32),
                           ((0, 0), (0, npad_pk - out_size)))
-        hist_bm = prk.hist_symbols_pallas(bm_vals, m_bm, interpret=False)
-        body_bm, st_bm, cnt_bm = prk.rans_encode_symbols_pallas(
-            bm_vals, elut_bm, m_bm, out_bound_bm, interpret=False,
-            groups=g_bm)
+        if gap_mode:
+            pos, pcnt, povf = pgk.bitmap_positions_pallas(
+                bitmap, out_size, bucket=pbucket, interpret=False)
+            prev = jnp.concatenate(
+                [jnp.full((B, 1), -1, jnp.int32), pos[:, :-1]], axis=1)
+            gaps = jnp.where(io_g < pcnt[:, None], pos - prev - 1, 0)
+            gaps = jnp.minimum(gaps, 4094)
+            bm_vals = jnp.pad(gaps, ((0, 0), (0, npad_g - out_size)))
+            hist_bm = prk.hist_symbols_pallas(bm_vals, pcnt,
+                                              interpret=False)
+            body_bm, st_bm, cnt_bm = prk.rans_encode_symbols_pallas(
+                bm_vals, elut_g, pcnt, out_bound_g, interpret=False,
+                groups=1)
+        else:
+            bm_vals = jnp.pad(bitmap.astype(jnp.int32),
+                              ((0, 0), (0, npad_bm - n_bm)))
+            hist_bm = prk.hist_symbols_pallas(bm_vals, m_bm,
+                                              interpret=False)
+            body_bm, st_bm, cnt_bm = prk.rans_encode_symbols_pallas(
+                bm_vals, elut_bm, m_bm, out_bound_bm, interpret=False,
+                groups=g_bm)
         hist_pk = prk.hist_symbols_pallas(pk_vals, counts, interpret=False)
         body_pk, st_pk, cnt_pk = prk.rans_encode_symbols_pallas(
             pk_vals, elut_pk, counts, out_bound_pk, interpret=False,
@@ -168,6 +211,8 @@ def run_scheme12(args, frames_all, thr, bucket, out_size, bm0, comp0, cnt0,
     per_frame = dt_dev / B + dt_host
     total_gbps = (n_px * 2) / per_frame / 1e9
     suffix = " realistic" if args.dist == "peaked" else ""
+    if gap_mode:
+        suffix += " gap-bm"
     print(f'{{"metric": "end-to-end write (relay-independent) {size}^2'
           f'{suffix} scheme12", "value": {total_gbps:.2f}, "unit": "GB/s"}}')
 
@@ -204,6 +249,11 @@ def main():
                          "= full-range (incompressible pixvals, stored path)")
     ap.add_argument("--scale", type=float, default=6.0,
                     help="exponential scale for --dist peaked")
+    ap.add_argument("--bm-mode", choices=("gap", "byte"), default="gap",
+                    help="scheme-12 bitmap stream coding: 'gap' = set-bit "
+                         "gaps as 12-bit symbols (writer default, "
+                         "~1/occupancy fewer rANS symbols), 'byte' = bitmap "
+                         "bytes as 8-bit symbols")
     ap.add_argument("--scheme", type=int, choices=(1, 12), default=1,
                     help="entropy stage: 1 = device dynamic-Huffman deflate "
                          "(zlib-compatible), 12 = device symbol-mode rANS "

@@ -373,28 +373,15 @@ def main_gap(args):
           f"{len(streams[0][1])} B (flags {streams[0][1][3]})")
     assert all(s[0][3] == 6 for s in streams), "fixture not gap mode"
 
-    def batch_inputs(kind):
-        metas = [rans._parse_header(streams[i][kind]) for i in range(B)]
-        nways = metas[0]["nways"]
-        assert all(h["nways"] == nways for h in metas)
-        m_max = max(h["m"] for h in metas)
-        npad = -(-max(m_max, 1) // prk.CH_R) * prk.CH_R
-        bw = -(-max(max(len(h["body"]) for h in metas), 4) // 512) * 512
-        bodies = np.zeros((B, bw), np.uint8)
-        states = np.zeros((B, nways), np.int32)
-        tabs = np.zeros((B, 96, 128), np.float32)
-        ms = np.zeros(B, np.int32)
-        for i, h in enumerate(metas):
-            body_rev = np.frombuffer(h["body"], np.uint8)[::-1]
-            bodies[i, : body_rev.size] = body_rev
-            states[i] = h["states"].astype(np.int64).astype(np.int32)
-            tabs[i] = prk.decode_tables_radix(h["freq"])
-            ms[i] = h["m"]
-        return jnp.asarray(bodies), jnp.asarray(states), jnp.asarray(tabs), \
-            ms, npad, nways // prk.W_LANES
+    # host-side prep via the LIBRARY's gap-chain entry (the same code the
+    # reader's read_frames_dense uses) so this bench measures the real path
+    bm_in = rans.gap_chain_inputs([s[0] for s in streams], "gap")
+    pk_in = rans.gap_chain_inputs([s[1] for s in streams], "sym")
+    assert bm_in is not None and pk_in is not None, \
+        "fixture not kernel-decodable"
 
-    bod_bm, st_bm, tab_bm, m_bm, npad_bm, grp_bm = batch_inputs(0)
-    bod_pk, st_pk, tab_pk, m_pk, npad_pk, grp_pk = batch_inputs(1)
+    bod_bm, st_bm, tab_bm, m_bm, npad_bm, grp_bm, _ = bm_in
+    bod_pk, st_pk, tab_pk, m_pk, npad_pk, grp_pk, _ = pk_in
     print(f"gap symbols/frame: {m_bm.tolist()} (byte mode would code "
           f"{len(bitmaps[0])}); interleave groups: bm {grp_bm}, pk {grp_pk}")
 
@@ -420,42 +407,25 @@ def main_gap(args):
                                                 interpret=False)[0]
     assert dec_bm0 == bitmaps[0].tobytes(), "device gap decode mismatch"
 
-    # ---- positions from gap symbols (XLA, m-scale) + posdecode kernel ----
-    @functools.partial(jax.jit, static_argnames=("npad", "groups", "H", "W",
-                                                 "bucket"))
-    def full_chain(b_bm, s_bm, t_bm, mb, b_pk, s_pk, t_pk, mp, npad,
-                   groups, H, W, bucket):
-        gaps = prk.rans_decode_pallas(b_bm, s_bm, jnp.asarray(mb), npad[0],
-                                      t_bm, interpret=False,
-                                      groups=groups[0])
-        vals = prk.rans_decode_pallas(b_pk, s_pk, jnp.asarray(mp), npad[1],
-                                      t_pk, interpret=False,
-                                      groups=groups[1])
-        mbj = jnp.asarray(mb)[:, None]
-        io_b = jnp.arange(gaps.shape[1], dtype=jnp.int32)[None, :]
-        adv = jnp.where(io_b < mbj, gaps + 1, 0)
-        pos = jnp.cumsum(adv, axis=1, dtype=jnp.int32) - 1
-        OUT = -(-gaps.shape[1] // 128) * 128
-        pos = jnp.pad(pos, ((0, 0), (0, OUT - pos.shape[1])))
-        valsp = jnp.pad(vals.astype(jnp.int32),
-                        ((0, 0), (0, OUT - vals.shape[1])))
-        dense, ovf = pallas_decode.decode_l1_from_positions(
-            pos, valsp, jnp.asarray(mb), H, W, bucket=bucket,
-            interpret=False)
-        return dense, ovf
-
-    dense0, ovf0 = full_chain(bod_bm, st_bm, tab_bm, m_bm, bod_pk, st_pk,
-                              tab_pk, m_pk, (npad_bm, npad_pk),
-                              (grp_bm, grp_pk), size, size, 0)
+    # ---- full chain: the library's jitted core (codecs/rans.gap_chain_dense:
+    # rANS gaps + vals -> positions cumsum -> posdecode kernel) ----
+    dense0, ovf0 = rans.gap_chain_dense(bm_in, pk_in, size, size, bucket=0,
+                                        interpret=False)
     assert not bool(np.asarray(ovf0).any()), "posdecode capacity overflow"
     assert np.array_equal(np.asarray(dense0).astype(np.uint16), frames), \
         "gap chain decoded frames differ from source"
+    # and the top-level reader entry end-to-end (escalation ladder included)
+    dense_lib = rans.decode_l1_gap_device([s[0] for s in streams],
+                                          [s[1] for s in streams],
+                                          size, size, interpret=False)
+    assert dense_lib is not None and np.array_equal(dense_lib, frames)
     print("full gap chain (syms -> positions -> dense) verified vs source")
 
     def chain_t(b_bm):
-        dense, ovf = full_chain(b_bm, st_bm, tab_bm, m_bm, bod_pk, st_pk,
-                                tab_pk, m_pk, (npad_bm, npad_pk),
-                                (grp_bm, grp_pk), size, size, 0)
+        dense, ovf = rans.gap_chain_dense(
+            (b_bm, st_bm, tab_bm, m_bm, npad_bm, grp_bm, None),
+            (bod_pk, st_pk, tab_pk, m_pk, npad_pk, grp_pk, None),
+            size, size, bucket=0, interpret=False)
         return (jnp.sum(dense[:, ::997, ::997].astype(jnp.int32))
                 + jnp.sum(ovf.astype(jnp.int32))).astype(jnp.float32)
 
