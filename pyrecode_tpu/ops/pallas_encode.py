@@ -225,12 +225,20 @@ def _compact_chunk(m2, r2, S, SUB, C1, C2, lti=None):
                    precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
     chunk_cnt = jnp.sum(cnt1)
 
-    # ragged concat of the S runs.  A flat loop is S rolls of the full
-    # (1, C2) window — the kernel's dominant cost for large S.  Hierarchical
-    # variant: concat groups of g = sqrt(S) sub-rows inside narrow (1, g*C1)
-    # buffers (runs can't overflow them: group content <= g*C1), then concat
-    # the S/g group runs into (1, C2) — total roll traffic drops from
-    # S*C2 lanes to ~2*sqrt(S)*C2.
+    acc = _concat_runs(c1, off1, S, C1, C2)
+    return acc, chunk_cnt, ovf1
+
+
+def _concat_runs(c1, off1, S, C1, C2):
+    """Ragged concat of the S per-sub-row runs into one (1, C2) window.
+
+    A flat loop is S rolls of the full (1, C2) window — the kernel's
+    dominant cost for large S.  Hierarchical variant: concat groups of
+    g = sqrt(S) sub-rows inside narrow (1, g*C1) buffers (runs can't
+    overflow them: group content <= g*C1), then concat the S/g group runs
+    into (1, C2) — total roll traffic drops from S*C2 lanes to
+    ~2*sqrt(S)*C2.
+    """
     g = 1
     while g * g < S:
         g *= 2
@@ -259,14 +267,58 @@ def _compact_chunk(m2, r2, S, SUB, C1, C2, lti=None):
         c1_pad = jnp.pad(c1, ((0, 0), (0, C2 - C1)))
         for s in range(S):
             acc = acc + pltpu.roll(c1_pad[s:s + 1, :], off1[s, 0], axis=1)
-    return acc, chunk_cnt, ovf1
+    return acc
 
 
-def _store_window(comp_ref, tail_ref, off_sref, acc, chunk_cnt, OUT, WIN, C2):
+def _compact_chunk_dual(m2, r2, S, SUB, C1, C2, lti=None):
+    """_compact_chunk that ALSO emits each value's chunk-relative position.
+
+    Mask/cumsum/offsets are shared; the extra work is one more paired
+    16-bit selection whose payload is the LANE index (9 bits — a first
+    draft selected the full 24-bit global position through an unpaired
+    wide select, whose per-rank row sums cost as much as the standalone
+    bitmap->positions kernel).  Slot (s, j) then reconstructs its
+    chunk-relative position as s*SUB + lane, with dead slots re-zeroed so
+    the ragged concat's overlapping rolls stay additive-safe; the caller
+    adds the chunk base.  Returns (acc_vals, acc_pos, chunk_cnt, overflow).
+    """
+    if lti is not None and SUB == lti.shape[0]:
+        csum = _rank_cumsum_mxu(m2, S, SUB, lti)
+    else:
+        csum = _cumsum_lanes(m2, SUB)
+    rank1 = csum - 1
+    cnt1 = csum[:, SUB - 1:SUB]
+    ovf1 = jnp.max(cnt1) > C1
+
+    lane_io = jax.lax.broadcasted_iota(jnp.int32, (S, SUB), 1)
+    c1_vals = _SELECT(m2, r2, rank1, S, SUB, C1)
+    c1_lane = _SELECT(m2, lane_io, rank1, S, SUB, C1)
+    s_io = jax.lax.broadcasted_iota(jnp.int32, (S, C1), 0)
+    j_io = jax.lax.broadcasted_iota(jnp.int32, (S, C1), 1)
+    c1_pos = jnp.where(j_io < cnt1, s_io * SUB + c1_lane, 0)
+
+    r_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    c_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    ltri = (r_io > c_io).astype(jnp.float32)
+    off1 = jnp.dot(ltri, cnt1.astype(jnp.float32),
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    chunk_cnt = jnp.sum(cnt1)
+
+    acc_vals = _concat_runs(c1_vals, off1, S, C1, C2)
+    acc_pos = _concat_runs(c1_pos, off1, S, C1, C2)
+    return acc_vals, acc_pos, chunk_cnt, ovf1
+
+
+def _store_window(comp_ref, tail_ref, off_sref, acc, chunk_cnt, OUT, WIN, C2,
+                  advance=True):
     """Append ``chunk_cnt`` values from acc (1, C2) at the running offset.
 
     128-aligned full-window store with a VMEM tail carry (see module
     docstring); shared by the L1 and L2 kernels.  Returns the overflow bool.
+    ``advance=False`` leaves ``off_sref`` untouched — used by the fused
+    positions stream, which advances in lockstep with the value stream (the
+    value store, called second, does the single offset update).
     """
     off = jnp.minimum(off_sref[0], OUT)
     pend = jax.lax.rem(off, 128)
@@ -283,7 +335,8 @@ def _store_window(comp_ref, tail_ref, off_sref, acc, chunk_cnt, OUT, WIN, C2):
     shift_back = pend + chunk_cnt - new_pend   # multiple of 128
     leftover = pltpu.roll(combined, WIN - shift_back, axis=1)
     tail_ref[...] = jnp.where(w_iota < new_pend, leftover, 0)
-    off_sref[0] = new_off
+    if advance:
+        off_sref[0] = new_off
     return new_off > OUT
 
 
@@ -300,7 +353,7 @@ def make_pack_matrix(sub: int):
 
 @functools.lru_cache(maxsize=64)
 def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
-                     spf_steps=0, align=128):
+                     spf_steps=0, align=128, with_positions=False):
     """Build (and cache) the pallas_call for one static configuration.
 
     ``spf_steps > 0`` enables *stacked subframes*: H is ``n_sub`` frames of
@@ -317,9 +370,16 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
     t_steps = spf_steps if spf_steps else n_chunks
     C2 = S * C1          # sum of sub-row capacities: level 2 cannot overflow
     WIN = C2 + 128
+    assert not (with_positions and spf_steps), \
+        "fused positions not supported on the stacked-subframe path"
+    assert not (with_positions and not with_values)
 
     def kernel(x_ref, t_ref, pack_ref, lti_ref, bitmap_ref, comp_ref,
-               count_ref, ovf_ref, off_sref, tail_ref):
+               count_ref, ovf_ref, *rest):
+        if with_positions:
+            pos_ref, off_sref, tail_ref, tail_pos_ref = rest
+        else:
+            off_sref, tail_ref = rest
         h = pl.program_id(1)
 
         @pl.when(h == 0)
@@ -328,6 +388,9 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
             ovf_ref[0, 0, 0] = 0
             comp_ref[...] = jnp.zeros_like(comp_ref)
             tail_ref[...] = jnp.zeros_like(tail_ref)
+            if with_positions:
+                pos_ref[...] = jnp.zeros_like(pos_ref)
+                tail_pos_ref[...] = jnp.zeros_like(tail_pos_ref)
 
         if spf_steps and with_values:
             @pl.when((h > 0) & (h % spf_steps == 0))
@@ -366,8 +429,20 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
         # ---- compact foreground residuals + append at the running offset ----
         m2 = mask.astype(jnp.int32)
         r2 = jnp.where(mask, x - t, 0)
-        acc, chunk_cnt, ovf1 = _compact_chunk(m2, r2, S, SUB, C1, C2,
-                                              lti=lti_ref[...])
+        if with_positions:
+            # chunk-relative positions from the dual compaction; the global
+            # pixel index is h*RPC*W + s*SUB + l (row-major preserved by
+            # the (S, SUB) view) — the base is added here, masked to the
+            # live prefix so dead window lanes stay zero
+            acc, acc_pos, chunk_cnt, ovf1 = _compact_chunk_dual(
+                m2, r2, S, SUB, C1, C2, lti=lti_ref[...])
+            wio = jax.lax.broadcasted_iota(jnp.int32, (1, C2), 1)
+            acc_pos = acc_pos + jnp.where(wio < chunk_cnt, h * (RPC * W), 0)
+            _store_window(pos_ref, tail_pos_ref, off_sref, acc_pos,
+                          chunk_cnt, OUT, WIN, C2, advance=False)
+        else:
+            acc, chunk_cnt, ovf1 = _compact_chunk(m2, r2, S, SUB, C1, C2,
+                                                  lti=lti_ref[...])
         ovf_store = _store_window(comp_ref, tail_ref, off_sref, acc, chunk_cnt,
                                   OUT, WIN, C2)
         ovf_ref[0, 0, 0] |= jnp.int32(ovf1 | ovf_store)
@@ -379,6 +454,25 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
     pack_mat = make_pack_matrix(SUB)
     lti_mat = make_lti_matrix(SUB)
 
+    out_specs = [
+        pl.BlockSpec((1, S, SUB // 8), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, OUT + WIN), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, H * W // SUB, SUB // 8), jnp.uint8),
+        jax.ShapeDtypeStruct((B, 1, OUT + WIN), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+    ]
+    scratch = [pltpu.SMEM((1,), jnp.int32), pltpu.VMEM((1, WIN), jnp.int32)]
+    if with_positions:
+        out_specs.append(pl.BlockSpec((1, 1, OUT + WIN), lambda b, h: (b, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, 1, OUT + WIN), jnp.int32))
+        scratch.append(pltpu.VMEM((1, WIN), jnp.int32))
+
     call = pl.pallas_call(
         kernel,
         grid=(B, n_chunks),
@@ -389,20 +483,9 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
             pl.BlockSpec((SUB, SUB // 8), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, SUB), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, S, SUB // 8), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, OUT + WIN), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H * W // SUB, SUB // 8), jnp.uint8),
-            jax.ShapeDtypeStruct((B, 1, OUT + WIN), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
-                        pltpu.VMEM((1, WIN), jnp.int32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=bool(interpret),
     )
     return call, pack_mat, lti_mat
@@ -444,38 +527,58 @@ def _choose_rpc(height: int, width: int, out_size: int = 0) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "c1", "with_values",
-                                              "interpret", "n_sub", "align"))
+                                              "interpret", "n_sub", "align",
+                                              "with_positions"))
 def _encode_call(frames, threshold, out_size, c1, with_values, interpret,
-                 n_sub=1, align=128):
+                 n_sub=1, align=128, with_positions=False):
     B, H, W = frames.shape
     rpc = _choose_rpc(H // n_sub, W, out_size)
     call, pack_mat, lti_mat = _build_l1_kernel(
         B, H, W, out_size, rpc, _choose_sub(W), c1, with_values, interpret,
-        spf_steps=(H // n_sub) // rpc if n_sub > 1 else 0, align=align)
-    bitmap, comp, counts, ovf = call(frames, threshold, pack_mat, lti_mat)
+        spf_steps=(H // n_sub) // rpc if n_sub > 1 else 0, align=align,
+        with_positions=with_positions)
+    outs = call(frames, threshold, pack_mat, lti_mat)
+    bitmap, comp, counts, ovf = outs[:4]
     bitmap = bitmap.reshape(B, H * (W // 8))
     comp = comp[:, 0, :out_size]
-    return bitmap, comp, counts[:, 0, 0], ovf[:, 0, 0] != 0
+    ret = (bitmap, comp, counts[:, 0, 0], ovf[:, 0, 0] != 0)
+    if with_positions:
+        ret = ret + (outs[4][:, 0, :out_size],)
+    return ret
 
 
 def encode_l1_pallas(frames, threshold, out_size: int, bucket: int = 0,
-                     with_values: bool = True, interpret: Optional[bool] = None):
+                     with_values: bool = True, interpret: Optional[bool] = None,
+                     with_positions: bool = False):
     """Run the fused kernel at the given capacity bucket.
 
     Returns (bitmap (B, H*W/8) u8, compacted (B, out_size) i32 or None,
     counts (B,) i32, overflow (B,) bool).  ``interpret`` defaults to True off
     TPU so tests run on CPU.
+
+    ``with_positions=True`` appends a 5th output: the GLOBAL pixel index of
+    every compacted value, rank-aligned with the value stream (the scheme-12
+    gap entropy path's input — fused here because the standalone
+    bitmap->positions kernel re-expands the bitmap and re-runs the full
+    selection, 3.5 ms/4-frame batch at 4096^2 on hw).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     c1 = CAPACITY_BUCKETS[bucket]
     out_aligned = max(128, -(-out_size // 128) * 128)
-    bitmap, comp, counts, ovf = _encode_call(
-        frames, threshold, out_aligned, c1, with_values, bool(interpret))
+    outs = _encode_call(
+        frames, threshold, out_aligned, c1, with_values, bool(interpret),
+        with_positions=with_positions)
+    bitmap, comp, counts, ovf = outs[:4]
     if not with_values:
         comp = None
     elif out_aligned != out_size:
         comp = comp[:, :out_size]
+    if with_positions:
+        pos = outs[4]
+        if out_aligned != out_size:
+            pos = pos[:, :out_size]
+        return bitmap, comp, counts, ovf, pos
     return bitmap, comp, counts, ovf
 
 

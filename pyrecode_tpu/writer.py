@@ -530,15 +530,25 @@ class ReCoDeWriter:
                     packed = ops.bitpack_values_device(rows,
                                                 self._bit_depth)
                 return ("pallas", (bitmap, packed, jnp.asarray(counts), ovf,
-                                   bucket))
+                                   bucket, None))
+            # scheme-12 device entropy wants the set-bit positions: the
+            # fused kernel emits them rank-aligned with the values for a
+            # fraction of the standalone bitmap->positions kernel's cost
+            want_pos = (with_values and self._device_entropy
+                        and self._scheme == 12)
             out = pallas_encode.encode_l1_pallas(
                 batch, self._threshold, out_size=bucket if with_values else 128,
-                bucket=self._cap_bucket, with_values=with_values)
-            bitmap, comp, counts_dev, ovf = out
+                bucket=self._cap_bucket, with_values=with_values,
+                with_positions=want_pos)
+            if want_pos:
+                bitmap, comp, counts_dev, ovf, pos = out
+            else:
+                bitmap, comp, counts_dev, ovf = out
+                pos = None
             packed = None
             if with_values:
                 packed = ops.bitpack_values_device(comp, self._bit_depth)
-            return ("pallas", (bitmap, packed, counts_dev, ovf, bucket))
+            return ("pallas", (bitmap, packed, counts_dev, ovf, bucket, pos))
 
         res = ops.encode_frames(
             batch, self._threshold, reduction_level=self._reduction_level,
@@ -559,7 +569,7 @@ class ReCoDeWriter:
         if kind == "pallas":
             from .ops import pallas_encode
 
-            bitmap, packed, counts_dev, ovf, out_size = res
+            bitmap, packed, counts_dev, ovf, out_size, pos = res
             while bool(np.asarray(ovf).any()):
                 # rare: clustered data exceeded this bucket; escalate
                 # persistently and redo the batch synchronously
@@ -569,12 +579,13 @@ class ReCoDeWriter:
                 kind, res = self._dispatch_encode(batch)
                 if kind != "pallas":
                     return self._materialize_streams(batch, (kind, res))
-                bitmap, packed, counts_dev, ovf, out_size = res
+                bitmap, packed, counts_dev, ovf, out_size, pos = res
             counts_np = np.asarray(counts_dev)
             if self._device_entropy:
                 plens = (counts_np.astype(np.int64) * self._bit_depth + 7) // 8
-                recs, t_bm, t_px = self._deflate_on_device(bitmap, packed,
-                                                           plens)
+                recs, t_bm, t_px = self._deflate_on_device(
+                    bitmap, packed, plens, positions=pos,
+                    pos_counts=counts_dev)
                 return ("compressed", (recs, t_bm, t_px))
             bitmaps = np.asarray(bitmap).reshape(batch.shape[0], -1)
             out = []
@@ -608,7 +619,8 @@ class ReCoDeWriter:
                 out.append((bitmaps[i].tobytes(), None))
         return ("raw", out)
 
-    def _deflate_on_device(self, bitmap, packed, plens):
+    def _deflate_on_device(self, bitmap, packed, plens, positions=None,
+                           pos_counts=None):
         """TPU entropy stage: deflate bitmap + packed-value streams on device.
 
         ``plens`` — valid byte count of each frame's packed stream (None
@@ -644,7 +656,9 @@ class ReCoDeWriter:
                     ob = int(cnts.max()) + 4096
                 return rans.rans_gaps_batch_device(streams, lens,
                                                    raw_cb=raw_cb,
-                                                   out_bound=ob)
+                                                   out_bound=ob,
+                                                   positions=positions,
+                                                   pos_counts=pos_counts)
         else:
             def deflate(streams, lens, raw_cb, hint_state):
                 return dyndeflate.deflate_batch_device(

@@ -237,3 +237,33 @@ def test_selection_variants_agree():
         pe._SELECT = orig
         pe._build_l1_kernel.cache_clear()
         pe._encode_call.clear_cache()
+
+
+def test_encode_with_positions_matches_flatnonzero():
+    """with_positions=True appends a rank-aligned global-position stream
+    (the fused scheme-12 gap front end)."""
+    import numpy as np
+
+    from pyrecode_tpu.ops.pallas_encode import encode_l1_pallas
+
+    rng = np.random.default_rng(11)
+    H, W, B = 64, 512, 2
+    frames = (rng.integers(1, 4096, (B, H, W))
+              * (rng.random((B, H, W)) < 0.03)).astype(np.uint16)
+    thr = np.zeros((H, W), np.uint16)
+    bitmap, comp, counts, ovf, pos = encode_l1_pallas(
+        frames, thr, out_size=2048, bucket=0, interpret=True,
+        with_positions=True)
+    assert not np.asarray(ovf).any()
+    for i in range(B):
+        flat = frames[i].reshape(-1)
+        ref = np.flatnonzero(flat)
+        n = int(np.asarray(counts)[i])
+        assert n == ref.size
+        assert np.array_equal(np.asarray(pos)[i, :n], ref), i
+        assert np.array_equal(np.asarray(comp)[i, :n], flat[ref]), i
+    # the plain call is untouched (byte-identical output, 4-tuple)
+    b2, c2, n2, o2 = encode_l1_pallas(frames, thr, out_size=2048, bucket=0,
+                                      interpret=True)
+    assert np.array_equal(np.asarray(b2), np.asarray(bitmap))
+    assert np.array_equal(np.asarray(c2), np.asarray(comp))

@@ -133,15 +133,23 @@ def run_scheme12(args, frames_all, thr, bucket, out_size, bm0, comp0, cnt0,
             prk.encode_luts_symbols(freq_g), (B, 128, 64)).copy())
 
     def device_batch(frames):
-        bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
-            frames, thr, out_size=out_size, bucket=bucket, interpret=False)
+        if gap_mode:
+            # fused: the L1 kernel emits the rank-aligned global-position
+            # stream alongside the values (one shared mask/cumsum/select
+            # pass instead of re-expanding the bitmap in a second kernel)
+            bitmap, comp, counts, ovf, pos = pallas_encode.encode_l1_pallas(
+                frames, thr, out_size=out_size, bucket=bucket,
+                interpret=False, with_positions=True)
+        else:
+            bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
+                frames, thr, out_size=out_size, bucket=bucket,
+                interpret=False)
         packed = bitpack.bitpack_values_device(comp, 12)
         plens = ((counts * 12 + 7) // 8).astype(jnp.int32)
         pk_vals = jnp.pad(comp.astype(jnp.int32),
                           ((0, 0), (0, npad_pk - out_size)))
         if gap_mode:
-            pos, pcnt, povf = pgk.bitmap_positions_pallas(
-                bitmap, out_size, bucket=pbucket, interpret=False)
+            pcnt = counts
             prev = jnp.concatenate(
                 [jnp.full((B, 1), -1, jnp.int32), pos[:, :-1]], axis=1)
             gaps = jnp.where(io_g < pcnt[:, None], pos - prev - 1, 0)
@@ -196,9 +204,8 @@ def run_scheme12(args, frames_all, thr, bucket, out_size, bm0, comp0, cnt0,
              else prk.encode_luts_symbols)(fr)
         for nch, n in ((nch_bm, n_bm), (nch_pk, plen0)):
             a = (1 + int(s1[:nch].sum())) % 65521
-            bacc = n
-            for c in range(nch):
-                bacc += (n - c * 2048) * int(s1[c]) - int(s2[c])
+            base = np.arange(nch, dtype=np.int64) * 2048
+            bacc = n + int(((n - base) * s1[:nch] - s2[:nch]).sum())
             _ = ((bacc % 65521) << 16) | a
         rec = (b"\x00" * 4 + len(cbm12).to_bytes(4, "little")
                + len(cpx12).to_bytes(4, "little")

@@ -134,14 +134,22 @@ def bench_entropy_matrix(size=4096, density=0.01):
         csize = sum(len(c) for c in compressed.values())
         for k, c in compressed.items():
             assert codec.decompress(c) == streams[k]
-        out.append({
+        row = {
             "config": (f"entropy {codecs.scheme_name(scheme)}"
                        f"{'-host' if scheme == 12 else ''} "
                        f"{size}^2 L1 streams"),
             "value": round(raw / 1e9 / dt, 3), "unit": "GB/s",
             "ratio_vs_reduced": round(raw / csize, 3),
             "ratio_vs_raw": round(frame.nbytes / csize, 2),
-        })
+        }
+        # pure-python fallbacks in memcpy/store mode compress NOTHING —
+        # their GB/s rows are capability witnesses, not performance
+        # (comparing "blosc 10 GB/s ratio 1.0" against a real codec row
+        # draws exactly the wrong conclusion; round-3 verdict weak #5)
+        if csize >= raw:
+            row["note"] = ("store-mode fallback (no native lib in this "
+                           "env): capability row only, compresses nothing")
+        out.append(row)
     return out
 
 

@@ -133,6 +133,66 @@ def main():
     print(f"{'sum of stages':40s} {total*1e3:6.3f} ms/batch -> "
           f"{B*n_px*2/total/1e9:.2f} GB/s raw")
 
+    # ---- GAP-mode bitmap stream stages (the writer default) ----
+    from pyrecode_tpu.codecs import rans as _rans
+    from pyrecode_tpu.ops import pallas_gaps as pgk
+
+    npad_g = -(-out_size // prk.CH_R) * prk.CH_R
+    out_bound_g = 2 * npad_g + 4096
+    for pbucket in range(len(pallas_encode.CAPACITY_BUCKETS)):
+        pos0, pcnt0, povf0 = pgk.bitmap_positions_pallas(
+            outs[0], out_size, bucket=pbucket, interpret=False)
+        if not bool(np.asarray(povf0).any()):
+            break
+    io_g = jnp.arange(out_size, dtype=jnp.int32)[None, :]
+
+    def gaps_of(pos, pcnt):
+        prev = jnp.concatenate(
+            [jnp.full((pos.shape[0], 1), -1, jnp.int32), pos[:, :-1]],
+            axis=1)
+        g = jnp.where(io_g < pcnt[:, None], pos - prev - 1, 0)
+        return jnp.minimum(g, 4094)
+
+    gaps0 = gaps_of(pos0, pcnt0)
+    gaps0p = jnp.pad(gaps0, ((0, 0), (0, npad_g - out_size)))
+    hist_g0 = np.asarray(prk.hist_symbols_pallas(
+        gaps0p, np.asarray(pcnt0, np.int32), interpret=False))[0]
+    freq_g = _rans.quantize_freqs(hist_g0.astype(np.int64))
+    elut_g = jnp.asarray(np.broadcast_to(
+        prk.encode_luts_symbols(freq_g), (B, 128, 64)).copy())
+    gaps_s = jnp.stack([gaps0p] * args.scan)
+    pcnt_s = jnp.stack([jnp.asarray(pcnt0, jnp.int32)] * args.scan)
+    jax.block_until_ready((gaps_s, pcnt_s))
+
+    gstages = []
+
+    def gstage(name, fn, *xs):
+        dt = delta_scan_time(fn, *xs)
+        gstages.append((name, dt))
+        print(f"{name:40s} {dt*1e3:6.3f} ms/batch "
+              f"({dt*1e3/B:6.3f} ms/frame)", flush=True)
+
+    print("--- gap-mode bitmap stream (writer default) ---")
+    gstage(f"bitmap->positions (bucket {pbucket})",
+           lambda bm: pgk.bitmap_positions_pallas(
+               bm, out_size, bucket=pbucket, interpret=False)[:2],
+           bitmap_s)
+    gstage("gaps from positions (XLA)",
+           lambda xs: gaps_of(xs[0], xs[1]),
+           (jnp.stack([pos0] * args.scan), pcnt_s))
+    gstage("hist gaps (12-bit syms)",
+           lambda xs: prk.hist_symbols_pallas(xs[0], xs[1],
+                                              interpret=False),
+           (gaps_s, pcnt_s))
+    gstage("rANS encode gaps (groups=1)",
+           lambda xs: prk.rans_encode_symbols_pallas(
+               xs[0], elut_g, xs[1], out_bound_g, interpret=False,
+               groups=1)[2],
+           (gaps_s, pcnt_s))
+    gtotal = sum(dt for _, dt in gstages)
+    print(f"{'gap-mode bm stream total':40s} {gtotal*1e3:6.3f} ms/batch "
+          f"(byte-mode bm stages above: hist+rANS)")
+
 
 if __name__ == "__main__":
     main()

@@ -70,6 +70,29 @@ def main() -> int:
                     ok &= np.asarray(res.packed)[i][: len(pv)].tobytes() == pv
             check(f"encode L{level} dens={dens} vs oracle", ok)
 
+    # ---- fused positions output (scheme-12 gap entropy front end) ----
+    from pyrecode_tpu.ops.pallas_encode import encode_l1_pallas
+
+    pfr = np.where(rng.random((2, 512, 512)) < 0.03,
+                   rng.integers(1, 4096, (2, 512, 512)), 0).astype(np.uint16)
+    pthr = np.zeros((512, 512), np.uint16)
+    pb, pc, pn, po, ppos = encode_l1_pallas(
+        jnp.asarray(pfr), jnp.asarray(pthr), out_size=1 << 14, bucket=0,
+        interpret=False, with_positions=True)
+    b0_, c0_, n0_, o0_ = encode_l1_pallas(
+        jnp.asarray(pfr), jnp.asarray(pthr), out_size=1 << 14, bucket=0,
+        interpret=False)
+    okp = not (np.asarray(po).any() or np.asarray(o0_).any())
+    okp = okp and np.array_equal(np.asarray(pb), np.asarray(b0_)) \
+        and np.array_equal(np.asarray(pc), np.asarray(c0_))
+    for i in range(2):
+        ref = np.flatnonzero(pfr[i].reshape(-1))
+        n = int(np.asarray(pn)[i])
+        okp = okp and n == ref.size and \
+            np.array_equal(np.asarray(ppos)[i, :n], ref)
+    check("encode fused positions vs flatnonzero (+ plain-call identity)",
+          okp)
+
     # ---- device deflate vs native encoder (sparse, dense-token,
     # literal-dense and run-boundary streams) ----
     NPAD = 1 << 19
