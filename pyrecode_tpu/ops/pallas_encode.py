@@ -270,6 +270,111 @@ def _concat_runs(c1, off1, S, C1, C2):
     return acc
 
 
+def _select_rank_match_wide(m2, payload, rank1, S, SUB, C1):
+    """Unpaired rank-match selection for payloads wider than 16 bits
+    (the packed dual compaction's ``lane << vbits | value`` words).
+
+    One pass per rank: compare + select + row sum + one slot mask-mult.
+    Per rank this is the same number of (S, SUB) compare/colsum ops as the
+    paired variant (which amortizes one colsum over two ranks but needs a
+    second full select chain for the second payload), and HALF the (S, C1)
+    slot mask-mults of running `_select_rank_match` twice.  Same >rank-16
+    density gating as the paired variant."""
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (1, C1), 1)
+    s2 = jnp.where(m2 > 0, payload, 0)
+
+    def passes(j_lo, j_hi):
+        c = jnp.zeros((S, C1), jnp.int32)
+        for j in range(j_lo, j_hi):
+            colsum = jnp.sum(jnp.where(rank1 == j, s2, 0), axis=1,
+                             keepdims=True)
+            c = c + colsum * (jrow == j)
+        return c
+
+    c1 = passes(0, min(16, C1))
+    maxcnt = jnp.max(rank1[:, SUB - 1:SUB]) + 1
+    j = 16
+    while j < C1:
+        j_hi = min(2 * j, C1)
+        c1 = c1 + jax.lax.cond(
+            maxcnt > j,
+            lambda lo=j, hi=j_hi: passes(lo, hi),
+            lambda: jnp.zeros((S, C1), jnp.int32))
+        j = j_hi
+    return c1
+
+
+def _select_butterfly_wide(m2, payload, rank1, S, SUB, C1, pbits):
+    """Butterfly left-pack for ``pbits``-bit payloads (pbits + 9 <= 30):
+    the move distance (< SUB <= 512, 9 bits) rides bits pbits..pbits+8 of
+    the carry word instead of the fixed bit 16.  Same routing proof as
+    `_select_butterfly`; used by the packed dual compaction at C1 >= 64
+    where butterfly beats rank-match (tools/probe_butterfly_full.py)."""
+    assert pbits + 9 <= 30, pbits
+    lio = jax.lax.broadcasted_iota(jnp.int32, (S, SUB), 1)
+    fg = m2 > 0
+    pmask = (1 << pbits) - 1
+    carry = jnp.where(fg, ((lio - rank1) << pbits) | (payload & pmask), 0)
+    k = 1
+    while k < SUB:
+        moving = ((carry >> pbits) & k) > 0
+        mv = jnp.where(moving, carry - (k << pbits), 0)
+        carry = jnp.where(moving, 0, carry) + pltpu.roll(mv, SUB - k, axis=1)
+        k *= 2
+    return carry[:, :C1]
+
+
+def _compact_chunk_dual_packed(m2, r2, S, SUB, C1, C2, vbits, lti=None):
+    """Packed variant of `_compact_chunk_dual`: value and lane ride ONE
+    selection as a ``(lane << vbits) | value`` word, and value + chunk-
+    relative position ride ONE ragged concat as ``(pos << vbits) | value``
+    (pos < RPC*W, so the word needs vbits + log2(RPC*W) <= 31 bits — the
+    caller gates on that).  Versus the dual path this drops one full
+    `_concat_runs` (the level-2 rolls are the kernel's dominant cost for
+    large S) and half the selection slot mask-mults.
+
+    ``r2`` is masked to its low ``vbits`` bits: identical wire bytes (the
+    bit packer keeps exactly those bits, oracle.bit_pack/recode_writer.py
+    :637-652) and required anyway by the scheme-12 value alphabet
+    (symbols < 2^vbits) that is this path's only consumer.
+    Returns (acc_vals, acc_pos, chunk_cnt, overflow)."""
+    if lti is not None and SUB == lti.shape[0]:
+        csum = _rank_cumsum_mxu(m2, S, SUB, lti)
+    else:
+        csum = _cumsum_lanes(m2, SUB)
+    rank1 = csum - 1
+    cnt1 = csum[:, SUB - 1:SUB]
+    ovf1 = jnp.max(cnt1) > C1
+
+    vmask = (1 << vbits) - 1
+    lane_io = jax.lax.broadcasted_iota(jnp.int32, (S, SUB), 1)
+    payload = (lane_io << vbits) | (r2 & vmask)
+    if C1 >= 64:
+        c1p = _select_butterfly_wide(m2, payload, rank1, S, SUB, C1,
+                                     vbits + 9)
+    else:
+        c1p = _select_rank_match_wide(m2, payload, rank1, S, SUB, C1)
+
+    s_io = jax.lax.broadcasted_iota(jnp.int32, (S, C1), 0)
+    j_io = jax.lax.broadcasted_iota(jnp.int32, (S, C1), 1)
+    # lane -> chunk-relative position, dead slots re-zeroed so the concat's
+    # overlapping rolls stay additive-safe
+    packed2 = jnp.where(j_io < cnt1,
+                        ((s_io * SUB + (c1p >> vbits)) << vbits)
+                        | (c1p & vmask), 0)
+
+    r_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    c_io = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    ltri = (r_io > c_io).astype(jnp.float32)
+    off1 = jnp.dot(ltri, cnt1.astype(jnp.float32),
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    chunk_cnt = jnp.sum(cnt1)
+
+    accp = _concat_runs(packed2, off1, S, C1, C2)
+    return accp & vmask, accp >> vbits, chunk_cnt, ovf1
+
+
 def _compact_chunk_dual(m2, r2, S, SUB, C1, C2, lti=None):
     """_compact_chunk that ALSO emits each value's chunk-relative position.
 
@@ -281,6 +386,9 @@ def _compact_chunk_dual(m2, r2, S, SUB, C1, C2, lti=None):
     chunk-relative position as s*SUB + lane, with dead slots re-zeroed so
     the ragged concat's overlapping rolls stay additive-safe; the caller
     adds the chunk base.  Returns (acc_vals, acc_pos, chunk_cnt, overflow).
+
+    Superseded on the hot path by `_compact_chunk_dual_packed` when
+    vbits + log2(RPC*W) <= 31; kept as the fallback for wide values.
     """
     if lti is not None and SUB == lti.shape[0]:
         csum = _rank_cumsum_mxu(m2, S, SUB, lti)
@@ -353,7 +461,8 @@ def make_pack_matrix(sub: int):
 
 @functools.lru_cache(maxsize=64)
 def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
-                     spf_steps=0, align=128, with_positions=False):
+                     spf_steps=0, align=128, with_positions=False,
+                     pos_vbits=0):
     """Build (and cache) the pallas_call for one static configuration.
 
     ``spf_steps > 0`` enables *stacked subframes*: H is ``n_sub`` frames of
@@ -434,8 +543,12 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
             # pixel index is h*RPC*W + s*SUB + l (row-major preserved by
             # the (S, SUB) view) — the base is added here, masked to the
             # live prefix so dead window lanes stay zero
-            acc, acc_pos, chunk_cnt, ovf1 = _compact_chunk_dual(
-                m2, r2, S, SUB, C1, C2, lti=lti_ref[...])
+            if pos_vbits and pos_vbits + (RPC * W - 1).bit_length() <= 31:
+                acc, acc_pos, chunk_cnt, ovf1 = _compact_chunk_dual_packed(
+                    m2, r2, S, SUB, C1, C2, pos_vbits, lti=lti_ref[...])
+            else:
+                acc, acc_pos, chunk_cnt, ovf1 = _compact_chunk_dual(
+                    m2, r2, S, SUB, C1, C2, lti=lti_ref[...])
             wio = jax.lax.broadcasted_iota(jnp.int32, (1, C2), 1)
             acc_pos = acc_pos + jnp.where(wio < chunk_cnt, h * (RPC * W), 0)
             _store_window(pos_ref, tail_pos_ref, off_sref, acc_pos,
@@ -528,15 +641,15 @@ def _choose_rpc(height: int, width: int, out_size: int = 0) -> int:
 
 @functools.partial(jax.jit, static_argnames=("out_size", "c1", "with_values",
                                               "interpret", "n_sub", "align",
-                                              "with_positions"))
+                                              "with_positions", "pos_vbits"))
 def _encode_call(frames, threshold, out_size, c1, with_values, interpret,
-                 n_sub=1, align=128, with_positions=False):
+                 n_sub=1, align=128, with_positions=False, pos_vbits=0):
     B, H, W = frames.shape
     rpc = _choose_rpc(H // n_sub, W, out_size)
     call, pack_mat, lti_mat = _build_l1_kernel(
         B, H, W, out_size, rpc, _choose_sub(W), c1, with_values, interpret,
         spf_steps=(H // n_sub) // rpc if n_sub > 1 else 0, align=align,
-        with_positions=with_positions)
+        with_positions=with_positions, pos_vbits=pos_vbits)
     outs = call(frames, threshold, pack_mat, lti_mat)
     bitmap, comp, counts, ovf = outs[:4]
     bitmap = bitmap.reshape(B, H * (W // 8))
@@ -549,7 +662,7 @@ def _encode_call(frames, threshold, out_size, c1, with_values, interpret,
 
 def encode_l1_pallas(frames, threshold, out_size: int, bucket: int = 0,
                      with_values: bool = True, interpret: Optional[bool] = None,
-                     with_positions: bool = False):
+                     with_positions: bool = False, pos_vbits: int = 0):
     """Run the fused kernel at the given capacity bucket.
 
     Returns (bitmap (B, H*W/8) u8, compacted (B, out_size) i32 or None,
@@ -561,6 +674,13 @@ def encode_l1_pallas(frames, threshold, out_size: int, bucket: int = 0,
     gap entropy path's input — fused here because the standalone
     bitmap->positions kernel re-expands the bitmap and re-runs the full
     selection, 3.5 ms/4-frame batch at 4096^2 on hw).
+
+    ``pos_vbits`` (the declared value bit depth, e.g. 12) lets the fused
+    positions path pack value+position into one selection/concat chain
+    (`_compact_chunk_dual_packed`) when they fit 31 bits together; the
+    compacted values are then masked to their low ``pos_vbits`` bits —
+    identical wire bytes (bit packing keeps exactly those bits) and the
+    scheme-12 value alphabet requires it anyway.  0 = unpacked dual path.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -568,7 +688,8 @@ def encode_l1_pallas(frames, threshold, out_size: int, bucket: int = 0,
     out_aligned = max(128, -(-out_size // 128) * 128)
     outs = _encode_call(
         frames, threshold, out_aligned, c1, with_values, bool(interpret),
-        with_positions=with_positions)
+        with_positions=with_positions,
+        pos_vbits=pos_vbits if with_positions else 0)
     bitmap, comp, counts, ovf = outs[:4]
     if not with_values:
         comp = None

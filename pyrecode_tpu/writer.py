@@ -539,7 +539,8 @@ class ReCoDeWriter:
             out = pallas_encode.encode_l1_pallas(
                 batch, self._threshold, out_size=bucket if with_values else 128,
                 bucket=self._cap_bucket, with_values=with_values,
-                with_positions=want_pos)
+                with_positions=want_pos,
+                pos_vbits=self._bit_depth if want_pos else 0)
             if want_pos:
                 bitmap, comp, counts_dev, ovf, pos = out
             else:

@@ -239,9 +239,11 @@ def test_selection_variants_agree():
         pe._encode_call.clear_cache()
 
 
-def test_encode_with_positions_matches_flatnonzero():
+@pytest.mark.parametrize("pos_vbits", [0, 12])
+def test_encode_with_positions_matches_flatnonzero(pos_vbits):
     """with_positions=True appends a rank-aligned global-position stream
-    (the fused scheme-12 gap front end)."""
+    (the fused scheme-12 gap front end); pos_vbits=12 exercises the packed
+    single-select/single-concat variant."""
     import numpy as np
 
     from pyrecode_tpu.ops.pallas_encode import encode_l1_pallas
@@ -253,7 +255,7 @@ def test_encode_with_positions_matches_flatnonzero():
     thr = np.zeros((H, W), np.uint16)
     bitmap, comp, counts, ovf, pos = encode_l1_pallas(
         frames, thr, out_size=2048, bucket=0, interpret=True,
-        with_positions=True)
+        with_positions=True, pos_vbits=pos_vbits)
     assert not np.asarray(ovf).any()
     for i in range(B):
         flat = frames[i].reshape(-1)
@@ -267,3 +269,30 @@ def test_encode_with_positions_matches_flatnonzero():
                                       interpret=True)
     assert np.array_equal(np.asarray(b2), np.asarray(bitmap))
     assert np.array_equal(np.asarray(c2), np.asarray(comp))
+
+
+def test_encode_positions_packed_wide_values():
+    """Residuals >= 2^pos_vbits: the packed path keeps the low pos_vbits
+    bits (exactly what the wire's bit packer keeps, oracle.bit_pack) and
+    positions stay exact; butterfly-wide covers the C1=64 bucket."""
+    import numpy as np
+
+    from pyrecode_tpu.ops.pallas_encode import encode_l1_pallas
+
+    rng = np.random.default_rng(12)
+    H, W, B = 64, 512, 2
+    frames = (rng.integers(1, 65536, (B, H, W))
+              * (rng.random((B, H, W)) < 0.08)).astype(np.uint16)
+    thr = np.zeros((H, W), np.uint16)
+    bitmap, comp, counts, ovf, pos = encode_l1_pallas(
+        frames, thr, out_size=4096, bucket=1, interpret=True,
+        with_positions=True, pos_vbits=12)
+    assert not np.asarray(ovf).any()
+    for i in range(B):
+        flat = frames[i].reshape(-1)
+        ref = np.flatnonzero(flat)
+        n = int(np.asarray(counts)[i])
+        assert n == ref.size
+        assert np.array_equal(np.asarray(pos)[i, :n], ref), i
+        assert np.array_equal(np.asarray(comp)[i, :n],
+                              flat[ref] & 0xFFF), i

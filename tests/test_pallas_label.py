@@ -19,7 +19,10 @@ def _check_l2(frames, thr, bitmap, stats, counts, statistic):
         enc = oracle.reduce_frame(frames[i], thr, 2, 12, l2_statistic=statistic)
         assert np.asarray(bitmap)[i].tobytes() == enc["packed_binary_map"], i
         labels, num = oracle.label_components(frames[i] > thr)
-        exp = np.minimum(oracle.l2_summary_stats(labels, np.where(frames[i] > thr, frames[i] - thr, 0).astype(np.uint16), num, statistic), 4095)
+        # stats are over RAW frame values, not residuals (reference
+        # recode_writer.py:446 passes `frame`; oracle.reduce_frame agrees)
+        exp = np.minimum(oracle.l2_summary_stats(labels, frames[i], num,
+                                                 statistic), 4095)
         n = int(np.asarray(counts)[i])
         assert n == num, (i, n, num)
         assert np.array_equal(np.asarray(stats)[i][:n], exp.astype(np.int64)), i

@@ -139,7 +139,7 @@ def run_scheme12(args, frames_all, thr, bucket, out_size, bm0, comp0, cnt0,
             # pass instead of re-expanding the bitmap in a second kernel)
             bitmap, comp, counts, ovf, pos = pallas_encode.encode_l1_pallas(
                 frames, thr, out_size=out_size, bucket=bucket,
-                interpret=False, with_positions=True)
+                interpret=False, with_positions=True, pos_vbits=12)
         else:
             bitmap, comp, counts, ovf = pallas_encode.encode_l1_pallas(
                 frames, thr, out_size=out_size, bucket=bucket,
@@ -220,6 +220,13 @@ def run_scheme12(args, frames_all, thr, bucket, out_size, bm0, comp0, cnt0,
     suffix = " realistic" if args.dist == "peaked" else ""
     if gap_mode:
         suffix += " gap-bm"
+    # the production writer overlaps the host stage with the NEXT batch's
+    # device encode (writer.py 1-batch lookahead), so its steady state is
+    # max(device, host) per frame — report both, serial first
+    pipe_frame = max(dt_dev / B, dt_host)
+    pipe_gbps = (n_px * 2) / pipe_frame / 1e9
+    print(f'pipelined writer (host stage overlapped, writer.py lookahead): '
+          f'{pipe_gbps:.2f} GB/s')
     print(f'{{"metric": "end-to-end write (relay-independent) {size}^2'
           f'{suffix} scheme12", "value": {total_gbps:.2f}, "unit": "GB/s"}}')
 
@@ -445,6 +452,9 @@ def main():
     per_frame = dt_dev / B + dt_host
     total_gbps = (n_px * 2) / per_frame / 1e9
     suffix = " realistic" if args.dist == "peaked" else ""
+    pipe_frame = max(dt_dev / B, dt_host)
+    print(f'pipelined writer (host stage overlapped, writer.py lookahead): '
+          f'{(n_px * 2) / pipe_frame / 1e9:.2f} GB/s')
     print(f'{{"metric": "end-to-end write (relay-independent) {size}^2'
           f'{suffix}", "value": {total_gbps:.2f}, "unit": "GB/s"}}')
 

@@ -128,6 +128,102 @@ def main():
     assert np.array_equal(syms, ref_syms), "device decode symbol mismatch"
     print("device decode symbols verified vs tokenizer reference")
 
+    bench_gap_mode(args, bm, n, mask)
+
+
+def bench_gap_mode(args, bm, n, mask):
+    """GAP mode (scheme-12 flags 2|4): the round-3 representation change
+    that spends the 12.5x symbol reduction at 1% occupancy.  Times the
+    device kernel chains the writer/reader actually run:
+
+      encode: bitmap -> set-bit positions (ops/pallas_gaps.py) -> first-
+              order gaps -> 4096-bin histogram -> interleaved rANS encode
+      decode: rANS gap-symbol decode -> cumsum -> set-bit positions
+
+    (host O(alphabet) table work and header assembly are excluded here;
+    they are inside the e2e write/read rows of BENCH_DETAIL.)"""
+    import functools
+
+    from pyrecode_tpu.codecs import rans
+    from pyrecode_tpu.ops import pallas_gaps as pgk, pallas_rans as prk
+    from pyrecode_tpu.profiling import delta_scan_time
+
+    m_set = int(mask.sum())
+    npad_b = -(-n // pgk.CHUNK_BYTES) * pgk.CHUNK_BYTES
+    bm_pad = np.zeros((args.iters, 1, npad_b), np.uint8)
+    bm_pad[:, 0, :n] = bm
+    bm_batch = jnp.asarray(bm_pad)
+    out_bound = -(-max(2 * m_set, prk.CH_R) // prk.CH_R) * prk.CH_R
+
+    # fixed LUT (the scan repeats one bitmap, so its table is exact)
+    pos0, cnt0, ovf0 = pgk.bitmap_positions_pallas(
+        bm_batch[0], out_bound, bucket=0, interpret=False)
+    assert not bool(np.asarray(ovf0).any())
+    prev0 = jnp.concatenate(
+        [jnp.full((1, 1), -1, jnp.int32), pos0[:, :-1]], axis=1)
+    io = jnp.arange(out_bound, dtype=jnp.int32)[None, :]
+    syms0 = jnp.where(io < cnt0[:, None], pos0 - prev0 - 1, 0)
+    hist0 = np.asarray(prk.hist_symbols_pallas(
+        syms0, np.asarray(cnt0, np.int32), interpret=False))
+    freq = rans.quantize_freqs(hist0[0, : 1 << rans.GAP_BITS]
+                               .astype(np.int64))
+    eluts = jnp.asarray(prk.encode_luts_symbols(freq)[None])
+    ob = 2 * out_bound + 4096
+
+    @functools.partial(jax.jit, static_argnames=())
+    def enc_chain(x):
+        pos, cnt, ovf = pgk.bitmap_positions_pallas(
+            x, out_bound, bucket=0, interpret=False)
+        prev = jnp.concatenate(
+            [jnp.full((1, 1), -1, jnp.int32), pos[:, :-1]], axis=1)
+        syms = jnp.where(io < cnt[:, None], pos - prev - 1, 0)
+        hist = prk.hist_symbols_pallas(syms, cnt, interpret=False)
+        body, states, cnts = prk.rans_encode_symbols_pallas(
+            syms, eluts, cnt, ob, interpret=False)
+        return (jnp.sum(cnts).astype(jnp.float32)
+                + jnp.sum(hist[:, :4]).astype(jnp.float32) + jnp.sum(ovf))
+
+    dt_ge = delta_scan_time(enc_chain, bm_batch)
+    print(f"device rANS gap encode: {dt_ge*1e3:.2f} ms/frame-stream -> "
+          f"{n/dt_ge/1e9:.2f} GB/s (bitmap bytes), "
+          f"{m_set/dt_ge/1e6:.0f} Msym/s "
+          "(incl. standalone bitmap->positions kernel; the writer gets "
+          "positions fused from the L1 encode at ~40% of that cost)")
+
+    # decode chain: build a real gap stream, feed its device inputs.
+    # (the host compress_gaps size-compares gap vs byte coding and the
+    # winner at 1% is data-dependent — use the device batch encoder, which
+    # is what the writer's scheme-12 device path emits)
+    [stream] = rans.rans_gaps_batch_device(
+        bm_batch[0], np.array([n], np.int64), interpret=False)
+    gin = rans.gap_chain_inputs([stream], "gap")
+    assert gin is not None, "gap stream fell back to byte mode"
+    bod, st, tab, m_arr2, npad2, grp, _ = gin
+    bod_batch = jnp.broadcast_to(jnp.asarray(bod)[None],
+                                 (args.iters, *bod.shape))
+
+    def dec_chain(x):
+        gaps = prk.rans_decode_pallas(x, st, jnp.asarray(m_arr2), npad2,
+                                      tab, interpret=False, groups=grp)
+        iod = jnp.arange(gaps.shape[1], dtype=jnp.int32)[None, :]
+        adv = jnp.where(iod < jnp.asarray(m_arr2)[:, None], gaps + 1, 0)
+        pos = jnp.cumsum(adv, axis=1, dtype=jnp.int32) - 1
+        return jnp.sum(pos).astype(jnp.float32)
+
+    dt_gd = delta_scan_time(dec_chain, bod_batch)
+    print(f"device rANS gap decode: {dt_gd*1e3:.2f} ms/frame-stream -> "
+          f"{n/dt_gd/1e9:.2f} GB/s (bitmap bytes), "
+          f"{m_set/dt_gd/1e6:.0f} Msym/s")
+
+    # hardware correctness: positions out of the decode chain == set bits
+    gaps = np.asarray(prk.rans_decode_pallas(
+        jnp.asarray(bod), st, jnp.asarray(m_arr2), npad2, tab,
+        interpret=False, groups=grp))[0, : int(m_arr2[0])]
+    pos_dec = np.cumsum(gaps.astype(np.int64) + 1) - 1
+    assert np.array_equal(pos_dec, np.flatnonzero(mask)), \
+        "gap decode position mismatch"
+    print("gap decode positions verified vs set bits")
+
 
 if __name__ == "__main__":
     main()

@@ -93,6 +93,26 @@ def main() -> int:
     check("encode fused positions vs flatnonzero (+ plain-call identity)",
           okp)
 
+    # packed single-select/single-concat variant (pos_vbits=12): values
+    # and positions must match the unpacked dual path bit-for-bit (all
+    # residuals < 4096 here), at BOTH select variants (C1=32 rank-match
+    # wide, C1=64 butterfly wide)
+    for pbucket, label in ((0, "rank-match C1=32"), (1, "butterfly C1=64")):
+        qb, qc, qn, qo, qpos = encode_l1_pallas(
+            jnp.asarray(pfr), jnp.asarray(pthr), out_size=1 << 14,
+            bucket=pbucket, interpret=False, with_positions=True,
+            pos_vbits=12)
+        okq = not np.asarray(qo).any()
+        okq = okq and np.array_equal(np.asarray(qb), np.asarray(pb))
+        for i in range(2):
+            ref = np.flatnonzero(pfr[i].reshape(-1))
+            n = int(np.asarray(qn)[i])
+            okq = okq and n == ref.size \
+                and np.array_equal(np.asarray(qpos)[i, :n], ref) \
+                and np.array_equal(np.asarray(qc)[i, :n],
+                                   pfr[i].reshape(-1)[ref])
+        check(f"encode fused positions PACKED ({label}) vs oracle", okq)
+
     # ---- device deflate vs native encoder (sparse, dense-token,
     # literal-dense and run-boundary streams) ----
     NPAD = 1 << 19
