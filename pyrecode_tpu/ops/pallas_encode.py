@@ -324,6 +324,17 @@ def _select_butterfly_wide(m2, payload, rank1, S, SUB, C1, pbits):
     return carry[:, :C1]
 
 
+# packed-path select crossover: butterfly-wide (log2(SUB) stages) from this
+# C1 up, rank-match-wide (C1 unpaired passes, >16 density-gated) below.
+# Hardware-probed 2026-08-20 (tools/probe_packed_select.py, v5e, 4096^2 at
+# 1%): butterfly-wide beats rank-match-wide at C1=32 too (5.07 vs 5.79
+# ms/batch full fused encode, byte-identity OK) — unlike the PAIRED
+# 16-bit select, where the two are neutral at C1=32, the wide select has
+# no rank pairing to halve its passes, so the stage-count advantage
+# kicks in earlier.  Probe again on hw before changing.
+_PACKED_BUTTERFLY_MIN_C1 = 32
+
+
 def _compact_chunk_dual_packed(m2, r2, S, SUB, C1, C2, vbits, lti=None):
     """Packed variant of `_compact_chunk_dual`: value and lane ride ONE
     selection as a ``(lane << vbits) | value`` word, and value + chunk-
@@ -349,7 +360,10 @@ def _compact_chunk_dual_packed(m2, r2, S, SUB, C1, C2, vbits, lti=None):
     vmask = (1 << vbits) - 1
     lane_io = jax.lax.broadcasted_iota(jnp.int32, (S, SUB), 1)
     payload = (lane_io << vbits) | (r2 & vmask)
-    if C1 >= 64:
+    # butterfly routing consumes the move distance LSB-first in pow2
+    # stages — non-pow2 sub-rows (width < 512 and not a power of two)
+    # take the rank-match ladder instead
+    if C1 >= _PACKED_BUTTERFLY_MIN_C1 and SUB & (SUB - 1) == 0:
         c1p = _select_butterfly_wide(m2, payload, rank1, S, SUB, C1,
                                      vbits + 9)
     else:

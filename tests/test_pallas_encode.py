@@ -271,6 +271,32 @@ def test_encode_with_positions_matches_flatnonzero(pos_vbits):
     assert np.array_equal(np.asarray(c2), np.asarray(comp))
 
 
+def test_encode_positions_packed_nonpow2_sub():
+    """Width 384 -> SUB=384 (not a power of two): the packed path must
+    route to rank-match-wide (butterfly's LSB-first distance consumption
+    assumes pow2 sub-rows) and still match flatnonzero."""
+    import numpy as np
+
+    from pyrecode_tpu.ops.pallas_encode import encode_l1_pallas
+
+    rng = np.random.default_rng(13)
+    H, W, B = 64, 384, 2
+    frames = (rng.integers(1, 4096, (B, H, W))
+              * (rng.random((B, H, W)) < 0.03)).astype(np.uint16)
+    thr = np.zeros((H, W), np.uint16)
+    bitmap, comp, counts, ovf, pos = encode_l1_pallas(
+        frames, thr, out_size=2048, bucket=0, interpret=True,
+        with_positions=True, pos_vbits=12)
+    assert not np.asarray(ovf).any()
+    for i in range(B):
+        flat = frames[i].reshape(-1)
+        ref = np.flatnonzero(flat)
+        n = int(np.asarray(counts)[i])
+        assert n == ref.size
+        assert np.array_equal(np.asarray(pos)[i, :n], ref), i
+        assert np.array_equal(np.asarray(comp)[i, :n], flat[ref]), i
+
+
 def test_encode_positions_packed_wide_values():
     """Residuals >= 2^pos_vbits: the packed path keeps the low pos_vbits
     bits (exactly what the wire's bit packer keeps, oracle.bit_pack) and

@@ -107,6 +107,11 @@ def main():
           lambda fr: pallas_encode.encode_l1_pallas(
               fr, thr, out_size=out_size, bucket=bucket, interpret=False)[:2],
           frames_all)
+    stage("L1 encode + packed positions (vbits=12)",
+          lambda fr: pallas_encode.encode_l1_pallas(
+              fr, thr, out_size=out_size, bucket=bucket, interpret=False,
+              with_positions=True, pos_vbits=12)[:2],
+          frames_all)
     stage("intensity bitpack (12b)",
           lambda c: bitpack.bitpack_values(c.astype(jnp.uint32), 12), comp_s)
     stage("hist bm (8-bit syms)",

@@ -95,23 +95,39 @@ def main() -> int:
 
     # packed single-select/single-concat variant (pos_vbits=12): values
     # and positions must match the unpacked dual path bit-for-bit (all
-    # residuals < 4096 here), at BOTH select variants (C1=32 rank-match
-    # wide, C1=64 butterfly wide)
-    for pbucket, label in ((0, "rank-match C1=32"), (1, "butterfly C1=64")):
-        qb, qc, qn, qo, qpos = encode_l1_pallas(
-            jnp.asarray(pfr), jnp.asarray(pthr), out_size=1 << 14,
-            bucket=pbucket, interpret=False, with_positions=True,
-            pos_vbits=12)
-        okq = not np.asarray(qo).any()
-        okq = okq and np.array_equal(np.asarray(qb), np.asarray(pb))
-        for i in range(2):
-            ref = np.flatnonzero(pfr[i].reshape(-1))
-            n = int(np.asarray(qn)[i])
-            okq = okq and n == ref.size \
-                and np.array_equal(np.asarray(qpos)[i, :n], ref) \
-                and np.array_equal(np.asarray(qc)[i, :n],
-                                   pfr[i].reshape(-1)[ref])
-        check(f"encode fused positions PACKED ({label}) vs oracle", okq)
+    # residuals < 4096 here).  Default path = butterfly-wide at both
+    # buckets; rank-match-wide (the non-pow2-SUB fallback) is forced via
+    # the crossover knob so it keeps hardware coverage too.
+    from pyrecode_tpu.ops import pallas_encode as _pe
+
+    def _packed_check(label):
+        for pbucket, blabel in ((0, "C1=32"), (1, "C1=64")):
+            qb, qc, qn, qo, qpos = encode_l1_pallas(
+                jnp.asarray(pfr), jnp.asarray(pthr), out_size=1 << 14,
+                bucket=pbucket, interpret=False, with_positions=True,
+                pos_vbits=12)
+            okq = not np.asarray(qo).any()
+            okq = okq and np.array_equal(np.asarray(qb), np.asarray(pb))
+            for i in range(2):
+                ref = np.flatnonzero(pfr[i].reshape(-1))
+                n = int(np.asarray(qn)[i])
+                okq = okq and n == ref.size \
+                    and np.array_equal(np.asarray(qpos)[i, :n], ref) \
+                    and np.array_equal(np.asarray(qc)[i, :n],
+                                       pfr[i].reshape(-1)[ref])
+            check(f"encode fused positions PACKED ({label} {blabel}) "
+                  "vs oracle", okq)
+
+    _packed_check("butterfly-wide")
+    try:
+        _pe._PACKED_BUTTERFLY_MIN_C1 = 1 << 30
+        _pe._build_l1_kernel.cache_clear()
+        _pe._encode_call.clear_cache()
+        _packed_check("rank-match-wide")
+    finally:
+        _pe._PACKED_BUTTERFLY_MIN_C1 = 32
+        _pe._build_l1_kernel.cache_clear()
+        _pe._encode_call.clear_cache()
 
     # ---- device deflate vs native encoder (sparse, dense-token,
     # literal-dense and run-boundary streams) ----
