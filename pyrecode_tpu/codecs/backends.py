@@ -174,7 +174,8 @@ def get_codec(scheme: int, level: int = 1) -> Codec:
         cname = _BLOSC_CNAMES[scheme]
         if _blosc is None:
             return Codec(scheme, _SCHEME_NAMES[scheme] + "-purepy",
-                         lambda d: _purepy.blosc_compress(d, cname=cname),
+                         lambda d: _purepy.blosc_compress(
+                             d, cname=cname, clevel=level),
                          _purepy.blosc_decompress)
         return Codec(
             scheme, _SCHEME_NAMES[scheme],
@@ -208,6 +209,9 @@ def de_compress(compression_scheme: int, compressed_data, decompressor_context=N
 def import_checks(header: dict) -> bool:
     """Raise ImportError if the scheme recorded in a header is unavailable."""
     scheme = int(header["compression_scheme"])
+    if scheme not in _SCHEME_LIBS:
+        # untrusted header byte: unknown codes fail clean, not KeyError
+        raise ValueError(f"Unknown compression scheme code: {scheme}")
     if is_available(scheme):
         return True
     print(

@@ -1210,7 +1210,7 @@ def gap_chain_dense(bm_in, pk_in, height, width, bucket=0, interpret=False):
 
 
 def decode_l1_gap_device(bm_streams, pk_streams, height, width,
-                         interpret=None):
+                         interpret=None, verify=False):
     """Fully-device scheme-12 L1 read chain (gap bitmap + symbol pixvals).
 
     Returns dense (B, H, W) uint16 numpy frames, or None when the stream
@@ -1219,15 +1219,31 @@ def decode_l1_gap_device(bm_streams, pk_streams, height, width,
     overflow escalates through the posdecode bucket ladder.
 
     Integrity note: this chain never materializes the bitmap bytes, so the
-    stream's adler32 (computed over bytes) is NOT checked here — the
-    byte-mode paths check it; kernel-vs-oracle byte identity is enforced
-    by tools/verify_hw.py.
+    stream's adler32 (computed over bytes) is NOT checked here — on-disk
+    corruption decodes to garbage where the byte path would raise.  Pass
+    ``verify=True`` to opt into integrity checking: the function returns
+    None and the caller's fallback (byte-mode reconstruction) verifies
+    every stream's adler32.  Kernel-vs-oracle byte identity of the chain
+    itself is enforced by tools/verify_hw.py.
     """
     import jax
 
+    if verify:
+        return None
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     if len(bm_streams) != len(pk_streams) or not bm_streams:
+        return None
+    # posdecode kernel geometry: SUB must be a power of two and chunk-
+    # relative positions must fit 15 bits (pairs pack value << 15).  Shapes
+    # outside that (e.g. W=384, or W>4096 where RPC bottoms out at 8) are
+    # legal scheme-12 gap streams — decode them via the byte path instead
+    # of tripping kernel asserts (ADVICE r4).
+    from ..ops import pallas_decode as _pd, pallas_encode as _pe
+
+    sub = _pe._choose_sub(width)
+    rpc = _pd._choose_rpc_decode(height, width)
+    if sub & (sub - 1) or rpc * width > (1 << 15) or height % rpc:
         return None
     bm_in = gap_chain_inputs(bm_streams, "gap")
     pk_in = gap_chain_inputs(pk_streams, "sym")

@@ -270,6 +270,10 @@ class ReCoDeHeader:
         major, minor = sniff[8], sniff[9]
         if uid != RECODE_UID:
             raise ValueError(f"Not a ReCoDe file (uid mismatch: {uid})")
+        if (major, minor) not in ((0, 1), (0, 2)):
+            raise ValueError(
+                f"Unsupported ReCoDe version {major}.{minor} "
+                "(supported: 0.1, 0.2)")
         self._version = major + minor / 10.0
 
         fp.seek(start)
@@ -299,14 +303,26 @@ class ReCoDeHeader:
             self._values["source_dtype"] = 0
             self._values["target_dtype"] = 0
 
-        # non-standard metadata descriptors: 100 bytes each, 99-byte name + u8 size
+        # non-standard metadata descriptors: 100 bytes each, 99-byte name + u8
+        # size.  The count and length fields come from untrusted bytes: a
+        # corrupt u32 must fail clean (truncation error), not spin a 4e9-
+        # iteration loop or index past a short read.
         self._non_standard_frame_metadata_sizes = {}
         for _ in range(int(self._values["num_non_standard_frame_metadata"])):
             b = fp.read(100)
+            if len(b) < 100:
+                raise ValueError(
+                    "Truncated ReCoDe header (non-standard metadata "
+                    "descriptors extend past end of file)")
             name = b[:99].decode("utf-8", errors="replace").rstrip(" \x00")
             self._non_standard_frame_metadata_sizes[name] = b[99]
 
-        self._source_header = fp.read(int(self._values["source_header_length"]))
+        src_len = int(self._values["source_header_length"])
+        self._source_header = fp.read(src_len)
+        if len(self._source_header) < src_len:
+            raise ValueError(
+                "Truncated ReCoDe header (source header extends past "
+                "end of file)")
 
     # ----------------------------------------------------------------- offsets
 

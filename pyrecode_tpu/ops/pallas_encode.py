@@ -362,8 +362,12 @@ def _compact_chunk_dual_packed(m2, r2, S, SUB, C1, C2, vbits, lti=None):
     payload = (lane_io << vbits) | (r2 & vmask)
     # butterfly routing consumes the move distance LSB-first in pow2
     # stages — non-pow2 sub-rows (width < 512 and not a power of two)
-    # take the rank-match ladder instead
-    if C1 >= _PACKED_BUTTERFLY_MIN_C1 and SUB & (SUB - 1) == 0:
+    # take the rank-match ladder instead.  Butterfly also needs the move
+    # distance (9 bits) ABOVE the lane|value payload inside 30 bits, so
+    # vbits 13-16 (legal per supports(): bit_depth <= 16) fall back to
+    # rank-match-wide, which only carries lane|value (vbits + 9 <= 25).
+    if (C1 >= _PACKED_BUTTERFLY_MIN_C1 and SUB & (SUB - 1) == 0
+            and vbits + 18 <= 30):
         c1p = _select_butterfly_wide(m2, payload, rank1, S, SUB, C1,
                                      vbits + 9)
     else:

@@ -75,9 +75,26 @@ class ReCoDeReader:
                                            int(self._header["compression_level"]))
 
     def _initialize(self) -> None:
-        self._structures = ReCoDeStructures(self._header)
+        # header fields are untrusted bytes: validate before they size any
+        # buffer or index any schema (the reference crashes on corrupt
+        # input, recode_reader.py:127-168 — we fail clean instead)
         level = int(self._header["reduction_level"])
         mode = int(self._header["rc_operation_mode"])
+        ny, nx = int(self._header["ny"]), int(self._header["nx"])
+        if level not in (1, 2, 3, 4):
+            raise ValueError(f"Invalid reduction level in header: {level}")
+        if mode not in (0, 1):
+            raise ValueError(f"Invalid rc_operation_mode in header: {mode}")
+        if not (0 < ny <= 65536 and 0 < nx <= 65536):
+            raise ValueError(f"Invalid frame shape in header: ({ny}, {nx})")
+        if int(self._header["nz"]) > (self._file_size or 0):
+            # every frame occupies >= 1 byte of metadata or data, so nz
+            # beyond the file size is corrupt — and would otherwise size
+            # the seek table and the python metadata loop (up to 4e9)
+            raise ValueError(
+                f"Header nz={int(self._header['nz'])} exceeds file size "
+                f"{self._file_size}")
+        self._structures = ReCoDeStructures(self._header)
 
         sm = self._structures.standard_frame_metadata_structure_for(level, mode)
         nsm = self._rc_header.non_standard_metadata_sizes
@@ -102,7 +119,13 @@ class ReCoDeReader:
         sm = self._structures.standard_frame_metadata_structure_for(level, mode)
         nz = int(self._header["nz"])
 
-        self._fp.seek(self._rc_header.get_frame_data_offset(True, self._sz_frame_metadata), 0)
+        meta_start = self._rc_header.get_frame_data_offset(True, self._sz_frame_metadata)
+        if meta_start + nz * self._sz_frame_metadata > self._file_size:
+            raise ValueError(
+                "Frame metadata table extends past end of file "
+                f"(nz={nz}, {self._sz_frame_metadata} B/frame, "
+                f"file is {self._file_size} B)")
+        self._fp.seek(meta_start, 0)
         raw = self._fp.read(nz * self._sz_frame_metadata)
 
         self._frame_metadata = []
@@ -122,6 +145,14 @@ class ReCoDeReader:
             self._seek_table[z, 0] = self._structures.get_frame_data_size(
                 level, mode, self._frame_metadata[z])
         self._seek_table[1:, 1] = np.cumsum(self._seek_table[:-1, 0])
+        # corrupt u32 length fields make the cumulative frame sizes overrun
+        # the file — catch it here once instead of short-read surprises (or
+        # giant buffer allocations) at every later get_frame
+        if nz and int(self._seek_table[-1, 1] + self._seek_table[-1, 0]) > (
+                self._file_size - self._frame_data_start_position):
+            raise ValueError(
+                "Seek table extends past end of file (corrupt per-frame "
+                "length fields)")
 
     # ------------------------------------------------------------- properties
 
@@ -176,7 +207,7 @@ class ReCoDeReader:
         """Random access to frame z (merged files only, recode_reader.py:188)."""
         if self._is_intermediate:
             raise ValueError("Random access is not available for intermediate files")
-        if z >= int(self._header["nz"]):
+        if not 0 <= z < int(self._header["nz"]):
             raise ValueError("Requested frame index is greater than number of frames in dataset")
         self._fp.seek(self._frame_data_start_position + int(self._seek_table[z, 1]), 0)
         if self._file_size - self._fp.tell() == 0:
@@ -318,12 +349,20 @@ class ReCoDeReader:
 
     # --------------------------------------------------------- batched decode
 
-    def read_frames_dense(self, start: int, count: int, use_tpu: bool = True) -> np.ndarray:
+    def read_frames_dense(self, start: int, count: int, use_tpu: bool = True,
+                          verify: bool = False) -> np.ndarray:
         """Bulk-decode ``count`` frames starting at ``start`` to a dense array.
 
         A TPU-batched extension beyond the reference API: L1 frames decode on
         device via :func:`pyrecode_tpu.ops.decode_l1_frames` (one fused gather
         kernel for the whole batch).
+
+        ``verify`` — integrity/speed tradeoff for scheme-12 containers: the
+        default fast path (the fully-device gap chain) never materializes
+        bitmap bytes, so stream adler32 checksums are NOT checked and on-disk
+        corruption decodes to garbage.  ``verify=True`` routes the decode
+        through the byte-reconstruction path, which verifies every stream's
+        adler32 and raises on mismatch (at ~1/3 the read throughput).
         """
         if self._is_intermediate:
             raise ValueError("Random access is not available for intermediate files")
@@ -366,7 +405,7 @@ class ReCoDeReader:
             if all(pv is not None for _, pv in raw_blobs):
                 dense = _rans.decode_l1_gap_device(
                     [bm for bm, _ in raw_blobs],
-                    [pv for _, pv in raw_blobs], ny, nx)
+                    [pv for _, pv in raw_blobs], ny, nx, verify=verify)
                 if dense is not None:
                     return dense.astype(self._numpy_dtype)
         if dev12:

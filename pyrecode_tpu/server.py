@@ -337,7 +337,18 @@ def _process_node_main(node_id, init_params, input_params, session_id,
     process may own the TPU chip, and that is the head's — process
     isolation trades device batching for crash containment.
     """
-    os.environ["JAX_PLATFORMS"] = "cpu"   # defensive: never grab the chip
+    # Never grab the chip: exactly one process may own the TPU and it is
+    # the head's.  The env var alone is NOT sufficient in this environment
+    # (a sitecustomize hook pins the TPU plugin at interpreter start), so
+    # pin the platform through jax.config — the same mechanism the test
+    # conftest uses — before anything can call jax.devices().
+    os.environ["JAX_PLATFORMS"] = "cpu"   # secondary guard for subprocesses
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     init_params._use_tpu = False
 
     class _MPLogger:

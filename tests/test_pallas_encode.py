@@ -322,3 +322,32 @@ def test_encode_positions_packed_wide_values():
         assert np.array_equal(np.asarray(pos)[i, :n], ref), i
         assert np.array_equal(np.asarray(comp)[i, :n],
                               flat[ref] & 0xFFF), i
+
+
+@pytest.mark.parametrize("vbits,hw", [(13, (128, 256)), (16, (64, 512))])
+def test_encode_positions_packed_deep_values(vbits, hw):
+    """bit_depth 13-16 with packed positions (ADVICE r4 high): the
+    butterfly-wide select needs the 9-bit move distance ABOVE the
+    lane|value payload inside 30 bits, so vbits > 12 must route to
+    rank-match-wide instead of crashing at kernel build.  128x256 with
+    pos_vbits=13 is the exact reproduced crash config."""
+    from pyrecode_tpu.ops.pallas_encode import encode_l1_pallas
+
+    H, W = hw
+    rng = np.random.default_rng(vbits)
+    B = 2
+    frames = (rng.integers(1, 1 << 16, (B, H, W))
+              * (rng.random((B, H, W)) < 0.03)).astype(np.uint16)
+    thr = np.zeros((H, W), np.uint16)
+    bitmap, comp, counts, ovf, pos = encode_l1_pallas(
+        frames, thr, out_size=2048, bucket=0, interpret=True,
+        with_positions=True, pos_vbits=vbits)
+    assert not np.asarray(ovf).any()
+    mask = (1 << vbits) - 1
+    for i in range(B):
+        flat = frames[i].reshape(-1)
+        ref = np.flatnonzero(flat)
+        n = int(np.asarray(counts)[i])
+        assert n == ref.size
+        assert np.array_equal(np.asarray(pos)[i, :n], ref), i
+        assert np.array_equal(np.asarray(comp)[i, :n], flat[ref] & mask), i

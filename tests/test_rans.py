@@ -604,3 +604,31 @@ def test_decode_l1_gap_device_full_chain():
                     for i in range(B)]
     assert rans.decode_l1_gap_device(host_streams, pk_streams, H, W,
                                      interpret=True) is None
+
+
+def test_decode_l1_gap_device_geometry_fallback():
+    """Shapes the posdecode kernel cannot take (non-pow2 SUB, chunk px
+    beyond 15 bits) return None for the byte-path fallback instead of
+    tripping kernel asserts (ADVICE r4 medium).  The geometry check runs
+    before stream parsing, so placeholder streams suffice."""
+    from pyrecode_tpu.codecs import rans
+
+    dummy = [b"\x00" * 16]
+    # W=384 -> SUB=384, not a power of two
+    assert rans.decode_l1_gap_device(dummy, dummy, 384, 384,
+                                     interpret=True) is None
+    # W=8192 -> RPC bottoms out at 8, chunk px = 65536 > 2^15
+    assert rans.decode_l1_gap_device(dummy, dummy, 8192, 8192,
+                                     interpret=True) is None
+
+
+def test_decode_l1_gap_device_verify_opts_out():
+    """verify=True falls back to the adler-checked byte path (returns
+    None) — the gap chain never materializes bitmap bytes so it cannot
+    check stream checksums itself (ADVICE r4 low)."""
+    from pyrecode_tpu.codecs import rans
+
+    dummy = [b"\x00" * 16]
+    assert rans.decode_l1_gap_device(dummy, dummy, 128, 512,
+                                     interpret=True,
+                                     verify=True) is None
