@@ -162,6 +162,91 @@ def histogram_np(sym: np.ndarray) -> np.ndarray:
     return freq
 
 
+def gap_token_count(G: np.ndarray) -> np.ndarray:
+    """Number of tokens coding a maximal zero-run of ``G`` bytes.
+
+    Closed form of the per-byte rules above evaluated over one run:
+    G <= 3 -> G literals; G >= 4 -> 1 leading literal + j258 take-258
+    matches + (2 if the remainder is 259/260 — a 255-take then its 4/5
+    tail — else 1) final matches.
+    """
+    G = np.asarray(G, dtype=np.int64)
+    j258 = np.maximum(0, (G - 262) // 258 + 1)
+    rem_after = G - 1 - 258 * j258
+    tail = np.where(rem_after >= 259, 2, 1)
+    return np.where(G <= 3, G, 1 + j258 + tail).astype(np.int64)
+
+
+def gap_token_value(G: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """LUT index of the ``j``-th token (0-based) of a ``G``-byte zero run.
+
+    j == 0 (or any j < G for G <= 3) -> literal 0; otherwise match take
+    per the run schedule: 258-takes, then 255 + its 4/5 tail, or the
+    direct final take.  Callers guarantee 0 <= j < gap_token_count(G).
+    """
+    G = np.asarray(G, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    j258 = np.maximum(0, (G - 262) // 258 + 1)
+    rem_after = G - 1 - 258 * j258
+    # match ordinal (1-based): j itself (slot 0 is the leading literal)
+    take = np.where(j <= j258, 258,
+                    np.where(rem_after >= 259,
+                             np.where(j == j258 + 1, 255, rem_after - 255),
+                             rem_after))
+    lut = np.where((G <= 3) | (j == 0), 0, 256 + take - 3)
+    return lut.astype(np.int32)
+
+
+def tokens_from_pairs_np(idx: np.ndarray, val: np.ndarray, n: int
+                         ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Dense deflate token stream straight from (byte index, byte value)
+    pairs of the NONZERO bitmap bytes — the numpy reference for the
+    positions-driven device tokenizer (no 2 MB byte scan; work scales with
+    foreground bytes, 12x fewer at 1% occupancy).
+
+    ``idx`` strictly ascending nonzero-byte indices, ``val`` their values
+    (> 0), ``n`` total bitmap bytes.  Returns (lut_idx, sym) dense token
+    arrays identical to compacting :func:`tokenize_bytes_np`'s per-byte
+    output, or ``None`` when a nonzero run of length >= 4 exists (equal
+    values at >= 4 consecutive indices — those runs emit matches, which
+    this per-isolated-byte formulation does not model; callers fall back
+    to the byte tokenizer.  Nonzero runs of length <= 3 are all literals
+    under the run < 4 rule, so they need no special casing).
+    """
+    idx = np.asarray(idx, dtype=np.int64)
+    val = np.asarray(val, dtype=np.int64)
+    if idx.size >= 4:
+        # a nonzero run of length >= 4 <=> 3 consecutive "continues the
+        # run" flags somewhere
+        run = (idx[1:] == idx[:-1] + 1) & (val[1:] == val[:-1])
+        if np.any(run[2:] & run[1:-1] & run[:-2]):
+            return None
+    # element list: each nonzero byte preceded by its zero gap, plus one
+    # sentinel element for the tail gap (no literal of its own)
+    gaps = np.diff(np.concatenate(([-1], idx, [n]))) - 1  # per element + tail
+    gap_counts = gap_token_count(gaps)
+    t = gap_counts + 1
+    t[-1] -= 1                                  # sentinel: gap tokens only
+    offs = np.concatenate(([0], np.cumsum(t)))
+    total = int(offs[-1])
+    lut_idx = np.zeros(total, dtype=np.int32)
+    sym = np.zeros(total, dtype=np.int32)
+    for i in range(gaps.size):
+        G = int(gaps[i])
+        o = int(offs[i])
+        tc = int(gap_counts[i])
+        if tc:
+            jj = np.arange(tc)
+            lv = gap_token_value(G, jj)
+            lut_idx[o: o + tc] = lv
+            sym[o: o + tc] = np.where(
+                lv < 256, lv, 257 + length_code(lv - 256 + 3))
+        if i < idx.size:
+            lut_idx[o + tc] = val[i]
+            sym[o + tc] = val[i]
+    return lut_idx, sym
+
+
 # ------------------------------------------------------------------- assembly
 
 
@@ -397,6 +482,30 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
             dens = tok_counts / np.maximum(lengths.astype(np.int64), 1)
         hint_state["density"] = float(dens.max())
 
+    return _tables_assemble_finish(
+        tok, npad, out_bound, hist_np, adler_np, tok_counts, lengths,
+        raw_cb, streams, interpret,
+        compacted=npad != streams.shape[1])
+
+
+def _tables_assemble_finish(tok, npad, out_bound, hist_np, adler_np,
+                            tok_counts, lengths, raw_cb, streams, interpret,
+                            compacted):
+    """Shared tail of the device deflate paths: host Huffman tables +
+    header, early stored decision, device bit assembly, splice/finish.
+
+    ``tok`` is either the compacted dense token stream or the per-byte
+    inverted stream (``compacted`` selects the window estimate);
+    ``streams`` may be None (positions-driven path) if ``raw_cb`` covers
+    the stored-block fallback readbacks.
+    """
+    import jax.numpy as jnp
+
+    from .. import native
+    from ..ops import pallas_deflate as pdk
+
+    B = int(hist_np.shape[0])
+    lengths = np.asarray(lengths, dtype=np.int32)
     luts = np.zeros((B, 48, 32), np.float32)
     hdrs, hdr_bits, eobs = [], [], []
     phases = np.zeros(B, np.int32)

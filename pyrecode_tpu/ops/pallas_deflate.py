@@ -61,7 +61,11 @@ from .pallas_encode import _compact_chunk, _cumsum_lanes, _store_window
 
 CH_A = 16384         # pass-A bytes per grid step ((8, 2048) tile: per-step
 ROWS_A, SUB_A = 8, 2048   # fixed costs amortize; scans grow only log-width)
-CH_B = 4096          # pass-B tokens per grid step
+CH_B = 4096          # pass-B tokens per grid step.  r5 hw sweep: 8192 is a
+#                      wash (bm assemble 2.80 -> 2.93, pk 2.49 -> 2.19
+#                      ms/batch) — the scatter matmul volume scales with
+#                      CH_B x NW, so bigger steps buy nothing; the serial
+#                      step chain is NOT the bottleneck.
 MAX_TOKEN_BITS = 21  # lit code <= 15; match = len code 15 + extra 5 + dist 1
 
 

@@ -480,7 +480,7 @@ def make_pack_matrix(sub: int):
 @functools.lru_cache(maxsize=64)
 def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
                      spf_steps=0, align=128, with_positions=False,
-                     pos_vbits=0):
+                     pos_vbits=0, pairs_out=0):
     """Build (and cache) the pallas_call for one static configuration.
 
     ``spf_steps > 0`` enables *stacked subframes*: H is ``n_sub`` frames of
@@ -500,13 +500,29 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
     assert not (with_positions and spf_steps), \
         "fused positions not supported on the stacked-subframe path"
     assert not (with_positions and not with_values)
+    assert not (pairs_out and (spf_steps or with_positions or SUB != 512
+                               or (RPC * W // SUB) % 2)), \
+        "fused bitmap pairs: plain path, SUB=512, even sub-row count"
+    # pairs compaction geometry: 2 sub-rows of bitmap bytes per 128-lane
+    # row so the dual-packed machinery runs at native lane width
+    S2 = (RPC * W // SUB) // 2 if pairs_out else 0
+    CB = S2 * C1                     # pairs window capacity
+    WINB = CB + 128 if pairs_out else 0
+    chunk_bytes = RPC * W // 8
 
-    def kernel(x_ref, t_ref, pack_ref, lti_ref, bitmap_ref, comp_ref,
-               count_ref, ovf_ref, *rest):
-        if with_positions:
-            pos_ref, off_sref, tail_ref, tail_pos_ref = rest
+    def kernel(*args):
+        pack2_ref = None
+        if pairs_out:
+            (x_ref, t_ref, pack_ref, lti_ref, pack2_ref, bitmap_ref,
+             comp_ref, count_ref, ovf_ref, pairs_ref, pcount_ref,
+             off_sref, tail_ref, offp_sref, tailp_ref) = args
+        elif with_positions:
+            (x_ref, t_ref, pack_ref, lti_ref, bitmap_ref, comp_ref,
+             count_ref, ovf_ref, pos_ref, off_sref, tail_ref,
+             tail_pos_ref) = args
         else:
-            off_sref, tail_ref = rest
+            (x_ref, t_ref, pack_ref, lti_ref, bitmap_ref, comp_ref,
+             count_ref, ovf_ref, off_sref, tail_ref) = args
         h = pl.program_id(1)
 
         @pl.when(h == 0)
@@ -518,6 +534,10 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
             if with_positions:
                 pos_ref[...] = jnp.zeros_like(pos_ref)
                 tail_pos_ref[...] = jnp.zeros_like(tail_pos_ref)
+            if pairs_out:
+                pairs_ref[...] = jnp.zeros_like(pairs_ref)
+                tailp_ref[...] = jnp.zeros_like(tailp_ref)
+                offp_sref[0] = 0
 
         if spf_steps and with_values:
             @pl.when((h > 0) & (h % spf_steps == 0))
@@ -544,6 +564,36 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
         bytes_f = jnp.dot(mask.astype(jnp.float32), pack_ref[...],
                           preferred_element_type=jnp.float32)
         bitmap_ref[0] = bytes_f.astype(jnp.int32).astype(jnp.uint8)
+
+        if pairs_out:
+            # ---- nonzero bitmap-byte (index, value) pairs: the positions-
+            # driven scheme-0 deflate front end (codecs/dyndeflate.
+            # tokens_from_pairs_np).  The chunk's bytes are recomputed at
+            # (S2, 128) layout — two sub-rows per native-width lane row,
+            # byte order preserved — via a second pack matmul (a direct
+            # (S, 64) -> (S2, 128) reshape is a lane-split Mosaic rejects)
+            # and compacted by the same dual-packed machinery as the
+            # scheme-12 positions path with vbits=8 (payload
+            # (byte_pos << 8) | byte_value, 21 bits chunk-local).
+            # cast BEFORE the lane-merge reshape: reshaping the 1-bit mask
+            # vector trips Mosaic's changeBitwidth path
+            mask2 = mask.astype(jnp.float32).reshape(S2, 2 * SUB)
+            bvals = jnp.dot(mask2, pack2_ref[...],
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.int32)
+            m2b = (bvals > 0).astype(jnp.int32)
+            accb_v, accb_p, bcnt, ovfb = _compact_chunk_dual_packed(
+                m2b, bvals, S2, 128, C1, CB, 8)
+            wio_b = jax.lax.broadcasted_iota(jnp.int32, (1, CB), 1)
+            accb = ((accb_p << 8) | accb_v) + jnp.where(
+                wio_b < bcnt, (h * chunk_bytes) << 8, 0)
+            ovfb_store = _store_window(pairs_ref, tailp_ref, offp_sref,
+                                       accb, bcnt, pairs_out, WINB, CB)
+            ovf_ref[0, 0, 0] |= jnp.int32(ovfb | ovfb_store)
+
+            @pl.when(h == n_chunks - 1)
+            def _():
+                pcount_ref[0, 0, 0] = offp_sref[0]
 
         if not with_values:  # L3: bitmap + count only
             off_sref[0] = off_sref[0] + jnp.sum(mask.astype(jnp.int32))
@@ -603,17 +653,33 @@ def _build_l1_kernel(B, H, W, OUT, RPC, SUB, C1, with_values, interpret,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((B, 1, OUT + WIN), jnp.int32))
         scratch.append(pltpu.VMEM((1, WIN), jnp.int32))
+    if pairs_out:
+        out_specs.insert(4, pl.BlockSpec((1, 1, pairs_out + WINB),
+                                         lambda b, h: (b, 0, 0),
+                                         memory_space=pltpu.VMEM))
+        out_shape.insert(4, jax.ShapeDtypeStruct((B, 1, pairs_out + WINB),
+                                                 jnp.int32))
+        out_specs.insert(5, pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
+                                         memory_space=pltpu.SMEM))
+        out_shape.insert(5, jax.ShapeDtypeStruct((B, 1, 1), jnp.int32))
+        scratch += [pltpu.SMEM((1,), jnp.int32),
+                    pltpu.VMEM((1, WINB), jnp.int32)]
+
+    in_specs = [
+        pl.BlockSpec((1, RPC, W), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((RPC, W), lambda b, h: (h % t_steps, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((SUB, SUB // 8), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((SUB, SUB), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if pairs_out:
+        in_specs.append(pl.BlockSpec((2 * SUB, SUB // 4), lambda b, h: (0, 0),
+                                     memory_space=pltpu.VMEM))
 
     call = pl.pallas_call(
         kernel,
         grid=(B, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, RPC, W), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RPC, W), lambda b, h: (h % t_steps, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, SUB // 8), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, SUB), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
@@ -659,28 +725,38 @@ def _choose_rpc(height: int, width: int, out_size: int = 0) -> int:
 
 @functools.partial(jax.jit, static_argnames=("out_size", "c1", "with_values",
                                               "interpret", "n_sub", "align",
-                                              "with_positions", "pos_vbits"))
+                                              "with_positions", "pos_vbits",
+                                              "pairs_out"))
 def _encode_call(frames, threshold, out_size, c1, with_values, interpret,
-                 n_sub=1, align=128, with_positions=False, pos_vbits=0):
+                 n_sub=1, align=128, with_positions=False, pos_vbits=0,
+                 pairs_out=0):
     B, H, W = frames.shape
     rpc = _choose_rpc(H // n_sub, W, out_size)
     call, pack_mat, lti_mat = _build_l1_kernel(
         B, H, W, out_size, rpc, _choose_sub(W), c1, with_values, interpret,
         spf_steps=(H // n_sub) // rpc if n_sub > 1 else 0, align=align,
-        with_positions=with_positions, pos_vbits=pos_vbits)
-    outs = call(frames, threshold, pack_mat, lti_mat)
+        with_positions=with_positions, pos_vbits=pos_vbits,
+        pairs_out=pairs_out)
+    if pairs_out:
+        outs = call(frames, threshold, pack_mat, lti_mat,
+                    make_pack_matrix(2 * _choose_sub(W)))
+    else:
+        outs = call(frames, threshold, pack_mat, lti_mat)
     bitmap, comp, counts, ovf = outs[:4]
     bitmap = bitmap.reshape(B, H * (W // 8))
     comp = comp[:, 0, :out_size]
     ret = (bitmap, comp, counts[:, 0, 0], ovf[:, 0, 0] != 0)
     if with_positions:
         ret = ret + (outs[4][:, 0, :out_size],)
+    if pairs_out:
+        ret = ret + (outs[4][:, 0, :pairs_out], outs[5][:, 0, 0])
     return ret
 
 
 def encode_l1_pallas(frames, threshold, out_size: int, bucket: int = 0,
                      with_values: bool = True, interpret: Optional[bool] = None,
-                     with_positions: bool = False, pos_vbits: int = 0):
+                     with_positions: bool = False, pos_vbits: int = 0,
+                     pairs_out: int = 0):
     """Run the fused kernel at the given capacity bucket.
 
     Returns (bitmap (B, H*W/8) u8, compacted (B, out_size) i32 or None,
@@ -699,15 +775,25 @@ def encode_l1_pallas(frames, threshold, out_size: int, bucket: int = 0,
     compacted values are then masked to their low ``pos_vbits`` bits —
     identical wire bytes (bit packing keeps exactly those bits) and the
     scheme-12 value alphabet requires it anyway.  0 = unpacked dual path.
+
+    ``pairs_out`` > 0 appends TWO outputs: a dense stream of the NONZERO
+    bitmap-byte (index, value) pairs packed ``(byte_index << 8) | value``
+    (``pairs_out`` i32 slots per frame) and their per-frame counts — the
+    positions-driven scheme-0 deflate front end (the deflate tokenizer's
+    run structure derives from these pairs without rescanning the 2 MB
+    byte stream, codecs/dyndeflate.tokens_from_pairs_np).  Requires the
+    plain path (no fused positions) at SUB=512 geometry.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     c1 = CAPACITY_BUCKETS[bucket]
     out_aligned = max(128, -(-out_size // 128) * 128)
+    pairs_aligned = max(128, -(-pairs_out // 128) * 128) if pairs_out else 0
     outs = _encode_call(
         frames, threshold, out_aligned, c1, with_values, bool(interpret),
         with_positions=with_positions,
-        pos_vbits=pos_vbits if with_positions else 0)
+        pos_vbits=pos_vbits if with_positions else 0,
+        pairs_out=pairs_aligned)
     bitmap, comp, counts, ovf = outs[:4]
     if not with_values:
         comp = None
@@ -718,6 +804,9 @@ def encode_l1_pallas(frames, threshold, out_size: int, bucket: int = 0,
         if out_aligned != out_size:
             pos = pos[:, :out_size]
         return bitmap, comp, counts, ovf, pos
+    if pairs_out:
+        pairs = outs[4][:, :pairs_out]
+        return bitmap, comp, counts, ovf, pairs, outs[5]
     return bitmap, comp, counts, ovf
 
 

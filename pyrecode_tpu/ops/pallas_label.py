@@ -108,6 +108,10 @@ def _build_l2l4_kernel(B, H, W, OUT, RPC, K, SUB, C1, mode, bit_depth, interpret
     WIN = C2 + 128
     is_l4 = mode.startswith("l4")
     with_stats = not is_l4
+    # L2 sums saturate at the declared bit depth, matching
+    # oracle.reduce_frame (which clamps before bit-packing so large puddle
+    # sums don't silently truncate); hw-gated at 4096^2 for BOTH
+    # statistics since round 5 (tools/verify_hw.py)
     stat_limit = (1 << bit_depth) - 1
     D = 2 * K + 1            # displacement-code row stride
 

@@ -20,7 +20,9 @@ def _check_l2(frames, thr, bitmap, stats, counts, statistic):
         assert np.asarray(bitmap)[i].tobytes() == enc["packed_binary_map"], i
         labels, num = oracle.label_components(frames[i] > thr)
         # stats are over RAW frame values, not residuals (reference
-        # recode_writer.py:446 passes `frame`; oracle.reduce_frame agrees)
+        # recode_writer.py:446 passes `frame`; oracle.reduce_frame agrees),
+        # saturated at the declared bit depth exactly like
+        # oracle.reduce_frame clamps before bit-packing
         exp = np.minimum(oracle.l2_summary_stats(labels, frames[i], num,
                                                  statistic), 4095)
         n = int(np.asarray(counts)[i])

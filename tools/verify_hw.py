@@ -70,6 +70,61 @@ def main() -> int:
                     ok &= np.asarray(res.packed)[i][: len(pv)].tobytes() == pv
             check(f"encode L{level} dens={dens} vs oracle", ok)
 
+    # ---- production frame size: L1 (both kernel variants) and L2/L4 at
+    # 4096^2 vs oracle — the bench/headline config (VERDICT r4: every
+    # L2/L4 hw-verify row was 512^2; halo/NG/overflow machinery was never
+    # exercised at 8x the tested height) ----
+    from pyrecode_tpu.ops.pallas_encode import encode_l1_pallas as _el1
+    from pyrecode_tpu.ops.pallas_label import encode_l2l4_pallas as _el24
+
+    bigfr = np.where(rng.random((2, 4096, 4096)) < 0.01,
+                     rng.integers(1, 4096, (2, 4096, 4096)), 0
+                     ).astype(np.uint16)
+    bigthr = np.zeros((4096, 4096), np.uint16)
+    bb, bc, bn, bo = _el1(jnp.asarray(bigfr), jnp.asarray(bigthr),
+                          out_size=1 << 19, bucket=0, interpret=False)
+    qb, qc, qn, qo, qpos4k = _el1(jnp.asarray(bigfr), jnp.asarray(bigthr),
+                                  out_size=1 << 19, bucket=0,
+                                  interpret=False, with_positions=True,
+                                  pos_vbits=12)
+    ok4k = not (np.asarray(bo).any() or np.asarray(qo).any())
+    for i in range(2):
+        enc = oracle.reduce_frame(bigfr[i], bigthr, 1, 12)
+        ref_pos = np.flatnonzero(bigfr[i].reshape(-1))
+        n_pl, n_pk = int(np.asarray(bn)[i]), int(np.asarray(qn)[i])
+        ok4k = ok4k and \
+            np.asarray(bb)[i].tobytes() == enc["packed_binary_map"] and \
+            np.array_equal(np.asarray(qb)[i], np.asarray(bb)[i]) and \
+            n_pl == ref_pos.size and n_pk == ref_pos.size and \
+            np.array_equal(np.asarray(bc)[i, :n_pl],
+                           np.asarray(qc)[i, :n_pl]) and \
+            np.array_equal(np.asarray(qpos4k)[i, :n_pk], ref_pos)
+    check("encode L1 4096^2 plain AND packed-positions vs oracle", ok4k)
+
+    for level, stat, kw in ((2, "max", dict(statistic="max")),
+                            (2, "sum", dict(statistic="sum")),
+                            (4, "", dict(scheme="weighted_average"))):
+        lb, ls, ln, lo = _el24(jnp.asarray(bigfr), jnp.asarray(bigthr),
+                               level, out_size=1 << 19, bit_depth=12,
+                               interpret=False, **kw)
+        okl = not np.asarray(lo).any()
+        for i in range(2):
+            enc = oracle.reduce_frame(bigfr[i], bigthr, level, 12,
+                                      l2_statistic=stat or "max")
+            okl = okl and np.asarray(lb)[i].tobytes() == \
+                enc["packed_binary_map"]
+            if level == 2:
+                nvals = int(np.asarray(ln)[i])
+                ref_vals = oracle.bit_unpack(
+                    np.frombuffer(enc["packed_pixvals"], np.uint8),
+                    12, nvals)
+                # both sides saturate sums at the declared bit depth
+                # before packing (oracle.reduce_frame semantics)
+                okl = okl and np.array_equal(
+                    np.asarray(ls)[i, :nvals].astype(np.uint64), ref_vals)
+        check(f"encode L{level}{'/' + stat if stat else ''} 4096^2 "
+              "vs oracle", okl)
+
     # ---- fused positions output (scheme-12 gap entropy front end) ----
     from pyrecode_tpu.ops.pallas_encode import encode_l1_pallas
 
