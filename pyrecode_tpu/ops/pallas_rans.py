@@ -412,22 +412,139 @@ WROWS = 16              # decode word window, (WROWS, 128) u32 word rows:
 #                         <= 6148 B = 12.01 rows
 
 
+def _fused_step(body_ref, tab_ref, m_ref, syms_ref, ovf_ref, x_vref,
+                cur_sref, h, WR, NROWS):
+    """One grid step of the fused (groups == ROWS_R) decode: 8192
+    independent states advance together — see _build_rans_decode_kernel."""
+    W8 = ROWS_R * W_LANES
+    m = m_ref[0, 0, 0]
+    tab_i = tab_ref[0].astype(jnp.int32)               # (96, 128)
+    tab_planes = jnp.concatenate(
+        [(tab_i & 255).astype(jnp.bfloat16),
+         (tab_i >> 8).astype(jnp.bfloat16)], axis=0)   # (192, 128)
+
+    lam = jax.lax.broadcasted_iota(jnp.int32, (1, W8), 1)
+    active = (h * W8 + lam) < m
+
+    x = x_vref[...]                                    # (1, W8)
+    slot = x & (M_TOT - 1)
+    io128 = jax.lax.broadcasted_iota(jnp.int32, (128, W8), 0)
+    io32 = jax.lax.broadcasted_iota(jnp.int32, (32, W8), 0)
+    oh_lo = ((slot & 127) == io128).astype(jnp.bfloat16)
+    oh_hi = ((slot >> 7) == io32).astype(jnp.float32)
+    m1 = jnp.dot(tab_planes, oh_lo,
+                 preferred_element_type=jnp.float32)   # (192, W8)
+
+    def _sel(lo_rows, hi_rows_):
+        v = jnp.sum(oh_hi * m1[lo_rows:lo_rows + 32], axis=0,
+                    keepdims=True).astype(jnp.int32)
+        vh = jnp.sum(oh_hi * m1[hi_rows_:hi_rows_ + 32], axis=0,
+                     keepdims=True).astype(jnp.int32)
+        return v + (vh << 8)
+
+    sym = _sel(0, 96)
+    fs = _sel(32, 128)
+    rem = _sel(64, 160)
+    xp = fs * (x >> PROB_BITS) + rem
+
+    nb = jnp.where(active,
+                   (xp < RANS_L).astype(jnp.int32)
+                   + (xp < (RANS_L >> 8)).astype(jnp.int32), 0)
+    incl = _cumsum_lanes(nb, W8)
+    pos = cur_sref[0] + incl - nb
+    total = incl[0, W8 - 1]
+
+    # narrow-window miss: clamp the gathers (results become garbage) and
+    # flag — the caller re-runs the whole decode with the wide variant.
+    # The window starts 8-row aligned <= 4095 B behind the cursor.
+    row0 = (cur_sref[0] >> 9) & ~7
+    cap = (row0 + WR) * 512 - 4                        # last safe byte + 3
+    ovf_ref[0, 0, 0] |= jnp.int32(cur_sref[0] + total + 1 > cap)
+    pos = jnp.minimum(pos, cap - 1)
+
+    del NROWS  # wrapper pads every body by the WIDE window, so row0 + WR
+    #            stays in bounds for both variants
+    w0w = row0 * 128
+    win = body_ref[0, pl.ds(pl.multiple_of(row0, 8), WR), :]
+    win_i = win.astype(jnp.int32)                      # (WR, 128) words
+    widx_a = (pos >> 2) - w0w
+    widx_b = ((pos + 1) >> 2) - w0w
+    widx2 = jnp.concatenate([widx_a, widx_b], axis=1)  # (1, 2*W8)
+    bsel2 = jnp.concatenate([pos & 3, (pos + 1) & 3], axis=1)
+    io128_2 = jax.lax.broadcasted_iota(jnp.int32, (128, 2 * W8), 0)
+    iowr_2 = jax.lax.broadcasted_iota(jnp.int32, (WR, 2 * W8), 0)
+    olo2 = ((widx2 & 127) == io128_2).astype(jnp.bfloat16)
+    ohi2 = widx2 >> 7
+    planes = jnp.concatenate(
+        [((win_i >> (8 * k)) & 255).astype(jnp.bfloat16)
+         for k in range(4)], axis=0)                   # (4*WR, 128)
+    prod = jax.lax.dot_general(
+        planes, olo2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (4*WR, 2*W8)
+    rowsel = (iowr_2 == ohi2).astype(jnp.float32)
+    sels = [jnp.sum(rowsel * prod[k * WR:(k + 1) * WR], axis=0,
+                    keepdims=True).astype(jnp.int32)
+            for k in range(4)]
+    byte2 = jnp.where(
+        bsel2 < 2,
+        jnp.where(bsel2 == 0, sels[0], sels[1]),
+        jnp.where(bsel2 == 2, sels[2], sels[3]))
+    b1 = byte2[:, :W8]
+    b2 = byte2[:, W8:]
+
+    x1 = jnp.where(nb >= 1, (xp << 8) | b1, xp)
+    x2 = jnp.where(nb == 2, (x1 << 8) | b2, x1)
+    x_vref[...] = jnp.where(active, x2, x)
+    cur_sref[0] = cur_sref[0] + total
+
+    symz = jnp.where(active, sym, 0)
+    for r in range(ROWS_R):
+        syms_ref[0, 0, r, :] = symz[0, r * W_LANES:(r + 1) * W_LANES]
+
+
 @functools.lru_cache(maxsize=16)
-def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret, groups=1):
+def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret, groups=1,
+                              wide=False):
     """``groups`` mirrors the encode kernel: per-row interleave-state rows
-    (format nways = groups * W_LANES) break the serial row chain."""
+    (format nways = groups * W_LANES) break the serial row chain.
+
+    With ``groups == ROWS_R`` the whole grid step is FUSED: all 8 rows'
+    states are independent, so slot lookups, renorm counts and byte
+    positions for all 8192 symbols are computed up front and the step runs
+    as one flat (1, 8192) program — no serial row chain at all (r5: the
+    per-row form spent ~half its time in inter-segment dependency stalls).
+    The fused fetch runs at TWO window sizes: the narrow default (16 word
+    rows — covers >= 4093 bytes/step past the 8-row-alignment slack,
+    far above the ~1 KB a compressed step actually consumes) clamps its
+    gathers and flags ``ovf`` when a step consumes more; the wrapper then
+    re-runs the whole decode with ``wide=True`` (48 rows — the provable
+    2-bytes-per-symbol worst case) via lax.cond, so the escalation stays
+    inside one jit with no host round trip.
+    """
     assert groups in (1, ROWS_R)
     n_steps = NPAD // CH_R
     NROWS = BWORDS // 128
+    fused = groups == ROWS_R
+    WR = (48 if wide else WROWS) if fused else WROWS
 
-    def kernel(body_ref, tab_ref, st_ref, m_ref, syms_ref,
+    def kernel(body_ref, tab_ref, st_ref, m_ref, syms_ref, ovf_ref,
                x_vref, cur_sref):
         h = pl.program_id(1)
 
         @pl.when(h == 0)
         def _():
-            x_vref[...] = st_ref[0].astype(jnp.int32)
+            if fused:
+                x_vref[...] = st_ref[0].astype(jnp.int32).reshape(
+                    1, ROWS_R * W_LANES)
+            else:
+                x_vref[...] = st_ref[0].astype(jnp.int32)
             cur_sref[0] = 0          # bytes consumed (reversed-body coords)
+            ovf_ref[0, 0, 0] = 0
+
+        if fused:
+            _fused_step(body_ref, tab_ref, m_ref, syms_ref, ovf_ref,
+                        x_vref, cur_sref, h, WR, NROWS)
+            return
 
         m = m_ref[0, 0, 0]
         tab = tab_ref[0]                                   # (96, 128) f32
@@ -537,11 +654,15 @@ def _build_rans_decode_kernel(B, NPAD, BWORDS, interpret, groups=1):
         out_specs=[
             pl.BlockSpec((1, 1, ROWS_R, W_LANES), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, n_steps, ROWS_R, W_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((groups, W_LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, ROWS_R * W_LANES) if fused
+                                   else (groups, W_LANES), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -571,20 +692,33 @@ def rans_decode_pallas(body_rev, states, m, npad, tab, interpret=None,
         interpret = jax.devices()[0].platform != "tpu"
     B, BW = body_rev.shape
     assert BW % 512 == 0 and npad % CH_R == 0
-    # the kernel always reads full (WROWS, 128) word windows, and the cursor
-    # can sit at the body's very end: pad every body by one full window
-    pad = WROWS * 512
+    # the kernel always reads full word windows, and the cursor can sit at
+    # the body's very end: pad every body by one full window (48 rows = the
+    # fused path's worst-case window; covers the per-row path's 16 too)
+    pad = 48 * 512
     body_rev = jnp.pad(body_rev, ((0, 0), (0, pad)))
     BW = BW + pad
     words = jax.vmap(lambda v: jax.lax.bitcast_convert_type(
         v.reshape(BW // 4, 4), jnp.int32).reshape(BW // 4))(body_rev)
     call = _build_rans_decode_kernel(B, npad, BW // 4, bool(interpret),
                                      groups=groups)
-    syms = call(words.reshape(B, BW // 512, 128),
-                jnp.asarray(tab),
-                jnp.asarray(states).astype(jnp.int32)
-                .reshape(B, groups, W_LANES),
-                jnp.asarray(m).reshape(B, 1, 1).astype(jnp.int32))[0]
+    args = (words.reshape(B, BW // 512, 128),
+            jnp.asarray(tab),
+            jnp.asarray(states).astype(jnp.int32)
+            .reshape(B, groups, W_LANES),
+            jnp.asarray(m).reshape(B, 1, 1).astype(jnp.int32))
+    syms, ovf = call(*args)
+    if groups == ROWS_R:
+        # narrow-window miss (a step consumed > ~4 KB): re-run the whole
+        # decode at the worst-case window, still inside the jit
+        call_w = _build_rans_decode_kernel(B, npad, BW // 4,
+                                           bool(interpret), groups=groups,
+                                           wide=True)
+        syms = jax.lax.cond(
+            jnp.any(ovf != 0),
+            lambda ops: call_w(*ops)[0],
+            lambda ops: syms,
+            args)
     return syms.reshape(B, npad)
 
 

