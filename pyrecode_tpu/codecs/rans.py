@@ -1114,11 +1114,12 @@ def gap_chain_inputs(streams, kind):
     """Host-side prep (O(tables)) for the fully-device gap read chain.
 
     ``streams`` — per-frame scheme-12 byte streams, all of the SAME kind:
-    kind="gap" (bitmap as clear-run gaps, flags 2|4) or kind="sym"
-    (12-bit pixel values, flags 2).  Returns the padded device arrays for
-    :func:`decode_l1_gap_device`'s jitted core, or None when any stream is
-    stored / host-coded / uses a non-kernel lane count (caller falls back
-    to :func:`rans_decompress_device_batch` + bitmap decode).
+    kind="gap" (bitmap as clear-run gaps, flags 2|4), kind="sym" (12-bit
+    pixel values, flags 2) or kind="bm8" (bitmap BYTES as 8-bit symbols,
+    flags 2 — the dense-data flavor).  Returns the padded device arrays
+    for the jitted chain cores, or None when any stream is stored /
+    host-coded / uses a non-kernel lane count (caller falls back to
+    :func:`rans_decompress_device_batch` + bitmap decode).
     """
     import jax.numpy as jnp
 
@@ -1133,6 +1134,8 @@ def gap_chain_inputs(streams, kind):
         if kind == "gap" and not h.get("gap"):
             return None
         if kind == "sym" and (h.get("gap") or h["sym_bits"] != 12):
+            return None
+        if kind == "bm8" and (h.get("gap") or h["sym_bits"] != 8):
             return None
         if h["nways"] not in kernel_ways or h["nways"] != streams_nways(
                 metas, h):
@@ -1262,6 +1265,89 @@ def decode_l1_gap_device(bm_streams, pk_streams, height, width,
         dense, ovf = gap_chain_dense(bm_in, pk_in, height, width,
                                      bucket=bucket,
                                      interpret=bool(interpret))
+        if not bool(np.asarray(ovf).any()):
+            return np.asarray(dense).astype(np.uint16)
+    return None
+
+
+def symbol_chain_dense(bm_in, pk_in, height, width, bucket=0,
+                       interpret=False):
+    """Jitted core of the fully-device scheme-12 SYMBOL read chain.
+
+    Bitmap BYTES decode as 8-bit rANS symbols straight into the
+    bitmap-driven Pallas dense decode (values arrive rank-aligned from
+    the 12-bit symbol stream — no bit-pack round trip, no host bytes).
+    The dense-data complement of :func:`gap_chain_dense`; the fused
+    8-group decode kernel carries both.
+    """
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pallas_decode, pallas_rans as prk
+
+    bod_bm, st_bm, tab_bm, m_bm, npad_bm, grp_bm, ns_bm = bm_in
+    bod_pk, st_pk, tab_pk, m_pk, npad_pk, grp_pk, _ = pk_in
+    n_bytes = int(ns_bm[0])
+
+    @_ft.partial(jax.jit, static_argnames=("npad_b", "npad_p", "grp_b",
+                                           "grp_p", "H", "W", "nb",
+                                           "bucket", "interpret"))
+    def chain(b_bm, s_bm, t_bm, mb, b_pk, s_pk, t_pk, mp, npad_b, npad_p,
+              grp_b, grp_p, H, W, nb, bucket, interpret):
+        bmsym = prk.rans_decode_pallas(b_bm, s_bm, jnp.asarray(mb), npad_b,
+                                       t_bm, interpret=interpret,
+                                       groups=grp_b)
+        vals = prk.rans_decode_pallas(b_pk, s_pk, jnp.asarray(mp), npad_p,
+                                      t_pk, interpret=interpret,
+                                      groups=grp_p)
+        bitmap = bmsym[:, :nb].astype(jnp.uint8)
+        OUT = -(-max(vals.shape[1], 128) // 128) * 128
+        valsp = jnp.pad(vals.astype(jnp.int32),
+                        ((0, 0), (0, OUT - vals.shape[1])))
+        return pallas_decode._decode_call(bitmap, valsp, H, W, 12, bucket,
+                                          interpret)
+
+    return chain(bod_bm, st_bm, tab_bm, m_bm, bod_pk, st_pk, tab_pk, m_pk,
+                 npad_bm, npad_pk, grp_bm, grp_pk, height, width, n_bytes,
+                 bucket, bool(interpret))
+
+
+def decode_l1_symbol_device(bm_streams, pk_streams, height, width,
+                            interpret=None, verify=False):
+    """Fully-device scheme-12 L1 read chain for SYMBOL-mode bitmaps.
+
+    The companion of :func:`decode_l1_gap_device` for containers whose
+    bitmap streams code bytes as 8-bit symbols (the size-comparison
+    winner on dense frames).  Same contract: dense (B, H, W) uint16
+    frames, or None when the stream mix is not kernel-decodable /
+    ``verify=True`` (the byte path checks adler32).
+    """
+    import jax
+
+    if verify:
+        return None
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if len(bm_streams) != len(pk_streams) or not bm_streams:
+        return None
+    bm_in = gap_chain_inputs(bm_streams, "bm8")
+    pk_in = gap_chain_inputs(pk_streams, "sym")
+    if bm_in is None or pk_in is None:
+        return None
+    if any(int(n) != height * width // 8 for n in bm_in[6]):
+        return None
+    # value count must equal the bitmap's set-bit count; bit counts are
+    # not in the header, so trust the decode-side capacity escalation and
+    # the m bookkeeping (vals beyond the bitmap's population are ignored;
+    # a short value stream would leave zeros, caught by verify paths)
+    from ..ops import pallas_encode
+
+    for bucket in range(len(pallas_encode.CAPACITY_BUCKETS)):
+        dense, ovf = symbol_chain_dense(bm_in, pk_in, height, width,
+                                        bucket=bucket,
+                                        interpret=bool(interpret))
         if not bool(np.asarray(ovf).any()):
             return np.asarray(dense).astype(np.uint16)
     return None

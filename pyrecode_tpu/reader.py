@@ -406,6 +406,12 @@ class ReCoDeReader:
                 dense = _rans.decode_l1_gap_device(
                     [bm for bm, _ in raw_blobs],
                     [pv for _, pv in raw_blobs], ny, nx, verify=verify)
+                if dense is None:
+                    # dense-data flavor: bitmap bytes coded as 8-bit
+                    # symbols take the bitmap-driven device chain
+                    dense = _rans.decode_l1_symbol_device(
+                        [bm for bm, _ in raw_blobs],
+                        [pv for _, pv in raw_blobs], ny, nx, verify=verify)
                 if dense is not None:
                     return dense.astype(self._numpy_dtype)
         if dev12:

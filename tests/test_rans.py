@@ -632,3 +632,62 @@ def test_decode_l1_gap_device_verify_opts_out():
     assert rans.decode_l1_gap_device(dummy, dummy, 128, 512,
                                      interpret=True,
                                      verify=True) is None
+
+
+def test_decode_l1_symbol_device_full_chain():
+    """The fully-device SYMBOL read chain (8-bit bitmap-byte symbols +
+    12-bit value symbols -> bitmap-driven dense decode) reproduces the
+    source frames — the dense-data complement of the gap chain."""
+    import zlib
+
+    import jax.numpy as jnp
+
+    from pyrecode_tpu import oracle
+    from pyrecode_tpu.codecs import rans
+    from pyrecode_tpu.ops import bitpack, pallas_rans as prk
+
+    H, W, B = 128, 512, 2
+    frames = oracle.synthetic_frames(B, H, W, 0.08, 12, "peaked", rng=9)
+    thr = np.zeros((H, W), np.uint16)
+    bm_streams, pk_streams = [], []
+    for i in range(B):
+        red = oracle.reduce_frame(frames[i], thr, 1, 12)
+        bmb = np.frombuffer(red["packed_binary_map"], np.uint8)
+        syms = bmb.astype(np.int64)
+        counts = np.bincount(syms, minlength=256)
+        freq = rans.quantize_freqs(counts).astype(np.int64)
+        body, states = rans.rans_encode_interleaved(syms, freq, prk.W_LANES)
+        sp = np.flatnonzero(counts > 0)
+        bm_streams.append(rans._finish_stream_symbols(
+            bmb.size, syms.size, prk.W_LANES, 8, sp, freq[sp], states,
+            body, zlib.adler32(bmb.tobytes())))
+        pkb = np.frombuffer(red["packed_pixvals"], np.uint8)
+        pk_pad = pkb
+        if pk_pad.size % 3:
+            pk_pad = np.concatenate(
+                [pk_pad, np.zeros(3 - pk_pad.size % 3, np.uint8)])
+        nvals = int((frames[i] > 0).sum())
+        vals = np.asarray(bitpack.bitunpack_values(
+            jnp.asarray(pk_pad)[None], 12,
+            out_dtype=jnp.int32))[0][:nvals].astype(np.int64)
+        vcounts = np.bincount(vals, minlength=1 << 12)
+        vfreq = rans.quantize_freqs(vcounts).astype(np.int64)
+        vbody, vstates = rans.rans_encode_interleaved(vals, vfreq,
+                                                      prk.W_LANES)
+        vsp = np.flatnonzero(vcounts > 0)
+        pk_streams.append(rans._finish_stream_symbols(
+            pkb.size, vals.size, prk.W_LANES, 12, vsp, vfreq[vsp],
+            vstates, vbody, zlib.adler32(pkb.tobytes())))
+    assert all(s[3] == 2 for s in bm_streams)
+
+    dense = rans.decode_l1_symbol_device(bm_streams, pk_streams, H, W,
+                                         interpret=True)
+    assert dense is not None, "symbol chain unexpectedly fell back"
+    assert np.array_equal(dense, frames)
+    # verify=True opts back into the adler-checked byte path
+    assert rans.decode_l1_symbol_device(bm_streams, pk_streams, H, W,
+                                        interpret=True, verify=True) is None
+    # gap streams must NOT take this chain
+    assert rans.decode_l1_symbol_device(
+        [rans.compress_gaps(np.zeros(H * W // 8, np.uint8).tobytes())] * B,
+        pk_streams, H, W, interpret=True) is None

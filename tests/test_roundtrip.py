@@ -270,3 +270,24 @@ def test_l2_no_spurious_pad_puddles(tmp_path):
     assert len(stats) == 3
     assert np.array_equal(np.sort(stats), [7, 9, 13])
     reader.close()
+
+
+def test_scheme12_dense_reader_symbol_chain(tmp_path):
+    """Dense frames make the writer pick byte/symbol-mode bitmaps (gaps
+    lose the size comparison); the reader's device path must still decode
+    them bit-exactly (via the symbol chain or its fallbacks)."""
+    from pyrecode_tpu import oracle
+
+    data = oracle.synthetic_frames(4, 128, 512, 0.10, 12, "peaked", rng=21)
+    dark = np.zeros(data.shape[1:], np.uint16)
+    params = _params(data.shape, num_threads=1, compression_scheme=12)
+    _write_parts(tmp_path, data, dark, params, use_tpu=False)
+    merged = merge_parts(str(tmp_path), "test_data.rc1", 1)
+    r = ReCoDeReader(merged)
+    r.open()
+    r._force_device_codec = True
+    dense = r.read_frames_dense(0, 4)
+    assert np.array_equal(dense, data)
+    dense_v = r.read_frames_dense(0, 4, verify=True)
+    assert np.array_equal(dense_v, data)
+    r.close()
