@@ -86,11 +86,15 @@ def _select_rank_match(m2, r2, rank1, S, SUB, C1):
                 + ((colsum >> 16) & 0xFFFF) * (jrow == j + 1)
         return c
 
-    c1 = passes(0, min(16, C1))
+    # r5: the ungated prefix dropped from 16 ranks to 12 — at 1% the
+    # Poisson(5.1) sub-row tail puts P(any sub-row > 12 per 64K-px chunk)
+    # at ~17%, so the 12..16 tier costs ~0.17 x 2 passes in expectation
+    # instead of 2 always (byte-identity re-gated by verify_hw)
+    c1 = passes(0, min(12, C1))
     maxcnt = jnp.max(rank1[:, SUB - 1:SUB]) + 1   # = max sub-row count
-    j = 16
+    j = 12
     while j < C1:
-        j_hi = min(2 * j, C1)
+        j_hi = min(16 if j == 12 else 2 * j, C1)
         c1 = c1 + jax.lax.cond(
             maxcnt > j,
             lambda lo=j, hi=j_hi: passes(lo, hi),

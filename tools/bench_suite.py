@@ -34,8 +34,13 @@ def _sparse(batch, h, w, density=0.01, seed=0):
                     rng.integers(1, 4096, (batch, h, w)), 0).astype(np.uint16)
 
 
-def bench_levels(size=512, batch=32, scan_len=16):
-    """Device encode throughput per reduction level."""
+def bench_levels(size=512, batch=32, scan_len=48):
+    """Device encode throughput per reduction level.
+
+    scan_len 48 / outer 4 (r5): at 512^2 the per-batch times are a few
+    hundred microseconds, so a 16-step delta sits inside relay jitter —
+    the r5 full-suite run produced a NEGATIVE L3 row and a spurious -20%
+    L1 'regression' before the longer scan."""
     import jax
     import jax.numpy as jnp
 
@@ -87,7 +92,7 @@ def bench_levels(size=512, batch=32, scan_len=16):
                      ("L1 stacked (pallas)", pallas_l1_stacked),
                      ("L3 (pallas)", pallas_l3),
                      ("L2 (pallas)", pallas_l2), ("L4 (pallas)", pallas_l4)):
-        dt = scan_time(fn, frames_all, thr, outer=2)
+        dt = scan_time(fn, frames_all, thr, outer=4)
         out.append({"config": f"reduction sweep {name} {size}^2",
                     "value": round(nbytes / 1e9 / dt, 3), "unit": "GB/s"})
     return out
@@ -139,7 +144,7 @@ def bench_levels_big(size=4096, batch=4, scan_len=8):
     out = []
     for name, fn in (("L1 fused-positions (pallas)", l1_positions),
                      ("L2 (pallas)", l2), ("L4 (pallas)", l4)):
-        dt = scan_time(fn, frames_all, thr, outer=2)
+        dt = scan_time(fn, frames_all, thr, outer=4)
         out.append({"config": f"reduction sweep {name} {size}^2",
                     "value": round(nbytes / 1e9 / dt, 3), "unit": "GB/s"})
     return out
@@ -377,7 +382,8 @@ def bench_rans_subtool():
     import re
     import subprocess
 
-    proc = subprocess.run([sys.executable, "tools/bench_rans.py"],
+    proc = subprocess.run([sys.executable, "tools/bench_rans.py",
+                           "--iters", "32"],
                           capture_output=True, text=True, timeout=3000)
     if proc.returncode != 0:
         print(f"bench_rans failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
@@ -439,7 +445,11 @@ def main():
 
     results = []
     size_big = 2048 if args.fast else 4096
-    results += bench_levels(size=512, batch=8 if args.fast else 32)
+    # batch 128 at 512^2: per-batch times must clear ~1 ms or the scan
+    # delta drowns in relay jitter (r5: a 32-frame batch produced a
+    # negative L3 row and 36-54 GB/s L1 swings across runs)
+    results += bench_levels(size=512, batch=8 if args.fast else 128,
+                            scan_len=8 if args.fast else 24)
     if not args.fast:
         results += bench_levels_big(size=4096, batch=4)
     results += bench_entropy_matrix(size=size_big)
