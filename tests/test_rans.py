@@ -691,3 +691,34 @@ def test_decode_l1_symbol_device_full_chain():
     assert rans.decode_l1_symbol_device(
         [rans.compress_gaps(np.zeros(H * W // 8, np.uint8).tobytes())] * B,
         pk_streams, H, W, interpret=True) is None
+
+
+def test_fused_decode_wide_window_escalation():
+    """An incompressible 8192-way stream consumes ~1 byte/symbol — a
+    single fused grid step overruns the narrow 16-row fetch window, so
+    the in-jit lax.cond must re-run the decode at the 48-row worst case
+    and still produce exact symbols."""
+    import jax.numpy as jnp
+
+    from pyrecode_tpu.codecs import rans
+    from pyrecode_tpu.ops import pallas_rans as prk
+
+    rng = np.random.default_rng(5)
+    W8 = prk.ROWS_R * prk.W_LANES
+    m = W8 * 2                       # 2 fused steps
+    syms = rng.integers(0, 256, m).astype(np.int64)   # uniform: ~8 b/sym
+    counts = np.bincount(syms, minlength=256)
+    freq = rans.quantize_freqs(counts).astype(np.int64)
+    body, states = rans.rans_encode_interleaved(syms, freq, W8)
+    assert len(body) > 4093, "fixture must overrun the narrow window"
+
+    bw = -(-len(body) // 512) * 512
+    bodies = np.zeros((1, bw), np.uint8)
+    bodies[0, : len(body)] = np.frombuffer(body, np.uint8)[::-1]
+    tabs = prk.decode_tables_radix(freq)[None]
+    npad = -(-m // prk.CH_R) * prk.CH_R
+    out = np.asarray(prk.rans_decode_pallas(
+        jnp.asarray(bodies), jnp.asarray(states.astype(np.int32))[None],
+        np.array([m]), npad, jnp.asarray(tabs.astype(np.float32)),
+        interpret=True, groups=prk.ROWS_R))
+    assert np.array_equal(out[0, :m], syms), "wide-window rerun diverged"

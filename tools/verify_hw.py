@@ -297,6 +297,30 @@ def main() -> int:
         check(f"rANS symbol mode b={sb} (n={len(raw)}) device enc+dec",
               bool(enc[3] & 2) and dec_host == raw and dec_dev == raw)
 
+    # ---- fused-decode wide-window escalation (r5): an incompressible
+    # 8192-way stream overruns the narrow fetch window every step; the
+    # in-jit rerun must still be exact ON HARDWARE ----
+    from pyrecode_tpu.ops import pallas_rans as _prk
+
+    w8 = _prk.ROWS_R * _prk.W_LANES
+    m_esc = w8 * 4
+    esyms = rng.integers(0, 256, m_esc).astype(np.int64)
+    ecnt = np.bincount(esyms, minlength=256)
+    efreq = rans_codec.quantize_freqs(ecnt).astype(np.int64)
+    ebody, estates = rans_codec.rans_encode_interleaved(esyms, efreq, w8)
+    ebw = -(-len(ebody) // 512) * 512
+    ebod = np.zeros((1, ebw), np.uint8)
+    ebod[0, : len(ebody)] = np.frombuffer(ebody, np.uint8)[::-1]
+    enpad = -(-m_esc // _prk.CH_R) * _prk.CH_R
+    eout = np.asarray(_prk.rans_decode_pallas(
+        jnp.asarray(ebod), jnp.asarray(estates.astype(np.int32))[None],
+        np.array([m_esc]), enpad,
+        jnp.asarray(_prk.decode_tables_radix(efreq)[None]
+                    .astype(np.float32)),
+        interpret=False, groups=_prk.ROWS_R))
+    check("fused decode wide-window escalation (incompressible 8192-way)",
+          np.array_equal(eout[0, :m_esc], esyms))
+
     # ---- L1 decode vs dense reconstruction ----
     from pyrecode_tpu import ops
 
