@@ -571,13 +571,25 @@ def _tables_assemble_finish(tok, npad, out_bound, hist_np, adler_np,
         body_bits_exact * pdk.CH_B // slots_used[:B])) if B else 0
     nw = pdk.window_rows_for(int(step_est * 1.3) + 8)
 
-    body, totbits, ovf = pdk.assemble_pallas(
+    # The split (parallel scatter + serial concat) assembly variant is
+    # byte-identical on hw but measured NEUTRAL (1.69 vs 1.49-1.83 ms per
+    # 4-frame 4096^2 bitmap batch, run-to-run overlapping): the one-kernel
+    # form's serial chain is not its bottleneck at production token
+    # bounds — the 2.9 ms once attributed to it was ~50% token-bound
+    # slack (pad steps), which quantize_bound keeps under 25% here.
+    # PYRECODE_SPLIT_ASSEMBLE=1 opts into the split form.
+    import os as _os
+
+    asm = pdk.assemble_pallas_split \
+        if _os.environ.get("PYRECODE_SPLIT_ASSEMBLE", "0") == "1" \
+        else pdk.assemble_pallas
+    body, totbits, ovf = asm(
         tok, jnp.asarray(luts),
         jnp.asarray(phases), jnp.asarray(partials), out_bound,
         nw=nw, interpret=interpret)
     if nw < pdk.WIN_ROWS_MAX and bool(np.asarray(ovf).any()):
         # a step's bits exceeded the narrow window — re-run at full width
-        body, totbits, ovf = pdk.assemble_pallas(
+        body, totbits, ovf = asm(
             tok, jnp.asarray(luts),
             jnp.asarray(phases), jnp.asarray(partials), out_bound,
             nw=pdk.WIN_ROWS_MAX, interpret=interpret)

@@ -688,6 +688,249 @@ def _assemble_call(tok, lutab, phase, partial, out_bound, nw,
     return body, totbits[:, 0, 0], ovf[:, 0, 0] != 0
 
 
+@functools.lru_cache(maxsize=32)
+def _build_assemble_par_kernel(B, NPAD, NW, interpret):
+    """Parallel half of the SPLIT assembly (r5 experiment): every
+    CH_B-token step scatters its bytes at bit phase 0 into its OWN
+    window — no carried offset/phase/partial, so grid steps are
+    independent; the thin concat kernel below shifts each window into
+    its true phase (0..7 bits) and appends it.
+
+    MEASURED NEUTRAL on hw (1.69 vs the one-kernel form's 1.49-1.83 ms
+    per 4-frame 4096^2 bitmap batch; byte-identical): at production token
+    bounds the serial chain is not the one-kernel form's bottleneck — the
+    scatter matmul volume is.  Kept as the verified alternative (opt in
+    with PYRECODE_SPLIT_ASSEMBLE=1); the hypothesis that 6 us/step of
+    serial latency dominated came from a profile run with ~50% token-
+    bound slack (pad steps), not a real chain cost.
+    """
+    n_steps = NPAD // CH_B
+    WINB = NW * 128
+    # leave headroom for the concat kernel's worst-case 7-bit phase shift
+    bit_cap = (WINB - 4) * 8 - 7
+
+    def kernel(lut_ref, lutab_ref, win_ref, bits_ref, ovf_ref):
+        lutab = lutab_ref[0]                       # (48, 32) f32
+        inv_row = lut_ref[0, 0].astype(jnp.int32).reshape(1, CH_B)
+        lut_row = NO_TOKEN - inv_row
+        bits_ref[0, 0, 0, 0] = 0
+        ovf_ref[0, 0, 0, 0] = 0
+
+        # token-bound slack: steps past the true token count are all pad
+        # (inverted tok 0) — skip their lookup+scatter entirely
+        @pl.when(jnp.max(inv_row) > 0)
+        def _():
+            _par_step(lut_row, lutab, win_ref, bits_ref, ovf_ref)
+
+    def _par_step(lut_row, lutab, win_ref, bits_ref, ovf_ref):
+        io32w = jax.lax.broadcasted_iota(jnp.int32, (32, CH_B), 0)
+        io24w = jax.lax.broadcasted_iota(jnp.int32, (24, CH_B), 0)
+        lo = lut_row & 31
+        hi = lut_row >> 5
+        oh_lo = (lo == io32w).astype(jnp.float32)
+        oh_hi = (hi == io24w).astype(jnp.float32)
+        m1 = jnp.dot(lutab, oh_lo, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        val_all = jnp.sum(oh_hi * m1[0:24], axis=0,
+                          keepdims=True).astype(jnp.int32)
+        bits_all = jnp.sum(oh_hi * m1[24:48], axis=0,
+                           keepdims=True).astype(jnp.int32)
+        gcs = _cumsum_lanes(bits_all, CH_B)
+        step_bits = gcs[0, CH_B - 1]
+        bits_ref[0, 0, 0, 0] = step_bits
+        ovf_ref[0, 0, 0, 0] = jnp.int32(step_bits > bit_cap)
+
+        off = gcs - bits_all                       # phase-0 bit offsets
+        sv = val_all << (off & 7)
+        t0 = off >> 3
+        io128s = jax.lax.broadcasted_iota(jnp.int32, (128, CH_B), 0)
+        io_nw = jax.lax.broadcasted_iota(jnp.int32, (NW, CH_B), 0)
+        oh_tl = ((t0 & 127) == io128s).astype(jnp.bfloat16)
+        oh_th = ((t0 >> 7) == io_nw).astype(jnp.bfloat16)
+        per = max(1, min(4, 128 // NW))
+        rows = []
+        for g in range(0, 4, per):
+            blocks = []
+            for k in range(g, min(g + per, 4)):
+                ck = ((sv >> (8 * k)) & 255).astype(jnp.bfloat16)
+                blocks.append(oh_th * ck)
+            stacked = blocks[0] if len(blocks) == 1 else \
+                jnp.concatenate(blocks, axis=0)
+            o2 = jax.lax.dot_general(stacked, oh_tl,
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            for j in range(len(blocks)):
+                rows.append(o2[j * NW: (j + 1) * NW].astype(jnp.int32))
+
+        def roll_flat(x, k):
+            # right-roll a (NW, 128) row-major byte image by k < 128 flat
+            # positions (the window stays 2D: a (1, WINB) flat row would
+            # need a lane-split reshape Mosaic rejects)
+            r = pltpu.roll(x, k, axis=1)
+            up = pltpu.roll(r, 1, axis=0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+            wrapped = jnp.where(lane < k, up, r)
+            return jnp.where((row == 0) & (lane < k), 0, wrapped)
+
+        local = rows[0]
+        for k, row in enumerate(rows[1:], start=1):
+            local = local + roll_flat(row, k)
+        win_ref[0] = local.astype(jnp.uint8)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, n_steps),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, CH_B // 8), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 48, 32), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NW, 128), lambda b, h: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_steps * NW, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((B, n_steps, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, n_steps, 1, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=bool(interpret),
+    )
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _build_assemble_cat_kernel(B, n_steps, OUT, NW, interpret):
+    """Serial half of the split assembly: shift each phase-0 window into
+    its true bit phase and append — one roll, a few selects and the
+    shared 128-aligned store per step."""
+    WINB = NW * 128
+    WIN = WINB + 128
+
+    def kernel(win_ref, bits_ref, phase_ref, part_ref,
+               comp_ref, totbits_ref, ovf_ref,
+               off_sref, bit_sref, part_sref, tot_sref, tail_vref):
+        h = pl.program_id(1)
+
+        @pl.when(h == 0)
+        def _():
+            off_sref[0] = 0
+            bit_sref[0] = phase_ref[0, 0, 0]
+            part_sref[0] = part_ref[0, 0, 0]
+            tot_sref[0] = phase_ref[0, 0, 0]
+            ovf_ref[0, 0, 0] = 0
+            tail_vref[...] = jnp.zeros_like(tail_vref)
+            comp_ref[...] = jnp.zeros_like(comp_ref)
+
+        step_bits = bits_ref[0, 0, 0, 0]
+        io_w = jax.lax.broadcasted_iota(jnp.int32, (1, WINB), 1)
+
+        @pl.when(step_bits > 0)
+        def _():
+            p = bit_sref[0]
+            # (NW, 128) u8 rows -> one flat byte row (lane-merge: allowed)
+            w = win_ref[0].astype(jnp.int32).reshape(1, WINB)
+            wprev = jnp.where(io_w == 0, 0, pltpu.roll(w, 1, axis=1))
+            # LSB-first phase shift: multiply the byte stream by 2^p with
+            # inter-byte carries (p == 0 degenerates to identity: x >> 8
+            # of a byte is 0)
+            shifted = ((w << p) & 255) | (wprev >> (8 - p))
+            local = shifted + jnp.where(io_w == 0, part_sref[0], 0)
+            sub_total = p + step_bits
+            nbytes = sub_total >> 3
+            part_sref[0] = jnp.sum(jnp.where(io_w == nbytes, local, 0))
+            bit_sref[0] = sub_total & 7
+            _store_window(comp_ref, tail_vref, off_sref, local, nbytes,
+                          OUT, WIN, WINB)
+
+        tot_sref[0] = tot_sref[0] + step_bits
+        ovf_ref[0, 0, 0] |= jnp.int32(off_sref[0] > OUT)
+
+        @pl.when(h == n_steps - 1)
+        def _():
+            flush = jnp.where(io_w == 0, part_sref[0], 0)
+            _store_window(comp_ref, tail_vref, off_sref, flush,
+                          jnp.int32((bit_sref[0] > 0).astype(jnp.int32)),
+                          OUT, WIN, WINB)
+            totbits_ref[0, 0, 0] = tot_sref[0]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, n_steps),
+        in_specs=[
+            pl.BlockSpec((1, NW, 128), lambda b, h: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, OUT + WIN), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, OUT + WIN), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.VMEM((1, WIN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=bool(interpret),
+    )
+    return call
+
+
+@functools.partial(jax.jit, static_argnames=("out_bound", "nw", "interpret"))
+def _assemble_split_call(tok, lutab, phase, partial, out_bound, nw,
+                        interpret):
+    B, NPAD = tok.shape
+    par = _build_assemble_par_kernel(B, NPAD, nw, bool(interpret))
+    win, bits, ovf_steps = par(
+        tok.reshape(B, NPAD // CH_B, 8, CH_B // 8), lutab)
+    cat = _build_assemble_cat_kernel(B, NPAD // CH_B, out_bound, nw,
+                                     bool(interpret))
+    comp, totbits, ovf = cat(
+        win, bits, phase.reshape(B, 1, 1).astype(jnp.int32),
+        partial.reshape(B, 1, 1).astype(jnp.int32))
+    body = comp[:, 0, :out_bound].astype(jnp.uint8)
+    ovf_all = (ovf[:, 0, 0] != 0) | jnp.any(ovf_steps[:, :, 0, 0] != 0, axis=1)
+    return body, totbits[:, 0, 0], ovf_all
+
+
+def assemble_pallas_split(tok, lutab, phase, partial, out_bound,
+                          nw=None, interpret=None):
+    """Split (parallel scatter + serial concat) variant of
+    :func:`assemble_pallas` — identical contract and output bytes."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if nw is None:
+        nw = WIN_ROWS_MAX
+    out_bound = -(-out_bound // 128) * 128
+    return _assemble_split_call(jnp.asarray(tok), jnp.asarray(lutab),
+                                jnp.asarray(phase), jnp.asarray(partial),
+                                out_bound, int(nw), bool(interpret))
+
+
 def window_rows_for(step_bits_estimate: int) -> int:
     """Smallest scatter-window preset whose bit capacity covers an expected
     per-step bit count (with the caller's margin already applied).  The

@@ -365,3 +365,42 @@ def test_quantize_bound_grid():
         assert b >= max(n, ch) and b % ch == 0
         assert b < 1.25 * max(n, ch) + ch  # slack cap
     assert dd.quantize_bound(690_000, ch) == 786_432
+
+
+def test_split_assembly_identity():
+    """The split (parallel scatter + serial concat) assembly variant is
+    byte-identical to the one-kernel form (r5 experiment; measured
+    neutral on hw, kept as a verified alternative)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pyrecode_tpu import native
+    from pyrecode_tpu.codecs import dyndeflate as dd
+    from pyrecode_tpu.ops import pallas_deflate as pdk
+
+    rng = np.random.default_rng(3)
+    n = pdk.CH_A - 101
+    raw = (rng.integers(0, 256, n)
+           * (rng.random(n) < 0.05)).astype(np.uint8).tobytes()
+    streams = np.zeros((1, pdk.CH_A), np.uint8)
+    streams[0, :n] = np.frombuffer(raw, np.uint8)
+    lens = np.array([n], np.int32)
+    tok, hist, _ = pdk.tokenize_pallas(jnp.asarray(streams),
+                                       jnp.asarray(lens), interpret=True)
+    lfreq = np.asarray(hist)[0, :286].astype(np.uint32)
+    lfreq[256] += 1
+    llen, lcode = native.dyn_tables(lfreq)
+    hb, hbits = native.dyn_header(llen)
+    luts = dd.luts_as_radix(llen, lcode)[None]
+    phase = np.array([hbits % 8], np.int32)
+    partial = np.array([int(hb[-1]) if hbits % 8 else 0], np.int32)
+    out_bound = 2 * streams.shape[1] + 256
+    b1, t1, o1 = pdk.assemble_pallas(
+        tok, jnp.asarray(luts), jnp.asarray(phase), jnp.asarray(partial),
+        out_bound, interpret=True)
+    b2, t2, o2 = pdk.assemble_pallas_split(
+        tok, jnp.asarray(luts), jnp.asarray(phase), jnp.asarray(partial),
+        out_bound, interpret=True)
+    assert np.array_equal(np.asarray(b1), np.asarray(b2))
+    assert int(np.asarray(t1)[0]) == int(np.asarray(t2)[0])
+    assert not np.asarray(o2).any()

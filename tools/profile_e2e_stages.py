@@ -86,8 +86,11 @@ def main():
     tab_pk, nw_pk, tok_pk0 = tables_for(pk_pad0, plen0)
     out_pk = -(-(2 * npad_pk + 256) // 128) * 128
 
-    tok_bound = max(pdk.CH_B,
-                    1 << int(np.ceil(np.log2(max(int(tok0 * 1.5), 1)))))
+    # quarter-octave bound like production deflate_batch_device: the old
+    # pow2-of-1.5x rule left ~50% pad steps, inflating the assemble figure
+    # (2.9 ms "measured" vs ~1.7 at production slack, r5)
+    from pyrecode_tpu.codecs.dyndeflate import quantize_bound
+    tok_bound = quantize_bound(int(tok0 * 1.1) + 1, pdk.CH_B)
     cbkt = pdk.compact_bucket_for(tok0 / n_bm)
     out_bm = -(-(min(2 * npad_bm,
                      (tok_bound * pdk.MAX_TOKEN_BITS + 7) // 8) + 256)
