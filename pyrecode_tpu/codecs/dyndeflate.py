@@ -456,8 +456,16 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
         # quarter-octave quantization bounds the number of distinct kernel
         # shapes while keeping assembly-grid slack under 25%
         tok_bound = quantize_bound(tok_max, pdk.CH_B)
+        # Literal-dense streams (packed pixel intensities in dynamic mode):
+        # every token sits at a byte position < its stream's length, so
+        # slicing the inverted token stream to a length bound removes the
+        # capacity padding from the assembly grid for FREE — the compaction
+        # pass only pays for itself when tokens are sparse *within* the
+        # valid prefix (r5: pk dynamic-mode assemble 786K -> 256K slots,
+        # ~1 ms/4-frame batch at 4096^2 1%).  Output bytes are identical.
+        slice_cols = min(npad, quantize_bound(max_len, pdk.CH_B))
         if compact is None:
-            compact = tok_bound < npad
+            compact = 2 * tok_bound <= slice_cols
         if compact and tok_bound < npad:
             density = tok_max / max_len
             bucket = pdk.compact_bucket_for(density)
@@ -475,6 +483,8 @@ def deflate_batch_device(streams, lengths, raw_cb=None, interpret=None,
                               (tok_bound * pdk.MAX_TOKEN_BITS + 7) // 8)
             tok, npad, out_bound = dense, tok_bound, out_bound_c + 256
         else:
+            if slice_cols < npad:
+                tok, npad = tok[:, :slice_cols], slice_cols
             out_bound = 2 * npad + 256
 
     if hint_state is not None and B:

@@ -150,6 +150,28 @@ def test_assemble_narrow_window_presets_match_wide():
             assert tripped >= 1  # 8.4-bit preset must flag ~9-bit literals
 
 
+def test_literal_dense_sliced_assembly():
+    """Literal-dense streams (dynamic-mode packed intensities) skip the
+    compaction pass and assemble over a length-bound SLICE of the token
+    stream (r5): bytes must stay identical to the native encoder, for
+    lengths straddling the quantize_bound grid."""
+    rng = np.random.default_rng(17)
+    npad = 8 * pdk.CH_A          # 128 KiB capacity pad
+    raws = []
+    for n in (3 * pdk.CH_B - 5, 3 * pdk.CH_B, 5 * pdk.CH_B + 1,
+              11000):
+        # low-entropy-alphabet random bytes: compressible, so the dynamic
+        # block wins (no stored fallback) and nearly every byte is a
+        # literal token
+        raws.append(bytes(rng.integers(0, 11, n).astype(np.uint8)))
+    streams, lengths = _pack(raws, npad)
+    outs = dd.deflate_batch_device(streams, lengths,
+                                   raw_cb=lambda i: raws[i], interpret=True)
+    for i, (raw, got) in enumerate(zip(raws, outs)):
+        assert got == native.deflate_sparse(raw), (i, len(raw))
+        assert zlib.decompress(got) == raw, i
+
+
 def test_narrow_window_retry_in_pipeline(monkeypatch):
     """Force the narrowest preset: the pipeline must detect overflow and
     transparently re-run wide, still byte-identical to the native encoder."""

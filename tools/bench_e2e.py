@@ -369,6 +369,13 @@ def main():
         2 + plen0 + 5 * (plen0 // 65535 + 1)
     print(f"pixval stream mode: {'stored blocks' if pk_stored else 'dynamic'}")
 
+    # dynamic pixval assembly: literal-dense tokens all sit below the stream
+    # length, so the assembly grid runs over a length-bound SLICE of the
+    # token stream, not the full capacity pad (deflate_batch_device does the
+    # same; 786K -> 256K slots per frame at 1% occupancy)
+    pk_cols = min(npad_pk, dd.quantize_bound(int(plen0 * 1.1), pdk.CH_B))
+    out_pk = -(-(2 * pk_cols + 256) // 128) * 128
+
     # bitmap stream: token-compact before assembly — the production path
     # (bound quantized from frame 0's histogram, dyndeflate.quantize_bound).
     # Default = the FUSED tokenize+compact kernel (dyndeflate's session
@@ -407,7 +414,8 @@ def main():
         if pk_stored:
             bits_pk = jnp.zeros((), jnp.int32)  # stored: no assembly pass
         else:
-            body_pk, bits_pk, _ = pdk.assemble_pallas(tok_pk, *tab_pk,
+            body_pk, bits_pk, _ = pdk.assemble_pallas(tok_pk[:, :pk_cols],
+                                                      *tab_pk,
                                                       out_pk, nw=nw_pk,
                                                       interpret=False)
         return (jnp.sum(bits_bm) + jnp.sum(bits_pk)
