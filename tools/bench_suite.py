@@ -347,6 +347,8 @@ def bench_subtool(script, config, extra_args=()):
     import re
     import subprocess
 
+    print(f"[bench_suite] running {script} {' '.join(extra_args)} ...",
+          file=sys.stderr, flush=True)
     proc = subprocess.run([sys.executable, script, *extra_args],
                           capture_output=True, text=True, timeout=3000)
     if proc.returncode != 0:
@@ -448,13 +450,24 @@ def main():
     # batch 128 at 512^2: per-batch times must clear ~1 ms or the scan
     # delta drowns in relay jitter (r5: a 32-frame batch produced a
     # negative L3 row and 36-54 GB/s L1 swings across runs)
-    results += bench_levels(size=512, batch=8 if args.fast else 128,
-                            scan_len=8 if args.fast else 24)
+    def stage(name, fn, *a, **kw):
+        # progress marker per in-process stage: a silent 10-minute stretch
+        # is otherwise indistinguishable from a hung relay RPC (a parent
+        # kill mid-stage orphans subtool children, which then corrupt the
+        # next run's device timings — r5 incident)
+        print(f"[bench_suite] stage {name} ...", file=sys.stderr, flush=True)
+        return fn(*a, **kw)
+
+    results += stage("levels-512", bench_levels, size=512,
+                     batch=8 if args.fast else 128,
+                     scan_len=8 if args.fast else 24)
     if not args.fast:
-        results += bench_levels_big(size=4096, batch=4)
-    results += bench_entropy_matrix(size=size_big)
-    results += bench_decode(size=size_big, batch=2 if args.fast else 4)
-    results += bench_end_to_end(".", size=512, n_frames=16 if args.fast else 64)
+        results += stage("levels-4096", bench_levels_big, size=4096, batch=4)
+    results += stage("entropy-matrix", bench_entropy_matrix, size=size_big)
+    results += stage("decode", bench_decode, size=size_big,
+                     batch=2 if args.fast else 4)
+    results += stage("end-to-end-512", bench_end_to_end, ".", size=512,
+                     n_frames=16 if args.fast else 64)
     if not args.fast:
         results += bench_subtool("tools/bench_e2e.py",
                                  "end-to-end write (relay-independent) 4096^2")
