@@ -61,6 +61,12 @@ from .pallas_encode import _compact_chunk, _cumsum_lanes, _store_window
 
 CH_A = 16384         # pass-A bytes per grid step ((8, 2048) tile: per-step
 ROWS_A, SUB_A = 8, 2048   # fixed costs amortize; scans grow only log-width)
+# r5 hw sweep (tools/probe_cha.py): a (16, 2048) tile makes the DENSE
+# tokenize 34% faster (1.12 -> 0.74 ms per 8 MB batch — fixed step costs
+# halve) but the FUSED tokenize+compact 5% slower (1.96 -> 2.06 ms — the
+# per-step compact/store machinery doubles in width and eats the win).
+# Production's hot bitmap path is the fused form, so the default stays
+# (8, 2048); revisit if the dense form ever dominates a chain.
 CH_B = 4096          # pass-B tokens per grid step.  r5 hw sweep: 8192 is a
 #                      wash (bm assemble 2.80 -> 2.93, pk 2.49 -> 2.19
 #                      ms/batch) — the scatter matmul volume scales with
